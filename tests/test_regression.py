@@ -1,0 +1,138 @@
+"""The Bayesian linear regression is the load-bearing math of VJF: both
+backends must agree with each other, with batch least squares, and with the
+torch reference's RLS step."""
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vjf_tpu.models import regression as R
+from vjf_tpu.models.rbf import apply_rbf, init_rbf
+
+sys.path.insert(0, "/root/reference")
+
+
+def _setup(key, n=40, nf=12, nout=3):
+    kx, kt = jax.random.split(key)
+    feat = jax.random.normal(kx, (n, nf), dtype=jnp.float64)
+    w_true = jax.random.normal(kt, (nf, nout), dtype=jnp.float64)
+    target = feat @ w_true + 0.01 * jax.random.normal(kt, (n, nout), dtype=jnp.float64)
+    return feat, target, w_true
+
+
+def test_single_rls_equals_batch_lstsq(key):
+    """One RLS pass from the identity-prior init must equal the closed-form
+    batch posterior (vjf/module.py:79-103 semantics)."""
+    feat, target, _ = _setup(key)
+    v = jnp.asarray(0.5)
+    state = R.init_precision(feat.shape[1], target.shape[1], dtype=jnp.float64)
+    new = R.rls(state, feat, target, v)
+    w_ref, p_ref = R.batch_lstsq_posterior(feat, target, v)
+    np.testing.assert_allclose(np.asarray(new.w_mean), np.asarray(w_ref), rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(new.precision), np.asarray(p_ref), rtol=1e-8)
+
+
+def test_backends_agree(key):
+    """Precision and covariance backends produce the same posterior over a
+    sequence of updates (they are algebraically the Woodbury duals)."""
+    feat, target, _ = _setup(key, n=30)
+    v = jnp.asarray(0.3)
+    p_state = R.init_precision(feat.shape[1], target.shape[1], dtype=jnp.float64)
+    c_state = R.init_covariance(feat.shape[1], target.shape[1], dtype=jnp.float64)
+    for i in range(0, 30, 5):
+        f, t = feat[i : i + 5], target[i : i + 5]
+        p_state = R.rls(p_state, f, t, v)
+        c_state = R.rls(c_state, f, t, v)
+    np.testing.assert_allclose(
+        np.asarray(p_state.w_mean), np.asarray(c_state.w_mean), rtol=1e-7, atol=1e-9
+    )
+    p_cov = np.linalg.inv(np.asarray(p_state.precision))
+    np.testing.assert_allclose(p_cov, np.asarray(c_state.cov), rtol=1e-6, atol=1e-9)
+
+    # predictive distributions agree too
+    g_p = R.predict_gaussian(p_state, feat)
+    g_c = R.predict_gaussian(c_state, feat)
+    np.testing.assert_allclose(np.asarray(g_p.mean), np.asarray(g_c.mean), rtol=1e-7)
+    np.testing.assert_allclose(
+        np.asarray(g_p.logvar), np.asarray(g_c.logvar), rtol=1e-6
+    )
+
+
+def test_rls_matches_torch_reference(key):
+    """Golden parity of one RLS step against vjf/module.py:79-103 with
+    identical inputs (features injected to bypass RNG differences)."""
+    torch = pytest.importorskip("torch")
+    torch.set_default_dtype(torch.double)
+    from vjf.module import RBF as RefRBF
+    from vjf.module import LinearRegression as RefLR
+
+    nf, nout, n = 8, 2, 15
+    feat, target, _ = _setup(key, n=n, nf=nout, nout=nout)  # raw x, features via RBF
+
+    # Build the reference module and copy its (random) centroids into ours so
+    # both see identical features.
+    ref = RefLR(RefRBF(nout, nf), nout)
+    centroid = np.asarray(ref.feature.centroid.detach())
+    logwidth = np.asarray(ref.feature.logwidth.detach())
+
+    from vjf_tpu.models.rbf import RBFParams
+
+    params = RBFParams(jnp.asarray(centroid), jnp.asarray(logwidth))
+    x = np.asarray(feat)  # (n, nout) raw inputs
+    t = np.asarray(target)
+    v = 0.7
+
+    ref.rls(torch.tensor(x), torch.tensor(t), torch.tensor(v), shrink=1.0)
+
+    ours = R.init_precision(nf, nout, dtype=jnp.float64)
+    f = apply_rbf(params, jnp.asarray(x))
+    ours = R.rls(ours, f, jnp.asarray(t), jnp.asarray(v), shrink=1.0)
+
+    np.testing.assert_allclose(
+        np.asarray(ours.w_mean), np.asarray(ref.w_mean), rtol=1e-8, atol=1e-10
+    )
+    np.testing.assert_allclose(
+        np.asarray(ours.precision), np.asarray(ref.w_precision), rtol=1e-8
+    )
+
+    # predictive parity (sampling=False path, vjf/module.py:75-77)
+    g = R.predict_gaussian(ours, f)
+    ref_pred = ref(torch.tensor(x), sampling=False)
+    np.testing.assert_allclose(
+        np.asarray(g.mean), np.asarray(ref_pred.mean), rtol=1e-8, atol=1e-10
+    )
+    np.testing.assert_allclose(
+        np.asarray(g.logvar), np.asarray(ref_pred.logvar), rtol=1e-6, atol=1e-8
+    )
+
+
+def test_weight_sqrt_covariance(key):
+    feat, target, _ = _setup(key)
+    v = jnp.asarray(0.5)
+    for init in (R.init_precision, R.init_covariance):
+        st = R.rls(init(feat.shape[1], target.shape[1], dtype=jnp.float64), feat, target, v)
+        s = R.weight_sqrt(st)
+        cov = np.asarray(s @ s.T)
+        if isinstance(st, R.PrecisionBLR):
+            expected = np.linalg.inv(np.asarray(st.precision))
+        else:
+            expected = np.asarray(st.cov)
+        np.testing.assert_allclose(cov, expected, rtol=1e-7, atol=1e-10)
+
+
+def test_kalman_diffusion_matches_rls_at_zero(key):
+    """kalman(diffusion=0) == rls(shrink=1) — both are the exact Bayesian
+    update (vjf/module.py:114-142 with Q=0)."""
+    feat, target, _ = _setup(key, n=10)
+    v = jnp.asarray(0.4)
+    c0 = R.init_covariance(feat.shape[1], target.shape[1], dtype=jnp.float64)
+    via_rls = R.rls(c0, feat, target, v)
+    via_kal = R.kalman(c0, feat, target, v, diffusion=0.0)
+    np.testing.assert_allclose(
+        np.asarray(via_rls.w_mean), np.asarray(via_kal.w_mean), rtol=1e-7, atol=1e-9
+    )
+    np.testing.assert_allclose(
+        np.asarray(via_rls.cov), np.asarray(via_kal.cov), rtol=1e-5, atol=1e-8
+    )

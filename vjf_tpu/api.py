@@ -1,0 +1,151 @@
+"""Object-oriented facade mirroring the reference's user-facing API.
+
+A thin stateful wrapper over the pure-functional core in
+``vjf_tpu.models.vjf`` so that users of the reference
+(``VJF.make_model(...)``, ``.fit(...)``, ``.filter(...)``, ``.forecast(...)``
+— ``/root/reference/vjf/model.py:50-324``) can switch with minimal changes.
+All heavy lifting is jitted; this class only holds the state pytree and an
+RNG key.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+
+from .config import StepFlags, VJFConfig
+from .models import vjf as core
+from .types import Gaussian
+
+
+class VJF:
+    """Stateful convenience wrapper; see module docstring.
+
+    Prefer the functional API (``vjf_tpu.models.vjf``) for sharded /
+    multi-device or custom training loops.
+    """
+
+    def __init__(self, cfg: VJFConfig, seed: int = 0, backend: Optional[str] = None):
+        self.cfg = cfg
+        self.key = jax.random.PRNGKey(seed)
+        self.key, k_init = jax.random.split(self.key)
+        self.state = core.init_state(k_init, cfg, backend=backend)
+        self._step_fn = jax.jit(core.filter_step, static_argnames=("cfg", "flags"))
+        self._lr = cfg.lr
+
+    # -- construction -----------------------------------------------------
+    @classmethod
+    def make_model(
+        cls,
+        ydim: int,
+        xdim: int,
+        udim: int = 0,
+        n_rbf: int = 100,
+        hidden_sizes: Sequence[int] = (20,),
+        likelihood: str = "poisson",
+        *,
+        seed: int = 0,
+        **kwargs,
+    ) -> "VJF":
+        """Factory with the reference's signature (``vjf/model.py:309-319``;
+        note the reference's default likelihood is 'poisson')."""
+        cfg = VJFConfig(
+            ydim=ydim,
+            xdim=xdim,
+            udim=udim,
+            n_rbf=n_rbf,
+            hidden_sizes=tuple(hidden_sizes),
+            likelihood=likelihood.lower(),
+            **kwargs,
+        )
+        return cls(cfg)
+
+    # -- streaming filter -------------------------------------------------
+    def filter(
+        self,
+        y: Array,
+        u: Optional[Array] = None,
+        qs: Optional[Gaussian] = None,
+        *,
+        sgd: bool = True,
+        update: bool = True,
+        warm_up: bool = False,
+    ) -> Tuple[Gaussian, Array]:
+        """One online filter-then-learn step — ``VJF.filter``
+        (``vjf/model.py:179-221``). Call repeatedly with the returned
+        posterior for true streaming use."""
+        cfg = self.cfg
+        y = jnp.atleast_2d(jnp.asarray(y, dtype=cfg.jdtype))
+        if u is not None:
+            u = jnp.atleast_2d(jnp.asarray(u, dtype=cfg.jdtype))
+        if qs is None:
+            qs = core.prior(self.state.params, y.shape[0])
+        flags = StepFlags(sgd=sgd, update=update, warm_up=warm_up, train_decoder=True)
+        self.key, k = jax.random.split(self.key)
+        eps = jax.random.normal(k, (2, y.shape[0], cfg.xdim), cfg.jdtype)
+        self.state, qt, metrics = self._step_fn(
+            cfg, flags, self.state, qs, y, u, eps[0], eps[1], jnp.asarray(self._lr, cfg.jdtype)
+        )
+        return qt, metrics.loss
+
+    # -- batch training ---------------------------------------------------
+    def fit(
+        self,
+        y: Array,
+        u: Optional[Array] = None,
+        *,
+        max_iter: int = 200,
+        beta: float = 0.1,
+        rtol: float = 1e-4,
+        callback=None,
+    ) -> Tuple[Array, Array, float]:
+        """Epoch training with warm-up — ``VJF.fit`` (``vjf/model.py:223-307``).
+
+        :return: (posterior means (T, B, xdim), log-variances, final loss)
+        """
+        self.key, k = jax.random.split(self.key)
+        result = core.fit(
+            self.cfg,
+            self.state,
+            y,
+            u,
+            key=k,
+            max_iter=max_iter,
+            beta=beta,
+            rtol=rtol,
+            callback=callback,
+        )
+        self.state = result.state
+        return result.mu, result.logvar, result.loss
+
+    # -- generation -------------------------------------------------------
+    def forecast(
+        self,
+        x0: Array,
+        u: Optional[Array] = None,
+        n_step: int = 1,
+        *,
+        noise: bool = False,
+    ) -> Tuple[Array, Array]:
+        """Autoregressive rollout + decode — ``VJF.forecast``
+        (``vjf/model.py:321-324``)."""
+        self.key, k = jax.random.split(self.key)
+        x0 = jnp.asarray(x0, dtype=self.cfg.jdtype)
+        if u is not None:
+            u = jnp.asarray(u, dtype=self.cfg.jdtype)
+        return core.forecast(
+            self.cfg, self.state, x0, k, n_step=n_step, u=u, noise=noise
+        )
+
+    # -- velocity field (used by the example's streamplot) ----------------
+    def velocity(self, x: Array) -> Array:
+        """Mean velocity field at query points — the example script's
+        ``model.transition.velocity(grid)`` (``script/example.py:68``)."""
+        from .models.dynamics import transition_gaussian
+
+        x = jnp.atleast_2d(jnp.asarray(x, dtype=self.cfg.jdtype))
+        g = core._transition(self.cfg).transition_gaussian(self.state.dynamics, x, None, 0.0)
+        return g.mean - x

@@ -1,0 +1,98 @@
+"""Configuration tree.
+
+The reference buries every tunable in constructor kwargs and inline
+constants (gradient clip 1.0 at ``vjf/model.py:210``; Poisson rate clamp 10
+at ``vjf/likelihood.py:60``; running-variance caps 1000/500 at
+``vjf/util.py:20`` / ``vjf/model.py:375``; lr decay 0.9 at ``vjf/model.py:52``;
+warm-up rtol 1e-4 at ``vjf/model.py:224``; RBF centroid init range ±2 at
+``vjf/module.py:20``). Here every one of them is an explicit, hashable
+dataclass field so configs are static jit arguments and checkpoints are
+self-describing.
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+from dataclasses import dataclass
+from typing import Tuple
+
+import jax.numpy as jnp
+
+_DTYPES = {
+    "float32": jnp.float32,
+    "float64": jnp.float64,
+    "bfloat16": jnp.bfloat16,
+}
+
+
+@dataclass(frozen=True)
+class VJFConfig:
+    """Static model + training configuration (hashable: safe as a jit static)."""
+
+    # --- architecture (mirrors VJF.make_model, vjf/model.py:309-319) ---
+    ydim: int
+    xdim: int
+    udim: int = 0
+    n_rbf: int = 100
+    hidden_sizes: Tuple[int, ...] = (20,)
+    likelihood: str = "gaussian"          # 'gaussian' | 'poisson'
+    dynamics: str = "rbf"                 # 'rbf' | 'sgp'
+
+    # --- optimizer (vjf/model.py:52,69-78) ---
+    lr: float = 1e-4
+    lr_decay: float = 0.9                 # ExponentialLR gamma
+    clip: float = 1.0                     # grad value clip, vjf/model.py:210
+
+    # --- buried constants, made explicit ---
+    poisson_clamp: float = 10.0           # vjf/likelihood.py:60
+    obs_var_cap: int = 1000               # vjf/util.py:20 default
+    state_var_cap: int = 500              # vjf/model.py:375
+    centroid_init_range: float = 2.0      # U[-2, 2), vjf/module.py:20
+    init_obs_logvar: float = math.log(0.1)  # vjf/likelihood.py:16
+    rls_shrink: float = 1.0               # forgetting factor, vjf/model.py:371
+    leak: float = 0.0                     # vjf/model.py:334
+
+    # --- fit loop (vjf/model.py:223-224) ---
+    beta: float = 0.1                     # running-loss discount
+    rtol: float = 1e-4                    # plateau tolerance
+
+    # --- TPU-native knobs (no reference counterpart) ---
+    rls_backend: str = "auto"             # 'precision' | 'covariance' | 'auto'
+    trace_quirk: bool = True              # replicate vjf/functional.py:64-71
+    dtype: str = "float32"
+    chol_jitter: float = 0.0              # unconditional PSD jitter on RLS
+    # sgp dynamics (BASELINE config #3; API recovered from test_sgp.py)
+    n_inducing: int = 50
+    sgp_scale: float = 1.0
+    sgp_lengthscale: float = 1.0
+
+    @property
+    def jdtype(self):
+        return _DTYPES[self.dtype]
+
+    @property
+    def feature_dim(self) -> int:
+        return self.n_rbf if self.dynamics == "rbf" else self.n_inducing
+
+    @property
+    def xudim(self) -> int:
+        return self.xdim + self.udim
+
+    def replace(self, **kw) -> "VJFConfig":
+        return dataclasses.replace(self, **kw)
+
+
+@dataclass(frozen=True)
+class StepFlags:
+    """Static per-call flags of ``VJF.filter`` (``vjf/model.py:179-180``).
+
+    ``warm_up`` excludes the dynamics loss and skips the RLS update
+    (``vjf/model.py:148-149, 370-371``); ``train_decoder`` is the fit loop's
+    post-warm-up decoder freeze (``vjf/model.py:283``) — a separate flag
+    because a standalone ``filter`` call never freezes the decoder.
+    """
+
+    sgd: bool = True
+    update: bool = True
+    warm_up: bool = False
+    train_decoder: bool = True

@@ -1,0 +1,22 @@
+from . import decoder, dynamics, likelihoods, rbf, recognition, regression, vjf
+from .dynamics import DynamicsState
+from .vjf import Metrics, Params, TrainState, filter_step, fit, forecast, init_state, run_epoch
+
+__all__ = [
+    "decoder",
+    "dynamics",
+    "likelihoods",
+    "rbf",
+    "recognition",
+    "regression",
+    "vjf",
+    "DynamicsState",
+    "Metrics",
+    "Params",
+    "TrainState",
+    "filter_step",
+    "fit",
+    "forecast",
+    "init_state",
+    "run_epoch",
+]

@@ -1,0 +1,201 @@
+"""RBF dynamical system — the latent transition model.
+
+Functional counterpart of ``/root/reference/vjf/model.py:327-391`` (``RBFDS``):
+the velocity field ``f(x, u)`` is a Bayesian linear regression over RBF
+features, ``x[t] = (1 - leak) x[t-1] + f(x[t-1], u[t])``, with scalar state
+noise learned only by a running-variance rule (cap 500). The weight
+posterior updates by closed-form RLS each step — no gradients ever flow
+into this module (mirrored by keeping its state outside the differentiated
+parameter pytree entirely, the structural equivalent of
+``requires_grad=False`` + ``@torch.no_grad``).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+
+from ..config import VJFConfig
+from ..ops.functional import gaussian_loss, nonecat, running_var
+from ..types import Gaussian
+from . import regression
+from .rbf import RBFParams, apply_rbf, init_rbf, reinit_rbf
+
+
+class DynamicsState(NamedTuple):
+    rbf: RBFParams
+    blr: regression.BLRState
+    logvar: Array     # scalar state noise (vjf/model.py:331)
+    n_sample: Array   # running-var counter (vjf/model.py:332)
+
+
+def resolve_backend(cfg: VJFConfig, batch_hint: Optional[int] = None) -> str:
+    """'auto' picks precision form when the per-step batch is large relative
+    to the feature count (factorization size independent of B), covariance
+    form otherwise (only a B x B solve; B=1 needs no factorization at all).
+    """
+    if cfg.rls_backend != "auto":
+        return cfg.rls_backend
+    if batch_hint is None:
+        return "precision"
+    return "covariance" if batch_hint * 2 < cfg.feature_dim else "precision"
+
+
+def init_dynamics(
+    key: jax.Array, cfg: VJFConfig, backend: Optional[str] = None
+) -> DynamicsState:
+    backend = backend or resolve_backend(cfg)
+    dtype = cfg.jdtype
+    rbf = init_rbf(key, cfg.xudim, cfg.n_rbf, cfg.centroid_init_range, dtype=dtype)
+    if backend == "covariance":
+        blr = regression.init_covariance(cfg.n_rbf, cfg.xdim, dtype=dtype)
+    else:
+        blr = regression.init_precision(cfg.n_rbf, cfg.xdim, dtype=dtype)
+    return DynamicsState(
+        rbf=rbf,
+        blr=blr,
+        logvar=jnp.zeros((), dtype=dtype),
+        n_sample=jnp.zeros((), dtype=jnp.int32),
+    )
+
+
+def transition_gaussian(
+    state: DynamicsState, x: Array, u: Optional[Array] = None, leak: float = 0.0
+) -> Gaussian:
+    """Predictive ``p[t] = N((1-leak) x + F w, diag(F V F^T))`` —
+    ``vjf/model.py:334-340`` with ``sampling=False``."""
+    xu = nonecat(x, u)
+    feat = apply_rbf(state.rbf, xu)
+    dx = regression.predict_gaussian(state.blr, feat)
+    return Gaussian((1.0 - leak) * x + dx.mean, dx.logvar)
+
+
+def transition_sample(
+    state: DynamicsState,
+    x: Array,
+    eps_w: Array,
+    u: Optional[Array] = None,
+    leak: float = 0.0,
+    weight_sqrt: Optional[Array] = None,
+) -> Array:
+    """One sampled step ``(1-leak) x + F (w + S eps_w)`` —
+    ``vjf/model.py:334-340`` with ``sampling=True``. Pass ``weight_sqrt`` to
+    amortize the covariance square root across a rollout (V is constant
+    during forecasting, so it is computed once, not per step)."""
+    xu = nonecat(x, u)
+    feat = apply_rbf(state.rbf, xu)
+    s = weight_sqrt if weight_sqrt is not None else regression.weight_sqrt(state.blr)
+    w = state.blr.w_mean + s @ eps_w
+    return (1.0 - leak) * x + feat @ w
+
+
+def forecast(
+    state: DynamicsState,
+    x0: Array,
+    key: jax.Array,
+    n_step: int,
+    u: Optional[Array] = None,
+    noise: bool = False,
+    leak: float = 0.0,
+) -> Array:
+    """Autoregressive rollout with a fresh weight sample each step and
+    optional additive state noise — ``vjf/model.py:342-361``.
+
+    :param x0: (B, xdim) initial state
+    :param u: optional (n_step, B, udim) controls
+    :return: (n_step + 1, B, xdim) trajectory including x0
+    """
+    x0 = jnp.atleast_2d(x0)
+    sqrt_v = jnp.exp(0.5 * state.logvar)
+    w_sqrt = regression.weight_sqrt(state.blr)
+    nf, nout = state.blr.w_mean.shape
+
+    keys = jax.random.split(key, n_step)
+    us = u if u is not None else jnp.zeros((n_step, 0))
+
+    def body(x, inp):
+        k, ut = inp
+        kw, kn = jax.random.split(k)
+        eps_w = jax.random.normal(kw, (nf, nout), dtype=x.dtype)
+        ut = ut if ut.shape[-1] > 0 else None
+        x_next = transition_sample(state, x, eps_w, ut, leak, weight_sqrt=w_sqrt)
+        if noise:
+            x_next = x_next + jax.random.normal(kn, x_next.shape, x.dtype) * sqrt_v
+        return x_next, x_next
+
+    _, xs = jax.lax.scan(body, x0, (keys, us))
+    return jnp.concatenate([x0[None], xs], axis=0)
+
+
+def dynamics_update(
+    cfg: VJFConfig,
+    state: DynamicsState,
+    xt: Array,
+    xs: Array,
+    u: Optional[Array] = None,
+    warm_up: bool = False,
+) -> DynamicsState:
+    """Closed-form learning step — ``vjf/model.py:363-377``.
+
+    RLS on ``dx = x[t] - x[s]`` (skipped during warm-up), then the state
+    noise is refreshed by a running variance of the post-update residual
+    MSE (cap 500). Mirrors the reference's ordering: residual uses the *new*
+    weights when RLS ran.
+    """
+    xs = jnp.atleast_2d(xs)
+    xt = jnp.atleast_2d(xt)
+    xu = nonecat(xs, u)
+    dx = xt - xs
+    feat = apply_rbf(state.rbf, xu)
+
+    blr = state.blr
+    if not warm_up:
+        blr = regression.rls(
+            blr, feat, dx, jnp.exp(state.logvar), shrink=cfg.rls_shrink, jitter=cfg.chol_jitter
+        )
+
+    residual = dx - regression.predict_gaussian(blr, feat).mean
+    mse = jnp.mean(jnp.square(residual))
+    var, n_new = running_var(
+        jnp.exp(state.logvar), state.n_sample, mse, xs.shape[0], size_cap=cfg.state_var_cap
+    )
+    return DynamicsState(state.rbf, blr, jnp.log(var), n_new.astype(jnp.int32))
+
+
+def dynamics_initialize(
+    cfg: VJFConfig,
+    key: jax.Array,
+    state: DynamicsState,
+    xt: Array,
+    xs: Array,
+    u: Optional[Array] = None,
+) -> DynamicsState:
+    """Post-warm-up bootstrap from the pooled posterior means —
+    ``vjf/model.py:379-388`` + ``vjf/module.py:144-150``: re-init centroids
+    to U[-r, r] with ``r = max ||xu||``, widths to ``log r``, run one RLS
+    pass on ``dx`` with the naive-MSE noise, then set the state noise to the
+    post-fit residual MSE.
+    """
+    xs = jnp.atleast_2d(xs)
+    xt = jnp.atleast_2d(xt)
+    xu = nonecat(xs, u)
+    dx = xt - xs
+    mse0 = jnp.mean(jnp.square(dx))
+
+    rbf = reinit_rbf(key, state.rbf, xu)
+    feat = apply_rbf(rbf, xu)
+    blr = regression.rls(
+        state.blr, feat, dx, mse0, shrink=cfg.rls_shrink, jitter=cfg.chol_jitter
+    )
+    residual = dx - regression.predict_gaussian(blr, feat).mean
+    mse = jnp.mean(jnp.square(residual))
+    return DynamicsState(rbf, blr, jnp.log(mse), state.n_sample)
+
+
+def dynamics_loss(
+    state: DynamicsState, pt: Gaussian, qt: Gaussian, trace_quirk: bool = True
+) -> Array:
+    """``gaussian_loss(pt, qt, state_logvar)`` — ``vjf/model.py:390-391``."""
+    return gaussian_loss(pt, qt, state.logvar, trace_quirk=trace_quirk)

@@ -1,0 +1,72 @@
+"""GLM observation likelihoods.
+
+Functional counterparts of ``/root/reference/vjf/likelihood.py``:
+
+* Gaussian — scalar learnable log-variance (init log 0.1), whose value is
+  driven by *both* the SGD step and a running-variance overwrite each step
+  (``likelihood.py:28-40``) — the overwrite happens after the SGD step and
+  wins, which we replicate exactly.
+* Poisson — canonical log-link with the rate clamp ``eta <= 10``
+  (``likelihood.py:60``); its non-gradient update is a no-op.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax.numpy as jnp
+from jax import Array
+
+from ..ops.functional import gaussian_loss, running_var
+
+
+class GaussianLikParams(NamedTuple):
+    logvar: Array   # scalar, SGD-trained AND running-var overwritten
+
+
+class PoissonLikParams(NamedTuple):
+    """No parameters — kept as an (empty-leaf) pytree for uniform structure."""
+
+    empty: None = None
+
+
+def init_gaussian_lik(init_logvar: float, dtype=jnp.float32) -> GaussianLikParams:
+    return GaussianLikParams(logvar=jnp.asarray(init_logvar, dtype=dtype))
+
+
+def init_poisson_lik(dtype=jnp.float32) -> PoissonLikParams:
+    del dtype
+    return PoissonLikParams()
+
+
+def gaussian_nll(params: GaussianLikParams, eta: Array, target: Array) -> Array:
+    """``gaussian_loss(target, eta, logvar)`` — ``likelihood.py:19-26``."""
+    return gaussian_loss(target, eta, params.logvar)
+
+
+def poisson_nll(eta: Array, target: Array, clamp: float = 10.0) -> Array:
+    """Canonical-link Poisson NLL, rate clamp at ``clamp``; sum over
+    channels, mean over batch — ``likelihood.py:51-62`` (torch
+    ``poisson_nll_loss(log_input=True, full=False)`` semantics:
+    ``exp(eta) - target * eta``).
+    """
+    eta = jnp.minimum(eta, clamp)
+    nll = jnp.exp(eta) - target * eta
+    return jnp.mean(jnp.sum(nll, axis=-1))
+
+
+def gaussian_lik_update(
+    params: GaussianLikParams,
+    n_sample: Array,
+    eta: Array,
+    target: Array,
+    size_cap: int = 1000,
+) -> Tuple[GaussianLikParams, Array]:
+    """Running-variance overwrite of the observation noise —
+    ``likelihood.py:28-40``. ``new_size`` is the batch size (rows), the mse
+    averages over batch *and* channels, matching the reference.
+    """
+    mse = jnp.mean(jnp.square(target - eta))
+    var, n_new = running_var(
+        jnp.exp(params.logvar), n_sample, mse, eta.shape[0], size_cap=size_cap
+    )
+    return GaussianLikParams(logvar=jnp.log(var)), n_new

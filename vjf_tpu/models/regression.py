@@ -1,0 +1,198 @@
+"""Bayesian linear regression — the closed-form dynamics learner.
+
+Functional re-design of ``/root/reference/vjf/module.py:37-150``
+(``LinearRegression``): the posterior over the weight matrix of a linear
+map from features to velocity is updated *without gradients*, by recursive
+least squares (RLS) or a weight-space Kalman step, once per timestep. This
+dual gradient/closed-form structure is the defining feature of VJF.
+
+Two algebraically-equivalent backends, chosen for TPU shape economics:
+
+* **precision** — carries ``(w_mean, P, chol(P))`` like the reference
+  (``vjf/module.py:52-54``). The update is one rank-B matmul on the MXU and
+  one ``n_feat x n_feat`` Cholesky per step. Best when the per-step batch B
+  is large (many trials share one dynamics model): the factorization size
+  is independent of B.
+* **covariance** — carries ``(w_mean, V = P^{-1})`` and updates by the
+  Woodbury/Joseph form. The only factorization is ``B x B``; with B = 1
+  (true streaming) it degenerates to pure vector ops — no Cholesky at all,
+  the ideal TPU inner loop.
+
+Both reproduce the reference's posterior exactly in exact arithmetic; the
+precision backend is bit-closest to the reference for golden-parity runs.
+
+The reference's Cholesky-failure fallback (``vjf/module.py:104-112``) calls
+the long-removed ``torch.eig`` and crashes if ever hit; here the repair is
+the branchless eigenvalue-clamp inside :func:`~vjf_tpu.ops.linalg.safe_cholesky`.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple, Union
+
+import jax.numpy as jnp
+from jax import Array
+
+from ..ops.kalman import joseph_update as _joseph_update
+from ..ops.kalman import predict as _kalman_predict
+from ..ops.linalg import cho_solve, inv_tril_transpose, safe_cholesky, tril_solve
+from ..types import Gaussian
+
+
+class PrecisionBLR(NamedTuple):
+    """Posterior ``w ~ N(w_mean, P^{-1})`` carried in precision form."""
+
+    w_mean: Array      # (n_feature, n_out)
+    precision: Array   # (n_feature, n_feature)
+    prec_chol: Array   # lower Cholesky of precision (cached, reused by predict)
+
+
+class CovarianceBLR(NamedTuple):
+    """Posterior ``w ~ N(w_mean, V)`` carried in covariance form."""
+
+    w_mean: Array      # (n_feature, n_out)
+    cov: Array         # (n_feature, n_feature)
+
+
+BLRState = Union[PrecisionBLR, CovarianceBLR]
+
+
+def init_precision(n_feature: int, n_out: int, dtype=jnp.float32) -> PrecisionBLR:
+    """Zero mean, identity precision — ``vjf/module.py:46-54``."""
+    eye = jnp.eye(n_feature, dtype=dtype)
+    return PrecisionBLR(
+        w_mean=jnp.zeros((n_feature, n_out), dtype=dtype),
+        precision=eye,
+        prec_chol=eye,
+    )
+
+
+def init_covariance(n_feature: int, n_out: int, dtype=jnp.float32) -> CovarianceBLR:
+    return CovarianceBLR(
+        w_mean=jnp.zeros((n_feature, n_out), dtype=dtype),
+        cov=jnp.eye(n_feature, dtype=dtype),
+    )
+
+
+def weight_sqrt(state: BLRState) -> Array:
+    """A square root S of the weight covariance (``S S^T = V``).
+
+    Precision backend returns ``inv(L_P)^T`` — the exact matrix the
+    reference samples with (``vjf/module.py:71,101``); covariance backend
+    returns ``chol(V)``. Either gives the correct sampling distribution
+    ``w + S @ eps``.
+    """
+    if isinstance(state, PrecisionBLR):
+        return inv_tril_transpose(state.prec_chol)
+    return safe_cholesky(state.cov)
+
+
+def predict_gaussian(state: BLRState, feat: Array) -> Gaussian:
+    """Predictive distribution given features — ``vjf/module.py:75-77``.
+
+    Mean ``F w``; per-sample log-variance ``log diag(F V F^T)`` shared
+    (tiled) across output dims, exactly like the reference's
+    ``FL.mm(FL.t()).diagonal().log().tile(...)``.
+    """
+    mean = feat @ state.w_mean
+    if isinstance(state, PrecisionBLR):
+        z = tril_solve(state.prec_chol, feat.T)        # L^{-1} F^T
+        fvf = jnp.sum(z * z, axis=0)                   # diag(F P^{-1} F^T)
+    else:
+        fvf = jnp.sum((feat @ state.cov) * feat, axis=-1)
+    logvar = jnp.broadcast_to(jnp.log(fvf)[..., None], mean.shape)
+    return Gaussian(mean, logvar)
+
+
+def predict_sample(state: BLRState, feat: Array, eps: Array) -> Array:
+    """Draw ``w + S eps`` and apply — ``vjf/module.py:70-73`` with injected
+    standard-normal ``eps`` of shape (n_feature, n_out)."""
+    w = state.w_mean + weight_sqrt(state) @ eps
+    return feat @ w
+
+
+def rls(
+    state: BLRState,
+    feat: Array,
+    target: Array,
+    v: Array,
+    shrink: float = 1.0,
+    jitter: float = 0.0,
+) -> BLRState:
+    """One recursive-least-squares update on ``target ~ F w + N(0, v)``.
+
+    Precision path mirrors ``vjf/module.py:79-103``: noise-scaled features,
+    precision-recursive with forgetting factor ``shrink``; covariance path
+    is the equivalent Woodbury/Joseph update (only a B x B factorization).
+
+    :param feat: (B, n_feature)
+    :param target: (B, n_out)
+    :param v: scalar observation-noise variance
+    """
+    if isinstance(state, PrecisionBLR):
+        s = jnp.sqrt(v)
+        sf = feat / s
+        st = target / s
+        g = state.precision @ state.w_mean * shrink + sf.T @ st
+        p_new = state.precision * shrink + sf.T @ sf
+        if jitter:
+            p_new = p_new + jitter * jnp.eye(p_new.shape[0], dtype=p_new.dtype)
+        chol = safe_cholesky(p_new)
+        w_new = cho_solve(chol, g)
+        return PrecisionBLR(w_new, p_new, chol)
+
+    v1 = state.cov / shrink
+    b = feat.shape[0]
+    s_mat = v * jnp.eye(b, dtype=feat.dtype) + feat @ v1 @ feat.T
+    ls = safe_cholesky(s_mat)
+    k = cho_solve(ls, feat @ v1).T                    # gain, (n_feature, B)
+    w_new = state.w_mean + k @ (target - feat @ state.w_mean)
+    i_kf = jnp.eye(v1.shape[0], dtype=v1.dtype) - k @ feat
+    cov_new = i_kf @ v1 @ i_kf.T + v * (k @ k.T)      # Joseph form
+    return CovarianceBLR(w_new, cov_new)
+
+
+def kalman(
+    state: BLRState,
+    feat: Array,
+    target: Array,
+    v: Array,
+    diffusion: float = 0.0,
+) -> BLRState:
+    """Weight-diffusion Kalman update ``w[t] = w[t-1] + N(0, diffusion I)``,
+    ``target = F w[t] + N(0, v)`` — mirrors ``vjf/module.py:114-142`` via the
+    Cholesky-form predict + Joseph update toolkit.
+
+    State lives in weight space: "x" is the (n_feature, n_out) weight matrix
+    with output dims playing the batch role, H is the feature matrix.
+    """
+    if isinstance(state, PrecisionBLR):
+        # Convert to covariance form, update, convert back.
+        cov_state = CovarianceBLR(
+            state.w_mean, inv_tril_transpose(state.prec_chol) @ inv_tril_transpose(state.prec_chol).T
+        )
+        new = kalman(cov_state, feat, target, v, diffusion)
+        prec = jnp.linalg.inv(new.cov)
+        chol = safe_cholesky(prec)
+        return PrecisionBLR(new.w_mean, prec, chol)
+
+    nf = state.cov.shape[0]
+    b = feat.shape[0]
+    eye = jnp.eye(nf, dtype=feat.dtype)
+    q = diffusion * eye
+    r = v * jnp.eye(b, dtype=feat.dtype)
+    chol_v = safe_cholesky(state.cov)
+    yhat, what, chol_vhat = _kalman_predict(state.w_mean, chol_v, eye, q, feat)
+    w_new, chol_new = _joseph_update(target, yhat, what, chol_vhat, feat, r)
+    return CovarianceBLR(w_new, chol_new @ chol_new.T)
+
+
+def batch_lstsq_posterior(
+    feat: Array, target: Array, v: Array, dtype=None
+) -> Tuple[Array, Array]:
+    """Closed-form batch posterior ``(w, P)`` from an identity prior — the
+    ground truth that one RLS pass from init must reproduce (property-tested).
+    """
+    dtype = dtype or feat.dtype
+    p = jnp.eye(feat.shape[1], dtype=dtype) + feat.T @ feat / v
+    w = jnp.linalg.solve(p, feat.T @ target / v)
+    return w, p

@@ -1,0 +1,444 @@
+"""VJF orchestrator: the fused filter-then-learn step, scan, and fit loop.
+
+TPU-native re-design of ``/root/reference/vjf/model.py:50-324`` (``VJF``).
+The reference runs a Python loop that, per timestep, builds an autograd
+graph, steps SGD, and does a closed-form RLS update (~400 steps/s on CPU).
+Here the *entire* step — recognition forward, ELBO, backward, clipped SGD,
+RLS, running-variance noise updates — is one pure function
+:func:`filter_step` of an explicit :class:`TrainState` pytree, and a whole
+epoch is a single ``lax.scan`` over time with donated carry. Trials ride the
+batch axis and shard across a device mesh (see ``vjf_tpu.parallel``).
+
+Data-dependent control flow (warm-up plateau exit, convergence, decoder
+freeze — ``vjf/model.py:278-295``) lives in the host-side :func:`fit` loop
+at epoch granularity, outside jit, exactly where the reference's own
+epoch-boundary logic sits.
+"""
+from __future__ import annotations
+
+import logging
+from dataclasses import dataclass
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+
+from ..config import StepFlags, VJFConfig
+from ..ops.functional import finite_or_zero, gaussian_entropy, reparametrize
+from ..types import Gaussian
+from . import dynamics as dyn
+from .decoder import decode, init_decoder
+from .likelihoods import (
+    GaussianLikParams,
+    PoissonLikParams,
+    gaussian_lik_update,
+    gaussian_nll,
+    init_gaussian_lik,
+    init_poisson_lik,
+    poisson_nll,
+)
+from .recognition import LinearParams, RecognitionParams, apply_recognition, init_recognition
+
+logger = logging.getLogger(__name__)
+
+
+class PriorParams(NamedTuple):
+    """Learnable-in-name-only initial-state prior: the reference registers
+    these as Parameters but excludes them from every optimizer group
+    (``vjf/model.py:66-77``), so they stay at zero. Kept for API parity."""
+
+    mean: Array     # (xdim,)
+    logvar: Array   # (xdim,)
+
+
+class Params(NamedTuple):
+    """The gradient-trained parameter pytree (SGD + value clip 1.0)."""
+
+    recognition: RecognitionParams
+    decoder: LinearParams
+    likelihood: object            # GaussianLikParams | PoissonLikParams
+    prior: PriorParams
+
+
+class TrainState(NamedTuple):
+    """Everything that evolves during training, in one checkpointable pytree.
+
+    The reference scatters this across Parameters, plain attributes
+    (invisible to ``state_dict()`` — ``vjf/module.py:46-54``), and Python
+    ints; here it is a single pytree so checkpoint/resume is exact.
+    """
+
+    params: Params
+    dynamics: dyn.DynamicsState
+    lik_n_sample: Array           # int32 counter, vjf/likelihood.py:17
+
+
+class Metrics(NamedTuple):
+    """Per-step ELBO components (sign conventions of ``vjf/model.py:151``:
+    recon/dynamics/entropy are the *ELBO* terms, loss the negative ELBO)."""
+
+    loss: Array
+    recon: Array
+    dynamics: Array
+    entropy: Array
+
+
+def init_state(
+    key: jax.Array, cfg: VJFConfig, backend: Optional[str] = None
+) -> TrainState:
+    """Build a fresh model — the functional ``VJF.make_model``
+    (``vjf/model.py:309-319``)."""
+    k_rec, k_dec, k_dyn = jax.random.split(key, 3)
+    dtype = cfg.jdtype
+    if cfg.likelihood == "gaussian":
+        lik = init_gaussian_lik(cfg.init_obs_logvar, dtype=dtype)
+    elif cfg.likelihood == "poisson":
+        lik = init_poisson_lik(dtype=dtype)
+    else:
+        raise ValueError(f"unknown likelihood: {cfg.likelihood}")
+    params = Params(
+        recognition=init_recognition(
+            k_rec, cfg.ydim, cfg.xdim, cfg.udim, cfg.hidden_sizes, dtype=dtype
+        ),
+        decoder=init_decoder(k_dec, cfg.xdim, cfg.ydim, dtype=dtype),
+        likelihood=lik,
+        prior=PriorParams(
+            mean=jnp.zeros((cfg.xdim,), dtype=dtype),
+            logvar=jnp.zeros((cfg.xdim,), dtype=dtype),
+        ),
+    )
+    if cfg.dynamics == "sgp":
+        from ..gp.sgp import init_sgp_dynamics
+
+        dynamics = init_sgp_dynamics(k_dyn, cfg, backend=backend)
+    else:
+        dynamics = dyn.init_dynamics(k_dyn, cfg, backend=backend)
+    return TrainState(params=params, dynamics=dynamics, lik_n_sample=jnp.zeros((), jnp.int32))
+
+
+def prior(params: Params, n_batch: int) -> Gaussian:
+    """Broadcast the prior over the batch — ``vjf/model.py:80-95``."""
+    return Gaussian(
+        jnp.broadcast_to(params.prior.mean, (n_batch, params.prior.mean.shape[-1])),
+        jnp.broadcast_to(params.prior.logvar, (n_batch, params.prior.logvar.shape[-1])),
+    )
+
+
+def _likelihood_loss(cfg: VJFConfig, lik_params, py: Array, y: Array) -> Array:
+    if cfg.likelihood == "gaussian":
+        return gaussian_nll(lik_params, py, y)
+    return poisson_nll(py, y, clamp=cfg.poisson_clamp)
+
+
+def _transition(cfg: VJFConfig):
+    if cfg.dynamics == "sgp":
+        from ..gp import sgp as mod
+    else:
+        mod = dyn
+    return mod
+
+
+def elbo_terms(
+    cfg: VJFConfig,
+    params: Params,
+    dynamics,
+    qs: Gaussian,
+    y: Array,
+    u: Optional[Array],
+    eps_s: Array,
+    eps_t: Array,
+) -> Tuple[Tuple[Array, Array, Array], Tuple[Gaussian, Array, Array, Array]]:
+    """Forward pass + the three ELBO components — ``vjf/model.py:97-154``.
+
+    Sampling noise is injected (``eps_s`` for x[t-1] ~ q[t-1], ``eps_t`` for
+    x[t] ~ q[t]) so parity harnesses can drive both frameworks with shared
+    randomness.
+    """
+    tr = _transition(cfg)
+    xs = reparametrize(qs, eps_s)                        # vjf/model.py:112
+    pt = tr.transition_gaussian(dynamics, xs, u, cfg.leak)  # predictive, no sampling
+    qt = apply_recognition(params.recognition, y, qs, u)  # vjf/model.py:116
+    xt = reparametrize(qt, eps_t)                        # vjf/model.py:119
+    py = decode(params.decoder, xt)                      # sample decode, model.py:120
+
+    l_recon = finite_or_zero(_likelihood_loss(cfg, params.likelihood, py, y))
+    l_dyn = finite_or_zero(
+        tr.dynamics_loss(dynamics, pt, qt, trace_quirk=cfg.trace_quirk)
+    )
+    h = finite_or_zero(gaussian_entropy(qt))
+    return (l_recon, l_dyn, h), (qt, xt, xs, py)
+
+
+def filter_step(
+    cfg: VJFConfig,
+    flags: StepFlags,
+    state: TrainState,
+    qs: Gaussian,
+    y: Array,
+    u: Optional[Array],
+    eps_s: Array,
+    eps_t: Array,
+    lr: Array,
+) -> Tuple[TrainState, Gaussian, Metrics]:
+    """One fused filter-then-learn step — the body of ``VJF.filter``
+    (``vjf/model.py:179-221``), compiled as a single XLA computation.
+
+    Order mirrors the reference exactly: forward → loss → clipped SGD step
+    → non-gradient updates (obs-noise running variance with the *post-SGD*
+    log-variance, then RLS + state-noise running variance).
+    """
+    qs = jax.lax.stop_gradient(Gaussian(*qs))            # detach, vjf/model.py:45-47,110
+    y = jnp.atleast_2d(y)
+
+    def loss_fn(params: Params):
+        (l_recon, l_dyn, h), aux = elbo_terms(
+            cfg, params, state.dynamics, qs, y, u, eps_s, eps_t
+        )
+        loss = l_recon - h
+        if not flags.warm_up:                            # vjf/model.py:147-149
+            loss = loss + l_dyn
+        return loss, (aux, Metrics(loss, -l_recon, -l_dyn, h))
+
+    if flags.sgd:
+        (loss, ((qt, xt, xs, py), metrics)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        # clip_grad_value_(1.0) — vjf/model.py:210
+        grads = jax.tree.map(lambda g: jnp.clip(g, -cfg.clip, cfg.clip), grads)
+        # The reference catches a RuntimeError from backward and skips the
+        # step (vjf/model.py:212-214); branchless equivalent: skip when any
+        # gradient is non-finite.
+        ok = jax.tree_util.tree_reduce(
+            lambda a, g: jnp.logical_and(a, jnp.all(jnp.isfinite(g))),
+            grads,
+            jnp.asarray(True),
+        )
+
+        def sgd(p, g):
+            return jax.tree.map(lambda pi, gi: pi - jnp.where(ok, lr, 0.0) * gi, p, g)
+
+        params = state.params
+        new_params = Params(
+            recognition=sgd(params.recognition, grads.recognition),
+            decoder=sgd(params.decoder, grads.decoder)
+            if flags.train_decoder
+            else params.decoder,
+            likelihood=sgd(params.likelihood, grads.likelihood),
+            prior=params.prior,                          # never in the optimizer
+        )
+    else:
+        loss, ((qt, xt, xs, py), metrics) = loss_fn(state.params)
+        new_params = state.params
+
+    dynamics = state.dynamics
+    lik_n = state.lik_n_sample
+    if flags.update:                                     # vjf/model.py:156-177
+        if cfg.likelihood == "gaussian":
+            new_lik, lik_n = gaussian_lik_update(
+                new_params.likelihood, lik_n, py, y, size_cap=cfg.obs_var_cap
+            )
+            new_params = new_params._replace(likelihood=new_lik)
+        dynamics = _transition(cfg).dynamics_update(
+            cfg, dynamics, xt, xs, u, warm_up=flags.warm_up
+        )
+
+    new_state = TrainState(params=new_params, dynamics=dynamics, lik_n_sample=lik_n)
+    return new_state, qt, metrics
+
+
+class EpochResult(NamedTuple):
+    state: TrainState
+    q_means: Array    # (T, B, xdim)
+    q_logvars: Array  # (T, B, xdim)
+    metrics: Metrics  # per-step arrays, each (T,)
+
+
+def run_epoch(
+    cfg: VJFConfig,
+    flags: StepFlags,
+    state: TrainState,
+    ys: Array,
+    us: Array,
+    key: jax.Array,
+    lr: Array,
+    noise: Optional[Tuple[Array, Array]] = None,
+) -> EpochResult:
+    """One full pass over time as a single ``lax.scan`` — replaces the hot
+    Python loop at ``vjf/model.py:252-258``.
+
+    :param ys: (T, B, ydim)
+    :param us: (T, B, udim); pass udim=0 for autonomous systems
+    :param noise: optional pre-generated (eps_s, eps_t), each (T, B, xdim),
+        for golden-parity runs with injected randomness
+    """
+    t_len, n_batch, _ = ys.shape
+    xdim = cfg.xdim
+    q0 = prior(state.params, n_batch)
+
+    if noise is None:
+        keys = jax.random.split(key, t_len)
+
+        def draw(k, dtype):
+            e = jax.random.normal(k, (2, n_batch, xdim), dtype)
+            return e[0], e[1]
+
+    else:
+        keys = jnp.zeros((t_len, 2), dtype=jnp.uint32)
+
+    def body(carry, inp):
+        st, q = carry
+        if noise is None:
+            y, u, k = inp
+            eps_s, eps_t = draw(k, ys.dtype)
+        else:
+            y, u, eps_s, eps_t = inp
+        st, q, metrics = filter_step(cfg, flags, st, q, y, u, eps_s, eps_t, lr)
+        return (st, q), (q, metrics)
+
+    xs = (ys, us, keys) if noise is None else (ys, us, noise[0], noise[1])
+    (state, _), (q_seq, metrics) = jax.lax.scan(body, (state, q0), xs)
+    return EpochResult(state, q_seq.mean, q_seq.logvar, metrics)
+
+
+# ---------------------------------------------------------------------------
+# Host-side fit loop (epoch-granular control flow lives outside jit)
+# ---------------------------------------------------------------------------
+
+
+def _isclose(a: float, b: float, rtol: float, atol: float = 1e-8) -> bool:
+    """torch.isclose semantics (``vjf/model.py:279,293``)."""
+    import math
+
+    if math.isnan(a) or math.isnan(b):
+        return False
+    return abs(a - b) <= atol + rtol * abs(b)
+
+
+@dataclass
+class FitResult:
+    mu: Array         # (T, B, xdim) posterior means, final epoch
+    logvar: Array     # (T, B, xdim)
+    loss: float       # final epoch mean loss
+    state: TrainState
+
+
+def _promote_y(y: Array) -> Array:
+    """(T, ydim) → (T, 1, ydim); (T, B, ydim) unchanged — the reference's
+    ``atleast_2d`` + per-step promotion (``vjf/model.py:194-198, 236-237``)."""
+    y = jnp.asarray(y)
+    if y.ndim == 2:
+        y = y[:, None, :]
+    return y
+
+
+def _promote_u(u: Optional[Array], t_len: int, n_batch: int, dtype) -> Array:
+    if u is None:
+        return jnp.zeros((t_len, n_batch, 0), dtype=dtype)
+    u = jnp.asarray(u, dtype=dtype)
+    if u.ndim == 2:
+        u = u[:, None, :]
+    if u.shape[1] != n_batch:
+        u = jnp.broadcast_to(u, (t_len, n_batch, u.shape[-1]))
+    return u
+
+
+def fit(
+    cfg: VJFConfig,
+    state: TrainState,
+    y: Array,
+    u: Optional[Array] = None,
+    *,
+    key: jax.Array,
+    max_iter: int = 200,
+    beta: Optional[float] = None,
+    rtol: Optional[float] = None,
+    callback=None,
+    donate: bool = True,
+) -> FitResult:
+    """Epoch training loop with warm-up — ``VJF.fit`` (``vjf/model.py:223-307``).
+
+    Two-phase semantics preserved exactly: during warm-up the dynamics term
+    is excluded from the loss, RLS is skipped, and the decoder trains; when
+    the epoch loss plateaus (torch.isclose, rtol), the decoder is frozen
+    forever and the dynamics model is bootstrap-initialized from the pooled
+    posterior means of that epoch. A second plateau ends training.
+    """
+    beta = cfg.beta if beta is None else beta
+    rtol = cfg.rtol if rtol is None else rtol
+
+    y = _promote_y(jnp.asarray(y, dtype=cfg.jdtype))
+    t_len, n_batch, _ = y.shape
+    us = _promote_u(u, t_len, n_batch, cfg.jdtype)
+
+    epoch_fn = jax.jit(
+        run_epoch,
+        static_argnames=("cfg", "flags"),
+        donate_argnames=("state",) if donate else (),
+    )
+    init_fn = jax.jit(
+        _transition(cfg).dynamics_initialize, static_argnames=("cfg",)
+    )
+
+    warm_up = True
+    lr = cfg.lr
+    running_loss = float("nan")
+    epoch_loss = float("nan")
+    result: Optional[EpochResult] = None
+
+    for epoch in range(max_iter):
+        key, k_epoch = jax.random.split(key)
+        flags = StepFlags(sgd=True, update=True, warm_up=warm_up, train_decoder=warm_up)
+        result = epoch_fn(cfg, flags, state, y, us, k_epoch, jnp.asarray(lr, cfg.jdtype))
+        state = result.state
+        epoch_loss = float(jnp.mean(result.metrics.loss))
+
+        if callback is not None:
+            callback(epoch, epoch_loss, result)
+
+        if warm_up:
+            if _isclose(epoch_loss, running_loss, rtol):
+                warm_up = False
+                running_loss = epoch_loss
+                logger.info("Warm up stopped at epoch %d.", epoch)
+                m = result.q_means                         # (T, B, xdim)
+                xt = m[1:].reshape(-1, cfg.xdim)
+                xs = m[:-1].reshape(-1, cfg.xdim)
+                u_init = (
+                    us[1:].reshape(-1, cfg.udim) if cfg.udim > 0 else None
+                )
+                key, k_init = jax.random.split(key)
+                state = state._replace(
+                    dynamics=init_fn(cfg, k_init, state.dynamics, xt, xs, u_init)
+                )
+        else:
+            if _isclose(epoch_loss, running_loss, rtol):
+                logger.info("Converged at epoch %d.", epoch)
+                break
+
+        running_loss = (
+            beta * running_loss + (1 - beta) * epoch_loss if epoch > 0 else epoch_loss
+        )
+        lr *= cfg.lr_decay                                  # ExponentialLR, model.py:78
+
+    assert result is not None
+    return FitResult(
+        mu=result.q_means, logvar=result.q_logvars, loss=epoch_loss, state=state
+    )
+
+
+def forecast(
+    cfg: VJFConfig,
+    state: TrainState,
+    x0: Array,
+    key: jax.Array,
+    n_step: int = 1,
+    u: Optional[Array] = None,
+    noise: bool = False,
+) -> Tuple[Array, Array]:
+    """Rollout latents and decode — ``VJF.forecast`` (``vjf/model.py:321-324``)."""
+    x = _transition(cfg).forecast(
+        state.dynamics, x0, key, n_step, u=u, noise=noise, leak=cfg.leak
+    )
+    y = decode(state.params.decoder, x)
+    return x, y

@@ -1,0 +1,163 @@
+"""Math kernel: RBF features, Gaussian losses, reparametrization.
+
+TPU-native re-design of the reference's functional layer
+(``/root/reference/vjf/functional.py``, ``vjf/util.py``). Everything here is
+a pure function of arrays — no modules, no hidden state — so the whole
+filter step fuses into a single XLA computation.
+
+Key TPU choices:
+  * squared distances for the RBF kernel come from the matmul expansion
+    ``|x|^2 + |c|^2 - 2 x c^T`` so the hot op rides the MXU instead of a
+    gather/scalar-loop cdist;
+  * losses are branchless — Gaussian-vs-point arguments are separate
+    functions rather than isinstance dispatch, and non-finite guards are
+    ``jnp.where`` (data-dependent exceptions don't exist under jit).
+"""
+from __future__ import annotations
+
+from typing import Optional, Union
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+
+from ..types import Gaussian
+
+
+def rbf(x: Array, centroid: Array, width: Array) -> Array:
+    """Gaussian radial basis features, broadcast over (batch, basis).
+
+    ``exp(-0.5 * (||x - c|| / w)^2)`` — behavior of ``vjf/functional.py:11-22``.
+
+    The reference routes through ``torch.cdist``; on TPU we expand the
+    squared distance with one matmul (MXU) and clamp tiny negatives from
+    cancellation.
+
+    :param x: (..., batch, dim) inputs
+    :param centroid: (basis, dim)
+    :param width: (basis,) length scales
+    :return: (..., batch, basis)
+    """
+    x2 = jnp.sum(x * x, axis=-1, keepdims=True)           # (..., B, 1)
+    c2 = jnp.sum(centroid * centroid, axis=-1)             # (basis,)
+    xc = x @ centroid.T                                    # (..., B, basis) — MXU
+    d2 = jnp.maximum(x2 + c2 - 2.0 * xc, 0.0)
+    return jnp.exp(-0.5 * d2 / (width * width))
+
+
+def gaussian_entropy(q: Gaussian) -> Array:
+    """Differential entropy of a diagonal Gaussian, constants dropped.
+
+    ``0.5 * sum_dim logvar``, averaged over batch — ``vjf/functional.py:25-29``.
+    """
+    logvar = jnp.atleast_2d(q.logvar)
+    return 0.5 * jnp.mean(jnp.sum(logvar, axis=-1))
+
+
+def gaussian_loss(
+    a: Union[Array, Gaussian],
+    b: Union[Array, Gaussian],
+    logvar: Array,
+    *,
+    trace_quirk: bool = True,
+) -> Array:
+    """Expected negative Gaussian log-likelihood (constants dropped).
+
+    ``E[0.5 * (||a - b||^2 / sigma^2 + logvar)]`` summed over the last axis,
+    averaged over batch — behavior of ``vjf/functional.py:32-75``. Either
+    argument may be a Gaussian, adding a trace correction term.
+
+    The reference's both-Gaussian branch computes the trace term as
+    ``exp(logv1 + logv2 - logvar)`` — multiplying the variances where the
+    correct expectation adds them (``vjf/functional.py:64-71``). We replicate
+    that with ``trace_quirk=True`` (default, needed for parity) and offer the
+    corrected ``exp(logv1-logvar) + exp(logv2-logvar)`` when False.
+    """
+    m1, logv1 = (a.mean, a.logvar) if isinstance(a, Gaussian) else (a, None)
+    m2, logv2 = (b.mean, b.logvar) if isinstance(b, Gaussian) else (b, None)
+    m1 = jnp.atleast_2d(m1)
+    m2 = jnp.atleast_2d(m2)
+
+    p = jnp.exp(-0.5 * logvar)
+    mse = jnp.square(m1 * p - m2 * p)
+    nll = 0.5 * (mse + logvar)
+
+    if logv1 is None and logv2 is None:
+        trace = 0.0
+    elif logv2 is None:
+        trace = jnp.exp(jnp.atleast_2d(logv1) - logvar)
+    elif logv1 is None:
+        trace = jnp.exp(jnp.atleast_2d(logv2) - logvar)
+    else:
+        lv1 = jnp.atleast_2d(logv1)
+        lv2 = jnp.atleast_2d(logv2)
+        if trace_quirk:
+            trace = jnp.exp(lv1 + lv2 - logvar)
+        else:
+            trace = jnp.exp(lv1 - logvar) + jnp.exp(lv2 - logvar)
+
+    nll = nll + 0.5 * trace
+    return jnp.mean(jnp.sum(nll, axis=-1))
+
+
+def reparametrize(q: Gaussian, eps: Array) -> Array:
+    """``mean + eps * exp(0.5 * logvar)`` with an *injected* standard-normal
+    draw — the reference samples internally (``vjf/util.py:11-13``); the JAX
+    version takes ``eps`` explicitly so randomness is reproducible and
+    injectable for golden-parity tests.
+    """
+    return q.mean + eps * jnp.exp(0.5 * q.logvar)
+
+
+def sample(q: Gaussian, key: jax.Array) -> Array:
+    """Reparametrized sample drawing its own normal from ``key``."""
+    return reparametrize(q, jax.random.normal(key, jnp.shape(q.mean), q.mean.dtype))
+
+
+def running_var(
+    acc_var: Array,
+    acc_size: Array,
+    new_var: Array,
+    new_size: Union[int, Array],
+    *,
+    size_cap: int = 1000,
+) -> tuple[Array, Array]:
+    """Size-weighted streaming variance with a sample-count cap.
+
+    Mirrors ``vjf/util.py:20-35``; the cap keeps the estimate adaptive by
+    bounding the weight of history. Branchless (``minimum`` instead of
+    Python ``min``) so it runs inside scan.
+    """
+    acc_size = jnp.minimum(acc_size, size_cap)
+    tot_size = acc_size + new_size
+    f1 = acc_size / tot_size
+    f2 = new_size / tot_size
+    return f1 * acc_var + f2 * new_var, tot_size
+
+
+def nonecat(a: Array, u: Optional[Array]) -> Array:
+    """Concatenate an optional control input on the last axis.
+
+    Mirrors ``vjf/util.py:38-49``: passthrough when ``u`` is None or empty.
+    ``u`` being optional is resolved at trace time (static), so no runtime
+    branching is emitted.
+    """
+    a = jnp.atleast_2d(a)
+    if u is None:
+        return a
+    u = jnp.atleast_2d(u)
+    if u.shape[-1] == 0:
+        return a
+    return jnp.concatenate([a, u], axis=-1)
+
+
+def finite_or_zero(x: Array) -> Array:
+    """Replace a non-finite scalar loss term with 0.
+
+    The branchless equivalent of the reference's silent zeroing of NaN/inf
+    ELBO components (``vjf/model.py:138-145``). Uses the double-where trick
+    so gradients don't leak NaNs through the untaken branch.
+    """
+    ok = jnp.isfinite(x)
+    safe = jnp.where(ok, x, 0.0)
+    return jnp.where(ok, safe, 0.0)

@@ -1,0 +1,69 @@
+"""Numerical linear-algebra guards and Cholesky helpers.
+
+TPU-native equivalents of ``/root/reference/vjf/numerical.py`` plus the
+Cholesky plumbing the Bayesian regression needs. Under jit there are no
+data-dependent exceptions, so the reference's try/except jitter-retry on
+Cholesky failure (``vjf/module.py:104-112`` — whose fallback calls the
+removed ``torch.eig`` and would crash on modern torch) becomes a branchless
+detect-and-repair: compute the factor, and where it came back non-finite,
+recompute from an eigenvalue-clamped PSD projection.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+
+
+def symmetrize(a: Array) -> Array:
+    """Exact symmetrization (upper triangle mirrored) — ``vjf/numerical.py:17-19``."""
+    u = jnp.triu(a)
+    return u + jnp.triu(a, 1).swapaxes(-1, -2)
+
+
+def positivize(a: Array, eps: float = 1e-3) -> Array:
+    """Eigenvalue-clamped PSD projection — ``vjf/numerical.py:8-14``."""
+    w, v = jnp.linalg.eigh(a)
+    s = jnp.sqrt(jnp.clip(w, min=eps))
+    sqrt = v * s[..., None, :]
+    return sqrt @ sqrt.swapaxes(-1, -2)
+
+
+def safe_cholesky(a: Array, eps: float = 1e-3) -> Array:
+    """Cholesky with branchless PSD repair.
+
+    ``jnp.linalg.cholesky`` returns NaNs (not an exception) on indefinite
+    input; where that happens we refactor the ``positivize``-d matrix. The
+    repair branch costs an eigh but runs behind ``lax.cond`` so the happy
+    path stays one factorization.
+    """
+    chol = jnp.linalg.cholesky(a)
+
+    def repair(_):
+        return jnp.linalg.cholesky(positivize(a, eps))
+
+    def keep(_):
+        return chol
+
+    bad = ~jnp.all(jnp.isfinite(chol))
+    return jax.lax.cond(bad, repair, keep, operand=None)
+
+
+def tril_solve(chol: Array, b: Array) -> Array:
+    """Solve ``L x = b`` with L lower-triangular."""
+    return jax.scipy.linalg.solve_triangular(chol, b, lower=True)
+
+
+def cho_solve(chol: Array, b: Array) -> Array:
+    """Solve ``(L L^T) x = b`` given the lower Cholesky factor."""
+    return jax.scipy.linalg.cho_solve((chol, True), b)
+
+
+def inv_tril_transpose(chol: Array) -> Array:
+    """``inv(L)^T`` — the upper-triangular square root of ``inv(L L^T)``.
+
+    Mirrors the reference's ``w_chol = inv(w_pchol.T)`` (``vjf/module.py:101``):
+    with ``P = L L^T``, the returned ``U`` satisfies ``U U^T = P^{-1}``.
+    """
+    eye = jnp.eye(chol.shape[-1], dtype=chol.dtype)
+    return tril_solve(chol, eye).T
