@@ -1,0 +1,185 @@
+"""Component-level tests: recognition, likelihoods, decoder, dynamics."""
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vjf_tpu.config import VJFConfig
+from vjf_tpu.models import decoder as D
+from vjf_tpu.models import dynamics as dyn
+from vjf_tpu.models import likelihoods as L
+from vjf_tpu.models import recognition as Rec
+from vjf_tpu.models.rbf import apply_rbf
+from vjf_tpu.types import Gaussian
+
+sys.path.insert(0, "/root/reference")
+
+
+def test_recognition_shapes(key):
+    """Output shapes (the reference's only numeric-ish assertion,
+    test_model.py:29) plus the udim path the stale reference test misses."""
+    ydim, xdim, udim, n = 10, 3, 2, 20
+    params = Rec.init_recognition(key, ydim, xdim, udim, (5, 5), dtype=jnp.float64)
+    y = jax.random.normal(key, (n, ydim), dtype=jnp.float64)
+    u = jax.random.normal(key, (n, udim), dtype=jnp.float64)
+    qs = Gaussian(jnp.zeros((n, xdim)), jnp.zeros((n, xdim)))
+    q = Rec.apply_recognition(params, y, qs, u)
+    assert q.mean.shape == (n, xdim) and q.logvar.shape == (n, xdim)
+
+
+def test_recognition_matches_torch_reference(key):
+    """Same weights + same inputs → same posterior as vjf/recognition.py."""
+    torch = pytest.importorskip("torch")
+    torch.set_default_dtype(torch.double)
+    from vjf.distribution import Gaussian as RefGaussian
+    from vjf.recognition import Recognition as RefRec
+
+    ydim, xdim, udim, n = 6, 2, 0, 4
+    ref = RefRec(ydim, xdim, udim, [7, 5])
+
+    # copy torch weights into our pytree
+    lin = [m for m in ref.mlp if isinstance(m, torch.nn.Linear)]
+    layers = tuple(
+        Rec.LinearParams(
+            jnp.asarray(m.weight.detach().numpy()), jnp.asarray(m.bias.detach().numpy())
+        )
+        for m in lin
+    )
+    params = Rec.RecognitionParams(
+        layers=layers,
+        mean=Rec.LinearParams(jnp.asarray(ref.mean.weight.detach().numpy()), None),
+        logvar=Rec.LinearParams(
+            jnp.asarray(ref.logvar.weight.detach().numpy()),
+            jnp.asarray(ref.logvar.bias.detach().numpy()),
+        ),
+    )
+
+    rng = np.random.default_rng(0)
+    y = rng.normal(size=(n, ydim))
+    qm = rng.normal(size=(n, xdim))
+    qlv = rng.normal(size=(n, xdim))
+
+    ours = Rec.apply_recognition(
+        params, jnp.asarray(y), Gaussian(jnp.asarray(qm), jnp.asarray(qlv)), None
+    )
+    refq = ref(torch.tensor(y), RefGaussian(torch.tensor(qm), torch.tensor(qlv)))
+    np.testing.assert_allclose(np.asarray(ours.mean), refq.mean.detach().numpy(), rtol=1e-10)
+    np.testing.assert_allclose(
+        np.asarray(ours.logvar), refq.logvar.detach().numpy(), rtol=1e-10
+    )
+
+
+def test_poisson_nll_matches_torch(key):
+    torch = pytest.importorskip("torch")
+    torch.set_default_dtype(torch.double)
+    from vjf.likelihood import PoissonLikelihood
+
+    rng = np.random.default_rng(1)
+    eta = rng.normal(size=(5, 8)) * 4  # exercise the clamp at 10
+    target = rng.poisson(size=(5, 8)).astype(np.float64)
+
+    ours = L.poisson_nll(jnp.asarray(eta), jnp.asarray(target), clamp=10.0)
+    ref = PoissonLikelihood.loss(torch.tensor(eta), torch.tensor(target)).item()
+    np.testing.assert_allclose(float(ours), ref, rtol=1e-10)
+
+
+def test_gaussian_lik_update_matches_torch(key):
+    torch = pytest.importorskip("torch")
+    torch.set_default_dtype(torch.double)
+    from vjf.likelihood import GaussianLikelihood
+
+    rng = np.random.default_rng(2)
+    eta = rng.normal(size=(7, 3))
+    target = rng.normal(size=(7, 3))
+
+    ref = GaussianLikelihood()
+    ref.update(torch.tensor(eta), torch.tensor(target))
+
+    params = L.init_gaussian_lik(float(np.log(0.1)), dtype=jnp.float64)
+    new, n = L.gaussian_lik_update(
+        params, jnp.asarray(0), jnp.asarray(eta), jnp.asarray(target)
+    )
+    np.testing.assert_allclose(float(new.logvar), ref.logvar.item(), rtol=1e-10)
+    assert int(n) == ref.n_sample
+
+
+def test_decoder_gaussian_push(key):
+    """Diagonal push-through equals the reference's full-matrix construction."""
+    xdim, ydim, n = 3, 5, 4
+    params = D.init_decoder(key, xdim, ydim, dtype=jnp.float64)
+    rng = np.random.default_rng(3)
+    q = Gaussian(
+        jnp.asarray(rng.normal(size=(n, xdim))), jnp.asarray(rng.normal(size=(n, xdim)))
+    )
+    out = D.decode_gaussian(params, q)
+    # brute force: full covariance diag
+    C = np.asarray(params.w)  # (ydim, xdim)
+    for i in range(n):
+        S = np.diag(np.exp(np.asarray(q.logvar[i])))
+        V = C @ S @ C.T
+        np.testing.assert_allclose(
+            np.exp(np.asarray(out.logvar[i])), np.diag(V), rtol=1e-10
+        )
+    np.testing.assert_allclose(
+        np.asarray(out.mean), np.asarray(q.mean) @ C.T + np.asarray(params.b), rtol=1e-10
+    )
+
+
+def _cfg(**kw):
+    base = dict(
+        ydim=10, xdim=3, udim=1, n_rbf=10, hidden_sizes=(5, 5),
+        likelihood="gaussian", dtype="float64",
+    )
+    base.update(kw)
+    return VJFConfig(**base)
+
+
+def test_dynamics_update_and_loss(key):
+    """Smoke + semantics of RBFDS.loss/update (vjf/model.py:363-391)."""
+    cfg = _cfg()
+    state = dyn.init_dynamics(key, cfg, backend="precision")
+    n = 20
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.normal(size=(n, cfg.xdim)))
+    u = jnp.asarray(rng.normal(size=(n, cfg.udim)))
+
+    q = Gaussian(x, jnp.zeros_like(x))
+    loss = dyn.dynamics_loss(state, q, q)
+    assert np.isfinite(float(loss))
+
+    new = dyn.dynamics_update(cfg, state, x, x, u, warm_up=False)
+    assert int(new.n_sample) == n
+    # perfect prediction of dx=0 from w=0 start: noise shrinks toward 0 mse
+    assert float(new.logvar) < float(state.logvar)
+
+    # warm-up skips RLS: weights unchanged
+    warm = dyn.dynamics_update(cfg, state, x, x, u, warm_up=True)
+    np.testing.assert_array_equal(
+        np.asarray(warm.blr.w_mean), np.asarray(state.blr.w_mean)
+    )
+
+
+def test_dynamics_initialize(key):
+    """Bootstrap re-init learns a simple linear flow (vjf/model.py:379-388)."""
+    cfg = _cfg(udim=0, n_rbf=50)
+    state = dyn.init_dynamics(key, cfg, backend="precision")
+    rng = np.random.default_rng(5)
+    xs = jnp.asarray(rng.normal(size=(400, cfg.xdim)))
+    xt = xs + 0.05 * (-xs)  # contraction flow dx = -0.05 x
+    new = dyn.dynamics_initialize(cfg, key, state, xt, xs, None)
+    pred = dyn.transition_gaussian(new, xs, None).mean
+    err = float(jnp.sqrt(jnp.mean(jnp.square(pred - xt))))
+    base = float(jnp.sqrt(jnp.mean(jnp.square(xs - xt))))
+    assert err < 0.5 * base  # explains most of the velocity
+    assert float(new.logvar) < 2 * np.log(0.05)  # state noise near residual scale
+
+
+def test_forecast_shapes(key):
+    cfg = _cfg(udim=0)
+    state = dyn.init_dynamics(key, cfg, backend="covariance")
+    x0 = jnp.zeros((4, cfg.xdim))
+    x = dyn.forecast(state, x0, key, n_step=7, noise=True)
+    assert x.shape == (8, 4, cfg.xdim)
+    assert np.all(np.isfinite(np.asarray(x)))

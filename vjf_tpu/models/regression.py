@@ -58,11 +58,12 @@ BLRState = Union[PrecisionBLR, CovarianceBLR]
 
 def init_precision(n_feature: int, n_out: int, dtype=jnp.float32) -> PrecisionBLR:
     """Zero mean, identity precision — ``vjf/module.py:46-54``."""
-    eye = jnp.eye(n_feature, dtype=dtype)
+    # Distinct buffers (not one aliased eye): the training loop donates the
+    # state pytree, and XLA rejects donating the same buffer twice.
     return PrecisionBLR(
         w_mean=jnp.zeros((n_feature, n_out), dtype=dtype),
-        precision=eye,
-        prec_chol=eye,
+        precision=jnp.eye(n_feature, dtype=dtype),
+        prec_chol=jnp.eye(n_feature, dtype=dtype),
     )
 
 
