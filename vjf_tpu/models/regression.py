@@ -39,11 +39,20 @@ from ..types import Gaussian
 
 
 class PrecisionBLR(NamedTuple):
-    """Posterior ``w ~ N(w_mean, P^{-1})`` carried in precision form."""
+    """Posterior ``w ~ N(w_mean, P^{-1})`` carried in precision form.
 
-    w_mean: Array      # (n_feature, n_out)
-    precision: Array   # (n_feature, n_feature)
-    prec_chol: Array   # lower Cholesky of precision (cached, reused by predict)
+    Besides the Cholesky factor of P we cache its inverse transpose
+    ``U = inv(L)^T`` (so ``U U^T = P^{-1}``). TPU rationale: the per-step
+    predictive variance ``diag(F P^{-1} F^T)`` then costs one MXU matmul
+    ``rowsum((F U)^2)`` instead of a (B-RHS) triangular solve inside the
+    scan body — triangular solves are the slowest serial op on TPU, so they
+    are paid once per *update* (n_feat RHS) rather than once per *predict*.
+    """
+
+    w_mean: Array          # (n_feature, n_out)
+    precision: Array       # (n_feature, n_feature)
+    prec_chol: Array       # lower Cholesky of precision
+    prec_chol_inv_t: Array # U = inv(prec_chol)^T, U U^T = P^{-1}
 
 
 class CovarianceBLR(NamedTuple):
@@ -64,6 +73,7 @@ def init_precision(n_feature: int, n_out: int, dtype=jnp.float32) -> PrecisionBL
         w_mean=jnp.zeros((n_feature, n_out), dtype=dtype),
         precision=jnp.eye(n_feature, dtype=dtype),
         prec_chol=jnp.eye(n_feature, dtype=dtype),
+        prec_chol_inv_t=jnp.eye(n_feature, dtype=dtype),
     )
 
 
@@ -83,7 +93,7 @@ def weight_sqrt(state: BLRState) -> Array:
     ``w + S @ eps``.
     """
     if isinstance(state, PrecisionBLR):
-        return inv_tril_transpose(state.prec_chol)
+        return state.prec_chol_inv_t
     return safe_cholesky(state.cov)
 
 
@@ -96,8 +106,8 @@ def predict_gaussian(state: BLRState, feat: Array) -> Gaussian:
     """
     mean = feat @ state.w_mean
     if isinstance(state, PrecisionBLR):
-        z = tril_solve(state.prec_chol, feat.T)        # L^{-1} F^T
-        fvf = jnp.sum(z * z, axis=0)                   # diag(F P^{-1} F^T)
+        z = feat @ state.prec_chol_inv_t               # F inv(L)^T — MXU matmul
+        fvf = jnp.sum(z * z, axis=-1)                  # diag(F P^{-1} F^T)
     else:
         fvf = jnp.sum((feat @ state.cov) * feat, axis=-1)
     logvar = jnp.broadcast_to(jnp.log(fvf)[..., None], mean.shape)
@@ -138,8 +148,9 @@ def rls(
         if jitter:
             p_new = p_new + jitter * jnp.eye(p_new.shape[0], dtype=p_new.dtype)
         chol = safe_cholesky(p_new)
-        w_new = cho_solve(chol, g)
-        return PrecisionBLR(w_new, p_new, chol)
+        u = inv_tril_transpose(chol)                  # one n_feat-RHS solve/step
+        w_new = u @ (u.T @ g)                         # P^{-1} g via two matmuls
+        return PrecisionBLR(w_new, p_new, chol, u)
 
     v1 = state.cov / shrink
     b = feat.shape[0]
@@ -168,13 +179,12 @@ def kalman(
     """
     if isinstance(state, PrecisionBLR):
         # Convert to covariance form, update, convert back.
-        cov_state = CovarianceBLR(
-            state.w_mean, inv_tril_transpose(state.prec_chol) @ inv_tril_transpose(state.prec_chol).T
-        )
+        u0 = state.prec_chol_inv_t
+        cov_state = CovarianceBLR(state.w_mean, u0 @ u0.T)
         new = kalman(cov_state, feat, target, v, diffusion)
         prec = jnp.linalg.inv(new.cov)
         chol = safe_cholesky(prec)
-        return PrecisionBLR(new.w_mean, prec, chol)
+        return PrecisionBLR(new.w_mean, prec, chol, inv_tril_transpose(chol))
 
     nf = state.cov.shape[0]
     b = feat.shape[0]

@@ -277,27 +277,20 @@ def run_epoch(
     q0 = prior(state.params, n_batch)
 
     if noise is None:
-        keys = jax.random.split(key, t_len)
-
-        def draw(k, dtype):
-            e = jax.random.normal(k, (2, n_batch, xdim), dtype)
-            return e[0], e[1]
-
-    else:
-        keys = jnp.zeros((t_len, 2), dtype=jnp.uint32)
+        # One vectorized draw for the whole epoch: keeps per-step threefry
+        # chains (serial, latency-bound) out of the scan body.
+        eps = jax.random.normal(key, (t_len, 2, n_batch, xdim), ys.dtype)
+        noise = (eps[:, 0], eps[:, 1])
 
     def body(carry, inp):
         st, q = carry
-        if noise is None:
-            y, u, k = inp
-            eps_s, eps_t = draw(k, ys.dtype)
-        else:
-            y, u, eps_s, eps_t = inp
+        y, u, eps_s, eps_t = inp
         st, q, metrics = filter_step(cfg, flags, st, q, y, u, eps_s, eps_t, lr)
         return (st, q), (q, metrics)
 
-    xs = (ys, us, keys) if noise is None else (ys, us, noise[0], noise[1])
-    (state, _), (q_seq, metrics) = jax.lax.scan(body, (state, q0), xs)
+    (state, _), (q_seq, metrics) = jax.lax.scan(
+        body, (state, q0), (ys, us, noise[0], noise[1])
+    )
     return EpochResult(state, q_seq.mean, q_seq.logvar, metrics)
 
 
