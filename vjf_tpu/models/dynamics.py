@@ -32,15 +32,21 @@ class DynamicsState(NamedTuple):
 
 
 def resolve_backend(cfg: VJFConfig, batch_hint: Optional[int] = None) -> str:
-    """'auto' picks precision form when the per-step batch is large relative
-    to the feature count (factorization size independent of B), covariance
-    form otherwise (only a B x B solve; B=1 needs no factorization at all).
+    """'auto' backend choice:
+
+    * float64 (parity/CPU runs) → ``precision``, the bit-closest mirror of
+      the reference's RLS (``vjf/module.py:79-103``);
+    * small per-step batch → ``covariance`` (Woodbury: only a B x B solve);
+    * otherwise (TPU perf path, f32/bf16) → ``nsv``, the Newton-Schulz
+      inverse-tracking form whose hot loop is MXU matmuls only.
     """
     if cfg.rls_backend != "auto":
         return cfg.rls_backend
-    if batch_hint is None:
+    if cfg.dtype == "float64":
         return "precision"
-    return "covariance" if batch_hint * 2 < cfg.feature_dim else "precision"
+    if batch_hint is not None and batch_hint * 2 < cfg.feature_dim:
+        return "covariance"
+    return "nsv"
 
 
 def init_dynamics(
@@ -51,6 +57,8 @@ def init_dynamics(
     rbf = init_rbf(key, cfg.xudim, cfg.n_rbf, cfg.centroid_init_range, dtype=dtype)
     if backend == "covariance":
         blr = regression.init_covariance(cfg.n_rbf, cfg.xdim, dtype=dtype)
+    elif backend == "nsv":
+        blr = regression.init_nsv(cfg.n_rbf, cfg.xdim, dtype=dtype)
     else:
         blr = regression.init_precision(cfg.n_rbf, cfg.xdim, dtype=dtype)
     return DynamicsState(
@@ -61,15 +69,26 @@ def init_dynamics(
     )
 
 
+def features(state: DynamicsState, x: Array, u: Optional[Array] = None) -> Array:
+    """Featurize ``concat(x, u)`` — shared by predict and update so the hot
+    loop evaluates the basis once per step (forward and RLS see the same
+    ``xu``, mirroring ``vjf/model.py:113`` and ``vjf/model.py:366-368``)."""
+    return apply_rbf(state.rbf, nonecat(x, u))
+
+
+def predict_from_features(
+    state: DynamicsState, x: Array, feat: Array, leak: float = 0.0
+) -> Gaussian:
+    dx = regression.predict_gaussian(state.blr, feat)
+    return Gaussian((1.0 - leak) * x + dx.mean, dx.logvar)
+
+
 def transition_gaussian(
     state: DynamicsState, x: Array, u: Optional[Array] = None, leak: float = 0.0
 ) -> Gaussian:
     """Predictive ``p[t] = N((1-leak) x + F w, diag(F V F^T))`` —
     ``vjf/model.py:334-340`` with ``sampling=False``."""
-    xu = nonecat(x, u)
-    feat = apply_rbf(state.rbf, xu)
-    dx = regression.predict_gaussian(state.blr, feat)
-    return Gaussian((1.0 - leak) * x + dx.mean, dx.logvar)
+    return predict_from_features(state, jnp.atleast_2d(x), features(state, x, u), leak)
 
 
 def transition_sample(
@@ -129,27 +148,23 @@ def forecast(
     return jnp.concatenate([x0[None], xs], axis=0)
 
 
-def dynamics_update(
+def update_from_features(
     cfg: VJFConfig,
     state: DynamicsState,
     xt: Array,
     xs: Array,
-    u: Optional[Array] = None,
+    feat: Array,
     warm_up: bool = False,
 ) -> DynamicsState:
-    """Closed-form learning step — ``vjf/model.py:363-377``.
+    """Closed-form learning step with precomputed features —
+    ``vjf/model.py:363-377``.
 
     RLS on ``dx = x[t] - x[s]`` (skipped during warm-up), then the state
     noise is refreshed by a running variance of the post-update residual
     MSE (cap 500). Mirrors the reference's ordering: residual uses the *new*
     weights when RLS ran.
     """
-    xs = jnp.atleast_2d(xs)
-    xt = jnp.atleast_2d(xt)
-    xu = nonecat(xs, u)
     dx = xt - xs
-    feat = apply_rbf(state.rbf, xu)
-
     blr = state.blr
     if not warm_up:
         blr = regression.rls(
@@ -162,6 +177,22 @@ def dynamics_update(
         jnp.exp(state.logvar), state.n_sample, mse, xs.shape[0], size_cap=cfg.state_var_cap
     )
     return DynamicsState(state.rbf, blr, jnp.log(var), n_new.astype(jnp.int32))
+
+
+def dynamics_update(
+    cfg: VJFConfig,
+    state: DynamicsState,
+    xt: Array,
+    xs: Array,
+    u: Optional[Array] = None,
+    warm_up: bool = False,
+) -> DynamicsState:
+    """Closed-form learning step — ``vjf/model.py:363-377``."""
+    xs = jnp.atleast_2d(xs)
+    xt = jnp.atleast_2d(xt)
+    return update_from_features(
+        cfg, state, xt, xs, features(state, xs, u), warm_up=warm_up
+    )
 
 
 def dynamics_initialize(

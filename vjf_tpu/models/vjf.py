@@ -157,7 +157,8 @@ def elbo_terms(
     """
     tr = _transition(cfg)
     xs = reparametrize(qs, eps_s)                        # vjf/model.py:112
-    pt = tr.transition_gaussian(dynamics, xs, u, cfg.leak)  # predictive, no sampling
+    feat = tr.features(dynamics, xs, u)                  # shared: predict + RLS
+    pt = tr.predict_from_features(dynamics, xs, feat, cfg.leak)
     qt = apply_recognition(params.recognition, y, qs, u)  # vjf/model.py:116
     xt = reparametrize(qt, eps_t)                        # vjf/model.py:119
     py = decode(params.decoder, xt)                      # sample decode, model.py:120
@@ -167,7 +168,7 @@ def elbo_terms(
         tr.dynamics_loss(dynamics, pt, qt, trace_quirk=cfg.trace_quirk)
     )
     h = finite_or_zero(gaussian_entropy(qt))
-    return (l_recon, l_dyn, h), (qt, xt, xs, py)
+    return (l_recon, l_dyn, h), (qt, xt, xs, py, feat)
 
 
 def filter_step(
@@ -201,7 +202,7 @@ def filter_step(
         return loss, (aux, Metrics(loss, -l_recon, -l_dyn, h))
 
     if flags.sgd:
-        (loss, ((qt, xt, xs, py), metrics)), grads = jax.value_and_grad(
+        (loss, ((qt, xt, xs, py, feat), metrics)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(state.params)
         # clip_grad_value_(1.0) — vjf/model.py:210
@@ -228,7 +229,7 @@ def filter_step(
             prior=params.prior,                          # never in the optimizer
         )
     else:
-        loss, ((qt, xt, xs, py), metrics) = loss_fn(state.params)
+        loss, ((qt, xt, xs, py, feat), metrics) = loss_fn(state.params)
         new_params = state.params
 
     dynamics = state.dynamics
@@ -239,8 +240,8 @@ def filter_step(
                 new_params.likelihood, lik_n, py, y, size_cap=cfg.obs_var_cap
             )
             new_params = new_params._replace(likelihood=new_lik)
-        dynamics = _transition(cfg).dynamics_update(
-            cfg, dynamics, xt, xs, u, warm_up=flags.warm_up
+        dynamics = _transition(cfg).update_from_features(
+            cfg, dynamics, xt, xs, jax.lax.stop_gradient(feat), warm_up=flags.warm_up
         )
 
     new_state = TrainState(params=new_params, dynamics=dynamics, lik_n_sample=lik_n)
