@@ -1,0 +1,71 @@
+"""Checkpoint exactness: the whole TrainState pytree round-trips bit-exactly
+(fixing the reference's structural inability to checkpoint — SURVEY.md §5)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vjf_tpu.config import StepFlags, VJFConfig
+from vjf_tpu.models import vjf as core
+from vjf_tpu.utils.checkpoint import (
+    FitLoopState,
+    load_checkpoint,
+    load_config,
+    save_checkpoint,
+)
+
+
+def _trained_state(key, cfg):
+    state = core.init_state(key, cfg)
+    T, B = 10, 2
+    ys = jax.random.normal(key, (T, B, cfg.ydim), dtype=jnp.float64)
+    us = jnp.zeros((T, B, 0), dtype=jnp.float64)
+    out = core.run_epoch(cfg, StepFlags(), state, ys, us, key, jnp.asarray(1e-3))
+    return out.state
+
+
+@pytest.mark.parametrize("backend", ["precision", "nsv"])
+def test_roundtrip_exact(tmp_path, key, backend):
+    cfg = VJFConfig(ydim=8, xdim=2, udim=0, n_rbf=10, hidden_sizes=(6,),
+                    likelihood="gaussian", dtype="float64", rls_backend=backend)
+    state = _trained_state(key, cfg)
+    loop = FitLoopState(epoch=7, lr=3e-4, warm_up=False, running_loss=1.25, key=key)
+
+    path = str(tmp_path / "ckpt")
+    save_checkpoint(path, state, cfg=cfg, loop=loop)
+    restored, rloop = load_checkpoint(path, state, loop)
+
+    for a, b in zip(jax.tree_util.tree_leaves(state), jax.tree_util.tree_leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert rloop.epoch == 7 and rloop.warm_up is False
+    assert rloop.lr == pytest.approx(3e-4)
+
+    cfg2 = load_config(path)
+    assert cfg2 == cfg
+
+
+def test_resume_continues_identically(tmp_path, key):
+    """Training 2 epochs straight == training 1, checkpointing, resuming 1."""
+    cfg = VJFConfig(ydim=8, xdim=2, udim=0, n_rbf=10, hidden_sizes=(6,),
+                    likelihood="gaussian", dtype="float64")
+    state = core.init_state(key, cfg)
+    T, B = 10, 2
+    ys = jax.random.normal(key, (T, B, cfg.ydim), dtype=jnp.float64)
+    us = jnp.zeros((T, B, 0), dtype=jnp.float64)
+    eps = jax.random.normal(key, (2, T, B, cfg.xdim), dtype=jnp.float64)
+    flags = StepFlags()
+    lr = jnp.asarray(1e-3)
+
+    def epoch(st):
+        return core.run_epoch(cfg, flags, st, ys, us, key, lr, noise=(eps[0], eps[1])).state
+
+    straight = epoch(epoch(state))
+
+    mid = epoch(state)
+    path = str(tmp_path / "mid")
+    save_checkpoint(path, mid)
+    mid_restored, _ = load_checkpoint(path, mid)
+    resumed = epoch(mid_restored)
+
+    for a, b in zip(jax.tree_util.tree_leaves(straight), jax.tree_util.tree_leaves(resumed)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

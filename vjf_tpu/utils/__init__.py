@@ -1,0 +1,17 @@
+from . import checkpoint, metrics
+from .checkpoint import FitLoopState, load_checkpoint, load_config, save_checkpoint
+from .metrics import MetricsWriter, StepTimer, multiplex, profiler_trace, progress_callback
+
+__all__ = [
+    "checkpoint",
+    "metrics",
+    "FitLoopState",
+    "save_checkpoint",
+    "load_checkpoint",
+    "load_config",
+    "MetricsWriter",
+    "StepTimer",
+    "multiplex",
+    "profiler_trace",
+    "progress_callback",
+]

@@ -1,0 +1,123 @@
+"""Checkpoint / resume.
+
+The reference cannot checkpoint at all: the Bayesian regression state and
+sample counters are plain Python attributes invisible to ``state_dict()``
+(``vjf/module.py:46-54``, ``vjf/likelihood.py:17``, ``vjf/model.py:332`` —
+SURVEY.md §5). Here ALL of it — params, RLS sufficient statistics, noise
+estimates, counters, fit-loop progress, RNG key — lives in one pytree, so
+save/restore is exact and resume is bit-identical.
+
+Primary backend: orbax; fallback: a flat ``.npz`` written via pytree
+flatten (keeps checkpoints working even where orbax is unavailable).
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import pickle
+from typing import Any, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import VJFConfig
+
+
+class FitLoopState(NamedTuple):
+    """Host-side fit-loop progress for exact resume of ``fit``."""
+
+    epoch: int
+    lr: float
+    warm_up: bool
+    running_loss: float
+    key: Any   # PRNG key array
+
+
+def _tree_to_flat(tree) -> Tuple[dict, Any]:
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    flat = {f"leaf_{i}": np.asarray(leaf) for i, leaf in enumerate(leaves)}
+    return flat, treedef
+
+
+def _flat_to_tree(flat: dict, treedef, n: int):
+    leaves = [jnp.asarray(flat[f"leaf_{i}"]) for i in range(n)]
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+def save_checkpoint(
+    path: str,
+    state,
+    cfg: Optional[VJFConfig] = None,
+    loop: Optional[FitLoopState] = None,
+) -> None:
+    """Save a TrainState (+ optional config and fit-loop progress) to ``path``
+    (a directory for orbax, or ``<path>.npz`` for the fallback)."""
+    payload = {"state": state}
+    if loop is not None:
+        payload["loop"] = loop._replace(key=jnp.asarray(loop.key))
+    try:
+        import orbax.checkpoint as ocp
+
+        path = os.path.abspath(path)
+        ckpt = ocp.PyTreeCheckpointer()
+        ckpt.save(path, jax.tree.map(np.asarray, payload), force=True)
+        meta_path = os.path.join(path, "vjf_meta.json")
+    except Exception:
+        flat, treedef = _tree_to_flat(payload)
+        np.savez(path + ".npz", **flat)
+        with open(path + ".treedef.pkl", "wb") as f:
+            pickle.dump((treedef, len(flat)), f)
+        meta_path = path + ".meta.json"
+    if cfg is not None:
+        with open(meta_path, "w") as f:
+            json.dump(dataclasses.asdict(cfg), f, indent=2)
+
+
+def load_checkpoint(
+    path: str,
+    state_template,
+    loop_template: Optional[FitLoopState] = None,
+):
+    """Restore; templates supply the pytree structure (and dtypes).
+
+    :return: (state, loop_or_None)
+    """
+    payload_template = {"state": state_template}
+    if loop_template is not None:
+        payload_template["loop"] = loop_template._replace(
+            key=jnp.asarray(loop_template.key)
+        )
+    if os.path.isdir(path):
+        import orbax.checkpoint as ocp
+
+        ckpt = ocp.PyTreeCheckpointer()
+        restored = ckpt.restore(
+            os.path.abspath(path), item=jax.tree.map(np.asarray, payload_template)
+        )
+        restored = jax.tree.map(jnp.asarray, restored)
+    else:
+        with open(path + ".treedef.pkl", "rb") as f:
+            treedef, n = pickle.load(f)
+        with np.load(path + ".npz") as data:
+            restored = _flat_to_tree(dict(data), treedef, n)
+    state = restored["state"]
+    loop = restored.get("loop")
+    if loop is not None and loop_template is not None:
+        loop = FitLoopState(
+            epoch=int(loop.epoch),
+            lr=float(loop.lr),
+            warm_up=bool(loop.warm_up),
+            running_loss=float(loop.running_loss),
+            key=jnp.asarray(loop.key),
+        )
+    return state, loop
+
+
+def load_config(path: str) -> VJFConfig:
+    meta = os.path.join(path, "vjf_meta.json") if os.path.isdir(path) else path + ".meta.json"
+    with open(meta) as f:
+        d = json.load(f)
+    d["hidden_sizes"] = tuple(d["hidden_sizes"])
+    return VJFConfig(**d)
