@@ -91,6 +91,50 @@ class VJF:
         )
         return qt, metrics.loss
 
+    def filter_stream(
+        self,
+        chunks,
+        *,
+        warm_up: bool = False,
+        valid_fn=None,
+    ):
+        """Stream chunks of observations through the fused filter-then-learn
+        scan, carrying the posterior across chunk boundaries.
+
+        Each chunk is a (chunk_len, batch, ydim) array (e.g. from
+        :class:`vjf_tpu.native.StreamingLoader`); one compiled scan per
+        chunk shape, host IO overlapping device compute when combined with
+        ``vjf_tpu.native.device_prefetch``. Yields ``EpochResult`` per chunk
+        (posterior means/logvars + per-step metrics). ``valid_fn()`` may
+        report the number of valid steps in the latest chunk (a final
+        partial chunk is truncated to it).
+        """
+        from .models import vjf as core
+
+        cfg = self.cfg
+        flags = StepFlags(sgd=True, update=True, warm_up=warm_up, train_decoder=True)
+        run = jax.jit(core.run_epoch, static_argnames=("cfg", "flags"))
+        q = None
+        for chunk in chunks:
+            chunk = jnp.asarray(chunk, dtype=cfg.jdtype)
+            t_len, n_batch = chunk.shape[0], chunk.shape[1]
+            n_valid = valid_fn() if valid_fn is not None else t_len
+            if n_valid < t_len:
+                # tail chunk: step the valid prefix one-by-one to avoid
+                # training on padding
+                for t in range(n_valid):
+                    q, _ = self.filter(chunk[t], qs=q, warm_up=warm_up)
+                return
+            us = jnp.zeros((t_len, n_batch, 0), dtype=cfg.jdtype)
+            self.key, k = jax.random.split(self.key)
+            result = run(
+                cfg, flags, self.state, chunk, us, k,
+                jnp.asarray(self._lr, cfg.jdtype), q0=q,
+            )
+            self.state = result.state
+            q = Gaussian(result.q_means[-1], result.q_logvars[-1])
+            yield result
+
     # -- batch training ---------------------------------------------------
     def fit(
         self,

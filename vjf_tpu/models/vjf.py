@@ -264,6 +264,7 @@ def run_epoch(
     key: jax.Array,
     lr: Array,
     noise: Optional[Tuple[Array, Array]] = None,
+    q0: Optional[Gaussian] = None,
 ) -> EpochResult:
     """One full pass over time as a single ``lax.scan`` — replaces the hot
     Python loop at ``vjf/model.py:252-258``.
@@ -272,10 +273,13 @@ def run_epoch(
     :param us: (T, B, udim); pass udim=0 for autonomous systems
     :param noise: optional pre-generated (eps_s, eps_t), each (T, B, xdim),
         for golden-parity runs with injected randomness
+    :param q0: posterior carried in from a previous chunk (streaming);
+        defaults to the prior (``vjf/model.py:252``: ``q = None``)
     """
     t_len, n_batch, _ = ys.shape
     xdim = cfg.xdim
-    q0 = prior(state.params, n_batch)
+    if q0 is None:
+        q0 = prior(state.params, n_batch)
 
     if noise is None:
         # One vectorized draw for the whole epoch: keeps per-step threefry

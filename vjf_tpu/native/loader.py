@@ -1,0 +1,161 @@
+"""Python bindings for the native streaming loader + device prefetching.
+
+The native side (``src/stream_loader.cpp``) is a threaded ring buffer over
+a file/FIFO; this side builds it on demand (cached ``.so``), exposes an
+iterator of fixed-shape chunks, falls back to pure-Python file reads where
+no compiler is available, and adds double-buffered ``jax.device_put`` so
+host IO and device compute overlap.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from queue import Queue
+from typing import Iterator, Optional
+
+import numpy as np
+
+_NATIVE_DIR = os.path.dirname(os.path.abspath(__file__))
+_SO_PATH = os.path.join(_NATIVE_DIR, "libvjfstream.so")
+_lib = None
+_lib_tried = False
+
+
+def _load_native() -> Optional[ctypes.CDLL]:
+    """Build (once) and load the native library; None if unavailable."""
+    global _lib, _lib_tried
+    if _lib_tried:
+        return _lib
+    _lib_tried = True
+    try:
+        if not os.path.exists(_SO_PATH):
+            subprocess.run(
+                ["make", "-C", _NATIVE_DIR],
+                check=True,
+                capture_output=True,
+                timeout=120,
+            )
+        lib = ctypes.CDLL(_SO_PATH)
+        lib.vjf_stream_open.argtypes = [ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64]
+        lib.vjf_stream_open.restype = ctypes.c_int64
+        lib.vjf_stream_read.argtypes = [
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int64,
+        ]
+        lib.vjf_stream_read.restype = ctypes.c_int64
+        lib.vjf_stream_close.argtypes = [ctypes.c_int64]
+        lib.vjf_stream_close.restype = None
+        _lib = lib
+    except Exception:
+        _lib = None
+    return _lib
+
+
+class StreamingLoader:
+    """Iterate fixed-shape chunks ``(chunk, batch, ydim)`` from a binary
+    stream of per-step records (row-major ``batch * ydim`` values).
+
+    Uses the native ring-buffer reader when the toolchain is available
+    (overlapping ingest with compute), pure-Python ``np.fromfile`` chunks
+    otherwise — identical semantics either way. The final partial chunk is
+    zero-padded and its true length reported via ``last_valid``.
+    """
+
+    def __init__(
+        self,
+        path: str,
+        ydim: int,
+        batch: int = 1,
+        chunk: int = 256,
+        dtype=np.float32,
+        capacity_chunks: int = 8,
+        native: Optional[bool] = None,
+    ):
+        self.path = path
+        self.ydim = ydim
+        self.batch = batch
+        self.chunk = chunk
+        self.dtype = np.dtype(dtype)
+        self.step_bytes = self.batch * self.ydim * self.dtype.itemsize
+        self.last_valid = chunk
+        self._handle = None
+        self._fp = None
+
+        lib = _load_native() if native in (None, True) else None
+        if native is True and lib is None:
+            raise RuntimeError("native loader requested but unavailable")
+        if lib is not None:
+            h = lib.vjf_stream_open(
+                path.encode(), self.step_bytes, capacity_chunks * chunk
+            )
+            if h > 0:
+                self._handle = h
+                self._lib = lib
+                return
+        self._fp = open(path, "rb")
+
+    @property
+    def is_native(self) -> bool:
+        return self._handle is not None
+
+    def __iter__(self) -> Iterator[np.ndarray]:
+        return self
+
+    def __next__(self) -> np.ndarray:
+        buf = np.zeros((self.chunk, self.batch, self.ydim), dtype=self.dtype)
+        if self._handle is not None:
+            ptr = buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+            got = int(self._lib.vjf_stream_read(self._handle, ptr, self.chunk))
+        else:
+            raw = self._fp.read(self.step_bytes * self.chunk)
+            got = len(raw) // self.step_bytes
+            if got:
+                buf[:got] = np.frombuffer(
+                    raw[: got * self.step_bytes], dtype=self.dtype
+                ).reshape(got, self.batch, self.ydim)
+        if got <= 0:
+            self.close()
+            raise StopIteration
+        self.last_valid = got
+        return buf
+
+    def close(self) -> None:
+        if self._handle is not None:
+            self._lib.vjf_stream_close(self._handle)
+            self._handle = None
+        if self._fp is not None:
+            self._fp.close()
+            self._fp = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+def device_prefetch(iterator, depth: int = 2):
+    """Wrap a host chunk iterator with a background thread that stages
+    chunks onto the device ahead of consumption."""
+    import jax
+
+    q: Queue = Queue(maxsize=depth)
+    _SENTINEL = object()
+
+    def worker():
+        try:
+            for item in iterator:
+                q.put(jax.device_put(item))
+        finally:
+            q.put(_SENTINEL)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _SENTINEL:
+            return
+        yield item
