@@ -51,15 +51,23 @@ def main() -> None:
         hidden_sizes=(32,),
         likelihood="poisson",
         dtype="float32",
-        rls_backend="precision",
+        rls_backend="nsv",       # Newton-Schulz inverse tracking (MXU-only)
+        fused_step="auto",       # whole-step pallas kernel on TPU
     )
     flags = StepFlags()
 
     key = jax.random.PRNGKey(0)
     state = core.init_state(key, cfg)
 
-    rng = np.random.default_rng(0)
-    ys = jnp.asarray(rng.poisson(1.0, (t_chunk, n_batch, cfg.ydim)), dtype=cfg.jdtype)
+    # On-device spike generation: host->device of a (10k, 256, 200) buffer
+    # is ~2 GB through the tunnel, and jax.random.poisson's rejection
+    # sampler holds ~8 HBM copies; a sum of bernoullis gives Poisson-like
+    # counts with one cheap pass (data content doesn't affect step cost).
+    k1, k2 = jax.random.split(key)
+    ys = (
+        jax.random.bernoulli(k1, 0.4, (t_chunk, n_batch, cfg.ydim)).astype(cfg.jdtype)
+        + jax.random.bernoulli(k2, 0.3, (t_chunk, n_batch, cfg.ydim)).astype(cfg.jdtype)
+    )
     us = jnp.zeros((t_chunk, n_batch, 0), dtype=cfg.jdtype)
 
     epoch_fn = jax.jit(core.run_epoch, static_argnames=("cfg", "flags"))

@@ -1,0 +1,103 @@
+"""Fused whole-step Pallas kernel: the hand-written backward and the packed
+kernel I/O must reproduce the XLA step exactly (f32 matmul mode, interpret
+on CPU), across likelihoods, flags, control inputs, and depths."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vjf_tpu.config import StepFlags, VJFConfig
+from vjf_tpu.models import vjf as core
+from vjf_tpu.ops.pallas import fused_step as F
+
+FLAG_CASES = [
+    StepFlags(),
+    StepFlags(warm_up=True),
+    StepFlags(sgd=False),
+    StepFlags(update=False),
+    StepFlags(train_decoder=False),
+]
+
+
+def _setup(key, likelihood="poisson", udim=0, hidden=(16,)):
+    cfg = VJFConfig(ydim=20, xdim=3, udim=udim, n_rbf=30, hidden_sizes=hidden,
+                    likelihood=likelihood, dtype="float32", rls_backend="nsv",
+                    fused_step="off", matmul_dtype="float32")
+    state = core.init_state(key, cfg)
+    B = 8
+    if likelihood == "poisson":
+        y = jax.random.poisson(key, 1.0, (B, cfg.ydim)).astype(jnp.float32)
+    else:
+        y = jax.random.normal(key, (B, cfg.ydim), jnp.float32)
+    u = (jax.random.normal(key, (B, udim), jnp.float32) if udim else None)
+    eps = jax.random.normal(key, (2, B, cfg.xdim), jnp.float32)
+    return cfg, state, y, u, eps
+
+
+@pytest.mark.parametrize("likelihood", ["poisson", "gaussian"])
+@pytest.mark.parametrize("flags", FLAG_CASES, ids=[str(f) for f in FLAG_CASES])
+def test_step_math_matches_autodiff_step(key, likelihood, flags):
+    """The manual backward in step_math == jax.grad through filter_step."""
+    cfg, state, y, u, eps = _setup(key, likelihood)
+    qs = core.prior(state.params, y.shape[0])
+    lr = jnp.asarray(1e-3, jnp.float32)
+
+    st_ref, qt_ref, m_ref = core.filter_step(
+        cfg, flags, state, qs, y, u, eps[0], eps[1], lr
+    )
+
+    carry = F.pad_carry(cfg, state)
+    out = F.step_math(cfg, flags, carry, qs.mean, qs.logvar, y, u, eps[0], eps[1], lr)
+    if flags.update and not flags.warm_up:
+        out = F.exact_v_fallback(cfg, out, carry, u)
+    st = F.unpad_carry(cfg, out.carry, state)
+
+    def close(a, b, tol=2e-4):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=tol, atol=tol)
+
+    close(out.scal.loss[0, 0], m_ref.loss)
+    close(out.qt_mean, qt_ref.mean)
+    close(st.params.recognition.layers[0].w, st_ref.params.recognition.layers[0].w)
+    close(st.params.recognition.mean.w, st_ref.params.recognition.mean.w)
+    close(st.params.decoder.w, st_ref.params.decoder.w)
+    close(st.dynamics.blr.w_mean, st_ref.dynamics.blr.w_mean)
+    close(st.dynamics.blr.cov, st_ref.dynamics.blr.cov)
+    close(st.dynamics.logvar, st_ref.dynamics.logvar)
+    if likelihood == "gaussian":
+        close(st.params.likelihood.logvar, st_ref.params.likelihood.logvar)
+
+
+def test_fused_epoch_matches_xla_epoch(key):
+    """Full scan through the pallas kernel (interpret) == XLA epoch."""
+    cfg, state, *_ = _setup(key, "poisson", udim=2, hidden=(16, 8))
+    T, B = 25, 8
+    ys = jax.random.poisson(key, 1.0, (T, B, cfg.ydim)).astype(jnp.float32)
+    us = jax.random.normal(key, (T, B, 2), jnp.float32)
+    eps = jax.random.normal(key, (2, T, B, cfg.xdim), jnp.float32)
+    lr = jnp.asarray(1e-3, jnp.float32)
+    flags = StepFlags()
+
+    ref = core.run_epoch(cfg, flags, state, ys, us, key, lr, noise=(eps[0], eps[1]))
+    got = F.run_epoch_fused(cfg, flags, state, ys, us, key, lr,
+                            noise=(eps[0], eps[1]), interpret=True)
+
+    np.testing.assert_allclose(
+        np.asarray(got.metrics.loss), np.asarray(ref.metrics.loss), rtol=2e-4, atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.q_means), np.asarray(ref.q_means), rtol=1e-3, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.state.dynamics.blr.w_mean),
+        np.asarray(ref.state.dynamics.blr.w_mean),
+        rtol=1e-3, atol=1e-4,
+    )
+    assert int(got.state.dynamics.n_sample) == int(ref.state.dynamics.n_sample)
+
+
+def test_pad_unpad_roundtrip(key):
+    cfg, state, *_ = _setup(key, "gaussian", udim=1)
+    carry = F.pad_carry(cfg, state)
+    back = F.unpad_carry(cfg, carry, state)
+    for a, b in zip(jax.tree_util.tree_leaves(state), jax.tree_util.tree_leaves(back)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)

@@ -57,7 +57,13 @@ class VJFConfig:
     rtol: float = 1e-4                    # plateau tolerance
 
     # --- TPU-native knobs (no reference counterpart) ---
-    rls_backend: str = "auto"             # 'precision' | 'covariance' | 'auto'
+    rls_backend: str = "auto"             # 'precision' | 'covariance' | 'nsv' | 'auto'
+    fused_step: str = "auto"              # whole-step pallas kernel: 'on'|'off'|'auto'
+    # bf16 MXU inputs (f32 accumulate) for the fused kernel's activation /
+    # gradient / sufficient-statistic matmuls; the error-feedback-critical
+    # chain (P w, Newton-Schulz polish, V g) always stays f32. 'float32'
+    # disables. f32 matmuls cost 6 MXU passes on v5e — this is ~3x.
+    matmul_dtype: str = "bfloat16"
     trace_quirk: bool = True              # replicate vjf/functional.py:64-71
     dtype: str = "float32"
     chol_jitter: float = 0.0              # unconditional PSD jitter on RLS

@@ -217,7 +217,9 @@ def rls(
 
         def exact_path(v0):
             del v0
-            chol = safe_cholesky(p_new)
+            # plain cholesky: P is PD by construction here, and the eigh
+            # repair inside safe_cholesky is catastrophic inside a TPU cond
+            chol = jnp.linalg.cholesky(p_new)
             x = tri_inv_newton(chol)                   # X = inv(L), exact, MXU-only
             return x.T @ x                             # P^{-1} = L^-T L^-1
 

@@ -276,6 +276,13 @@ def run_epoch(
     :param q0: posterior carried in from a previous chunk (streaming);
         defaults to the prior (``vjf/model.py:252``: ``q = None``)
     """
+    from ..ops.pallas import fused_step as _fused
+
+    if _fused.fused_enabled(cfg, state):
+        return _fused.run_epoch_fused(
+            cfg, flags, state, ys, us, key, lr, noise=noise, q0=q0
+        )
+
     t_len, n_batch, _ = ys.shape
     xdim = cfg.xdim
     if q0 is None:

@@ -1,0 +1,751 @@
+"""The whole VJF filter-then-learn step as ONE Pallas TPU kernel.
+
+Measured on v5e: the XLA-compiled step costs ~27 us of which the large
+majority is per-op dispatch latency (~0.4-0.5 us per matmul/fusion at these
+tiny shapes — a 128x128 matmul is ~50 ns of MXU time). Every tensor in the
+step fits in VMEM hundreds of times over, so the TPU-native answer is to
+fuse the *entire* step — recognition forward, ELBO, hand-derived backward,
+clipped SGD, and the Newton-Schulz RLS update — into a single kernel with
+no internal loops (NS iterations unrolled; no Cholesky — see
+``vjf_tpu.models.regression.NSVBLR``).
+
+Design notes:
+  * :func:`step_math` is the full step as a pure jnp function, shared by
+    the kernel body and by interpret/CPU tests, so the hand-written
+    gradients are verified against ``jax.grad`` of the XLA formulation.
+  * No concatenates anywhere: the recognition input ``[y, u, q.mean,
+    q.logvar]`` and the RBF input ``[x, u]`` are handled by storing the
+    first-layer weights and centroids pre-split per segment — lane-dim
+    concats are relayouts on TPU; split weights turn them into extra MXU
+    matmuls that fuse into the same pass.
+  * The dynamics state is padded to a 128-multiple once per epoch
+    (identity pad block on P/V, zero pad elsewhere, +1e6 pad centroids so
+    padded basis responses are exactly 0) — zero per-step padding cost.
+  * The rare exact-inverse fallback (early steps, before Newton-Schulz
+    warm-start contracts) runs OUTSIDE the kernel behind ``lax.cond`` on
+    the kernel's tau output.
+
+Semantics mirror ``vjf/model.py:179-221`` (ordering: forward -> loss ->
+clipped SGD -> obs-noise update -> RLS -> state-noise update), with two
+documented perf-path deviations: the skip-step guard gates on loss
+finiteness rather than per-leaf gradient finiteness, and V is
+Newton-Schulz-tracked (exact to ~1e-6, self-correcting).
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...config import StepFlags, VJFConfig
+
+NS_ITERS = 4
+NS_TAU_THRESHOLD = 0.25
+
+
+def _round_up(x: int, m: int = 128) -> int:
+    return ((x + m - 1) // m) * m
+
+
+class FusedCarry(NamedTuple):
+    """Kernel-layout training state (padded, biases 2D, weights pre-split)."""
+
+    # recognition first layer, split by input segment (torch layout (out, in))
+    w_in_y: Array                 # (h0, yd)
+    w_in_u: Optional[Array]       # (h0, ud) or None when udim == 0
+    w_in_m: Array                 # (h0, xd)
+    w_in_lv: Array                # (h0, xd)
+    # deeper hidden layers + all biases
+    w_hidden: Tuple[Array, ...]   # each (h_i, h_{i-1}), layers 1..
+    b_hidden: Tuple[Array, ...]   # each (1, h_i), layers 0..
+    w_mean: Array                 # (xd, h_last)
+    w_logvar: Array               # (xd, h_last)
+    b_logvar: Array               # (1, xd)
+    # decoder
+    w_dec: Array                  # (yd, xd)
+    b_dec: Array                  # (1, yd)
+    # dynamics (padded to nfp), centroids split by segment
+    cent_x: Array                 # (nfp, xd) — pad rows at +1e6
+    cent_u: Optional[Array]       # (nfp, ud) or None
+    c2: Array                     # (1, nfp) — sum of squared centroid coords
+    inv_w2: Array                 # (1, nfp) — exp(-2 logwidth)
+    p_mat: Array                  # (nfp, nfp) precision, identity pad block
+    v_mat: Array                  # (nfp, nfp) NS-tracked inverse
+    w_dyn: Array                  # (nfp, xd), zero pad rows
+    # scalars as (1, 1)
+    state_logvar: Array
+    lik_logvar: Array             # gaussian obs noise (zeros for poisson)
+    dyn_n: Array                  # float running-var counters
+    lik_n: Array
+    rng_seed: Array               # (1, 1) int32 — in-kernel PRNG base seed
+    rng_count: Array              # (1, 1) int32 — per-step stream counter
+
+
+class ScalarPack(NamedTuple):
+    loss: Array                   # (1, 1) each
+    recon: Array
+    dyn: Array
+    ent: Array
+    tau: Array
+
+
+class StepOut(NamedTuple):
+    carry: FusedCarry
+    qt_mean: Array
+    qt_logvar: Array
+    g_vec: Array                  # (nfp, xd) RLS target (for exact fallback)
+    xt: Array                     # (B, xd)
+    xs: Array                     # (B, xd)
+    scal: ScalarPack
+
+
+def step_math(
+    cfg: VJFConfig,
+    flags: StepFlags,
+    carry: FusedCarry,
+    qs_m: Array,
+    qs_lv: Array,
+    y: Array,
+    u: Optional[Array],
+    eps_s: Array,
+    eps_t: Array,
+    lr: Array,
+) -> StepOut:
+    """Pure-jnp fused step on padded arrays. See module docstring."""
+    f32 = qs_m.dtype
+    b = y.shape[0]
+    inv_b = 1.0 / b
+    slogvar = carry.state_logvar[0, 0]
+    has_u = u is not None and u.shape[-1] > 0
+
+    # bf16-input matmuls (f32 accumulate) for activations / gradients /
+    # sufficient statistics: f32 matmuls cost 6 MXU passes on v5e. The
+    # error-feedback-critical chain (P w, final NS polish, V g) stays f32 —
+    # bf16 there would compound through the RLS recursion.
+    mp = cfg.matmul_dtype == "bfloat16" and f32 == jnp.float32
+
+    def mm(a_, b_):
+        if mp:
+            return jnp.dot(
+                a_.astype(jnp.bfloat16),
+                b_.astype(jnp.bfloat16),
+                preferred_element_type=f32,
+            )
+        return jnp.dot(a_, b_, preferred_element_type=f32)
+
+    # ---------------- forward (vjf/model.py:97-122) ----------------
+    xs = qs_m + eps_s * jnp.exp(0.5 * qs_lv)
+
+    x2 = jnp.sum(xs * xs, axis=-1, keepdims=True)             # (B, 1)
+    cross = xs @ carry.cent_x.T                               # f32: K tiny, exp-sensitive
+    if has_u:
+        x2 = x2 + jnp.sum(u * u, axis=-1, keepdims=True)
+        cross = cross + u @ carry.cent_u.T
+    d2 = jnp.maximum(x2 + carry.c2 - 2.0 * cross, 0.0)
+    feat = jnp.exp(-0.5 * d2 * carry.inv_w2)                  # (B, nfp); pad cols 0
+
+    z = mm(feat, carry.v_mat)                                 # (B, nfp), fvf only
+    fvf = jnp.sum(z * feat, axis=-1, keepdims=True)           # (B, 1)
+    fvf = jnp.maximum(fvf, 1e-30)
+    pt_lv = jnp.log(fvf)                                      # (B, 1), broadcast xd
+    pt_m = (1.0 - cfg.leak) * xs + mm(feat, carry.w_dyn)
+
+    a0 = mm(y, carry.w_in_y.T) + mm(qs_m, carry.w_in_m.T) + mm(
+        qs_lv, carry.w_in_lv.T
+    )
+    if has_u:
+        a0 = a0 + mm(u, carry.w_in_u.T)
+    a = jnp.tanh(a0 + carry.b_hidden[0])
+    hs = [a]
+    for i, w in enumerate(carry.w_hidden):
+        a = jnp.tanh(mm(a, w.T) + carry.b_hidden[i + 1])
+        hs.append(a)
+    h_last = a
+    qt_m = mm(h_last, carry.w_mean.T)
+    qt_lv = mm(h_last, carry.w_logvar.T) + carry.b_logvar
+    sig_t = jnp.exp(0.5 * qt_lv)
+    xt = qt_m + eps_t * sig_t
+    py = mm(xt, carry.w_dec.T) + carry.b_dec
+
+    # ---------------- ELBO components (vjf/model.py:124-154) ---------------
+    if cfg.likelihood == "poisson":
+        pyc = jnp.minimum(py, cfg.poisson_clamp)
+        exp_pyc = jnp.exp(pyc)
+        l_recon = jnp.sum(exp_pyc - y * pyc) * inv_b
+        obs_mse = jnp.zeros((), f32)
+    else:
+        lik_lv = carry.lik_logvar[0, 0]
+        resid_y = y - py
+        sq_y = jnp.sum(resid_y * resid_y)
+        l_recon = 0.5 * (sq_y * jnp.exp(-lik_lv) * inv_b + y.shape[-1] * lik_lv)
+        obs_mse = sq_y * inv_b / y.shape[-1]
+
+    inv_sv = jnp.exp(-slogvar)
+    diff = pt_m - qt_m
+    if cfg.trace_quirk:
+        trace = jnp.exp(pt_lv + qt_lv - slogvar)
+    else:
+        trace = jnp.exp(pt_lv - slogvar) + jnp.exp(qt_lv - slogvar)
+    xd = qt_m.shape[-1]
+    l_dyn = 0.5 * (
+        jnp.sum(diff * diff) * inv_sv * inv_b
+        + xd * slogvar
+        + jnp.sum(trace) * inv_b
+    )
+    h_ent = 0.5 * jnp.sum(qt_lv) * inv_b
+
+    l_recon = jnp.where(jnp.isfinite(l_recon), l_recon, 0.0)
+    l_dyn = jnp.where(jnp.isfinite(l_dyn), l_dyn, 0.0)
+    h_ent = jnp.where(jnp.isfinite(h_ent), h_ent, 0.0)
+    loss = l_recon - h_ent + (0.0 if flags.warm_up else l_dyn)
+
+    # ---------------- manual backward + clipped SGD ----------------
+    new = carry
+    if flags.sgd:
+        ok = jnp.isfinite(loss)
+        step_lr = jnp.where(ok, lr, 0.0)
+        clip = cfg.clip
+
+        if cfg.likelihood == "poisson":
+            g_py = (exp_pyc - y) * (py < cfg.poisson_clamp) * inv_b
+            lik_logvar_new = carry.lik_logvar
+        else:
+            g_py = -resid_y * jnp.exp(-lik_lv) * inv_b
+            g_lik_lv = -0.5 * sq_y * jnp.exp(-lik_lv) * inv_b + 0.5 * y.shape[-1]
+            lik_logvar_new = carry.lik_logvar - step_lr * jnp.clip(
+                g_lik_lv, -clip, clip
+            )
+
+        g_xt = mm(g_py, carry.w_dec)                           # (B, xd)
+        if flags.train_decoder:
+            w_dec_new = carry.w_dec - step_lr * jnp.clip(mm(g_py.T, xt), -clip, clip)
+            b_dec_new = carry.b_dec - step_lr * jnp.clip(
+                jnp.sum(g_py, axis=0, keepdims=True), -clip, clip
+            )
+        else:
+            w_dec_new, b_dec_new = carry.w_dec, carry.b_dec
+
+        g_qt_m = g_xt
+        g_qt_lv = g_xt * eps_t * (0.5 * sig_t) - (0.5 * inv_b)  # + entropy term
+        if not flags.warm_up:
+            g_qt_m = g_qt_m - diff * (inv_sv * inv_b)
+            if cfg.trace_quirk:
+                g_qt_lv = g_qt_lv + 0.5 * trace * inv_b
+            else:
+                g_qt_lv = g_qt_lv + 0.5 * jnp.exp(qt_lv - slogvar) * inv_b
+
+        g_wm = mm(g_qt_m.T, h_last)
+        g_wlv = mm(g_qt_lv.T, h_last)
+        g_blv = jnp.sum(g_qt_lv, axis=0, keepdims=True)
+        g_h = mm(g_qt_m, carry.w_mean) + mm(g_qt_lv, carry.w_logvar)
+
+        new_w_hidden = list(carry.w_hidden)
+        new_b_hidden = list(carry.b_hidden)
+        for i in range(len(carry.w_hidden), 0, -1):            # layers n..1
+            h_i = hs[i]
+            g_a = g_h * (1.0 - h_i * h_i)
+            new_w_hidden[i - 1] = carry.w_hidden[i - 1] - step_lr * jnp.clip(
+                mm(g_a.T, hs[i - 1]), -clip, clip
+            )
+            new_b_hidden[i] = carry.b_hidden[i] - step_lr * jnp.clip(
+                jnp.sum(g_a, axis=0, keepdims=True), -clip, clip
+            )
+            g_h = mm(g_a, carry.w_hidden[i - 1])
+        g_a0 = g_h * (1.0 - hs[0] * hs[0])                     # first layer
+        new_b_hidden[0] = carry.b_hidden[0] - step_lr * jnp.clip(
+            jnp.sum(g_a0, axis=0, keepdims=True), -clip, clip
+        )
+        w_in_u_new = carry.w_in_u
+        if has_u:
+            w_in_u_new = carry.w_in_u - step_lr * jnp.clip(mm(g_a0.T, u), -clip, clip)
+
+        new = new._replace(
+            w_in_y=carry.w_in_y - step_lr * jnp.clip(mm(g_a0.T, y), -clip, clip),
+            w_in_u=w_in_u_new,
+            w_in_m=carry.w_in_m - step_lr * jnp.clip(mm(g_a0.T, qs_m), -clip, clip),
+            w_in_lv=carry.w_in_lv - step_lr * jnp.clip(mm(g_a0.T, qs_lv), -clip, clip),
+            w_hidden=tuple(new_w_hidden),
+            b_hidden=tuple(new_b_hidden),
+            w_mean=carry.w_mean - step_lr * jnp.clip(g_wm, -clip, clip),
+            w_logvar=carry.w_logvar - step_lr * jnp.clip(g_wlv, -clip, clip),
+            b_logvar=carry.b_logvar - step_lr * jnp.clip(g_blv, -clip, clip),
+            w_dec=w_dec_new,
+            b_dec=b_dec_new,
+            lik_logvar=lik_logvar_new,
+        )
+
+    # ---------------- non-gradient updates (vjf/model.py:156-177) ----------
+    tau = jnp.zeros((), f32)
+    g_vec = jnp.zeros_like(carry.w_dyn)
+    if flags.update:
+        if cfg.likelihood == "gaussian":
+            # running-var overwrite with the POST-SGD logvar (vjf ordering)
+            lik_n = jnp.minimum(new.lik_n[0, 0], float(cfg.obs_var_cap))
+            tot = lik_n + b
+            var = (lik_n / tot) * jnp.exp(new.lik_logvar[0, 0]) + (b / tot) * obs_mse
+            new = new._replace(
+                lik_logvar=jnp.log(var).reshape(1, 1),
+                lik_n=tot.reshape(1, 1),
+            )
+
+        dx = xt - xs
+        w_dyn_new = carry.w_dyn
+        if not flags.warm_up:
+            inv_sv_u = jnp.exp(-slogvar)
+            ftf = mm(feat.T, feat) * inv_sv_u
+            # P w stays f32: bf16 error here would compound through the
+            # g -> w -> g recursion across the whole stream.
+            g_vec = (
+                jnp.dot(carry.p_mat, carry.w_dyn, preferred_element_type=f32)
+                + mm(feat.T, dx) * inv_sv_u
+            )
+            p_new = carry.p_mat + ftf
+            tau = jnp.sum(fvf) * inv_sv_u
+            # Newton-Schulz in full f32: the residual floor scales with
+            # eps * cond(P), and P's condition grows with the data stream —
+            # bf16 iterations stall at ~0.01*cond and poison the w feedback
+            # loop (measured: training quality loss within 2k steps).
+            x_ns = carry.v_mat
+            eye2 = 2.0 * jnp.eye(p_new.shape[0], dtype=f32)
+            for _ in range(NS_ITERS):
+                x_ns = jnp.dot(
+                    x_ns,
+                    eye2 - jnp.dot(p_new, x_ns, preferred_element_type=f32),
+                    preferred_element_type=f32,
+                )
+            v_new = 0.5 * (x_ns + x_ns.T)
+            w_dyn_new = jnp.dot(v_new, g_vec, preferred_element_type=f32)
+            new = new._replace(p_mat=p_new, v_mat=v_new, w_dyn=w_dyn_new)
+
+        resid = dx - mm(feat, w_dyn_new)                       # vjf/model.py:372
+        mse_dyn = jnp.mean(resid * resid)
+        dyn_n = jnp.minimum(new.dyn_n[0, 0], float(cfg.state_var_cap))
+        tot_d = dyn_n + b
+        var_d = (dyn_n / tot_d) * jnp.exp(slogvar) + (b / tot_d) * mse_dyn
+        new = new._replace(
+            state_logvar=jnp.log(var_d).reshape(1, 1),
+            dyn_n=tot_d.reshape(1, 1),
+        )
+
+    scal = ScalarPack(
+        loss=loss.reshape(1, 1),
+        recon=(-l_recon).reshape(1, 1),
+        dyn=(-l_dyn).reshape(1, 1),
+        ent=h_ent.reshape(1, 1),
+        tau=tau.reshape(1, 1),
+    )
+    return StepOut(
+        carry=new, qt_mean=qt_m, qt_logvar=qt_lv, g_vec=g_vec,
+        xt=xt, xs=xs, scal=scal,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pallas wrapper
+# ---------------------------------------------------------------------------
+
+
+def _box_muller(shape, dtype):
+    """Standard normals from the on-core PRNG (kernel context only)."""
+    # bitcast is load-bearing: prng_random_bits yields signed bits, and a
+    # signed shift would produce negative "uniforms" (log -> NaN).
+    bits1 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    bits2 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    # top 24 bits -> int32 (always positive; Mosaic lacks uint32->f32 casts)
+    i1 = pltpu.bitcast(bits1 >> 8, jnp.int32)
+    i2 = pltpu.bitcast(bits2 >> 8, jnp.int32)
+    # 24-bit mantissa uniforms in (0, 1); offset avoids log(0)
+    u1 = i1.astype(dtype) * (2.0**-24) + (2.0**-25)
+    u2 = i2.astype(dtype) * (2.0**-24)
+    r = jnp.sqrt(-2.0 * jnp.log(u1))
+    return r * jnp.cos((2.0 * 3.14159265358979) * u2)
+
+
+def _make_kernel(cfg: VJFConfig, flags: StepFlags, carry_treedef, n_carry: int,
+                 has_u: bool, internal_rng: bool, xd: int):
+    # data layout: qs_m, qs_lv, y, [u], [eps_s, eps_t unless internal_rng]
+    n_data = 3 + (1 if has_u else 0) + (0 if internal_rng else 2)
+
+    def kernel(*refs):
+        lr_ref = refs[0]
+        carry_refs = refs[1 : 1 + n_carry]
+        data_refs = refs[1 + n_carry : 1 + n_carry + n_data]
+        out_refs = refs[1 + n_carry + n_data :]
+
+        carry = jax.tree_util.tree_unflatten(
+            carry_treedef, [r[:] for r in carry_refs]
+        )
+        it = iter(data_refs)
+        qs_m = next(it)[:]
+        qs_lv = next(it)[:]
+        y = next(it)[:]
+        u = next(it)[:] if has_u else None
+        if internal_rng:
+            pltpu.prng_seed(carry.rng_seed[0, 0], carry.rng_count[0, 0])
+            b = qs_m.shape[0]
+            eps = _box_muller((2, b, xd), qs_m.dtype)
+            eps_s, eps_t = eps[0], eps[1]
+        else:
+            eps_s = next(it)[:]
+            eps_t = next(it)[:]
+
+        out = step_math(
+            cfg, flags, carry, qs_m, qs_lv, y, u, eps_s, eps_t, lr_ref[0]
+        )
+        out = out._replace(
+            carry=out.carry._replace(rng_count=out.carry.rng_count + 1)
+        )
+
+        # outputs: carry leaves (aliased in-place), then packed q/g/x/scal
+        n_c = n_carry
+        for ref, val in zip(out_refs[:n_c], jax.tree_util.tree_leaves(out.carry)):
+            ref[:] = val
+        q_ref, g_ref, xt_ref, xs_ref, scal_ref = out_refs[n_c:]
+        q_ref[0] = out.qt_mean
+        q_ref[1] = out.qt_logvar
+        g_ref[:] = out.g_vec
+        xt_ref[:] = out.xt
+        xs_ref[:] = out.xs
+        # assemble the scalar pack as one vectorized row (Mosaic cannot
+        # store scalars to VMEM)
+        s = out.scal
+        cols = jax.lax.broadcasted_iota(jnp.int32, (1, 8), 1)
+        row = (
+            jnp.where(cols == 0, s.loss[0, 0], 0.0)
+            + jnp.where(cols == 1, s.recon[0, 0], 0.0)
+            + jnp.where(cols == 2, s.dyn[0, 0], 0.0)
+            + jnp.where(cols == 3, s.ent[0, 0], 0.0)
+            + jnp.where(cols == 4, s.tau[0, 0], 0.0)
+        )
+        scal_ref[:] = row
+
+    return kernel
+
+
+class PackedStepOut(NamedTuple):
+    carry: FusedCarry
+    q_pack: Array                 # (2, B, xd): qt mean / logvar
+    g_vec: Array
+    xt: Array
+    xs: Array
+    scal: Array                   # (1, 8): loss, recon, dyn, ent, tau
+
+
+def fused_step_call(
+    cfg: VJFConfig,
+    flags: StepFlags,
+    carry: FusedCarry,
+    qs_m: Array,
+    qs_lv: Array,
+    y: Array,
+    u: Optional[Array],
+    eps_s: Optional[Array],
+    eps_t: Optional[Array],
+    lr: Array,
+    interpret: bool = False,
+) -> PackedStepOut:
+    """Run the fused kernel once. ``eps_s``/``eps_t`` None selects in-kernel
+    Box-Muller RNG (seeded from the carry's rng_seed/rng_count)."""
+    carry_leaves, carry_treedef = jax.tree_util.tree_flatten(carry)
+    has_u = u is not None and u.shape[-1] > 0
+    internal_rng = eps_s is None
+    b = y.shape[0]
+    xd = cfg.xdim
+    dtype = qs_m.dtype
+    nfp = carry.p_mat.shape[0]
+
+    kernel = _make_kernel(
+        cfg, flags, carry_treedef, len(carry_leaves), has_u, internal_rng, xd
+    )
+    data = [qs_m, qs_lv, y] + ([u] if has_u else []) + (
+        [] if internal_rng else [eps_s, eps_t]
+    )
+    n_in = 1 + len(carry_leaves) + len(data)
+
+    out_shape = (
+        tuple(jax.ShapeDtypeStruct(l.shape, l.dtype) for l in carry_leaves)
+        + (
+            jax.ShapeDtypeStruct((2, b, xd), dtype),       # q_pack
+            jax.ShapeDtypeStruct((nfp, xd), dtype),        # g_vec
+            jax.ShapeDtypeStruct((b, xd), dtype),          # xt
+            jax.ShapeDtypeStruct((b, xd), dtype),          # xs
+            jax.ShapeDtypeStruct((1, 8), dtype),           # scal
+        )
+    )
+    # carry leaves are both inputs (1..n) and the first n outputs: alias them
+    # in place — the scan carry then updates without n fresh allocations.
+    aliases = {1 + i: i for i in range(len(carry_leaves))}
+    results = pl.pallas_call(
+        kernel,
+        out_shape=out_shape,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (n_in - 1),
+        out_specs=tuple(pl.BlockSpec(memory_space=pltpu.VMEM) for _ in out_shape),
+        input_output_aliases=aliases,
+        interpret=interpret,
+    )(lr.reshape(1), *carry_leaves, *data)
+
+    n_c = len(carry_leaves)
+    new_carry = jax.tree_util.tree_unflatten(carry_treedef, list(results[:n_c]))
+    q_pack, g_vec, xt, xs, scal = results[n_c:]
+    return PackedStepOut(new_carry, q_pack, g_vec, xt, xs, scal)
+
+
+# ---------------------------------------------------------------------------
+# Padding between TrainState and FusedCarry
+# ---------------------------------------------------------------------------
+
+
+def pad_carry(cfg: VJFConfig, state) -> FusedCarry:
+    """TrainState -> FusedCarry (padded once per epoch; ~zero per-step cost).
+
+    Pad contract: centroids +1e6 (padded basis responses underflow to exact
+    0), P/V identity pad block, dynamics weights zero pad — padded dims stay
+    decoupled through every update.
+    """
+    from ...models.regression import NSVBLR
+
+    p = state.params
+    blr = state.dynamics.blr
+    assert isinstance(blr, NSVBLR), "fused step requires the nsv backend"
+    nf = blr.w_mean.shape[0]
+    nfp = _round_up(nf)
+    dtype = blr.w_mean.dtype
+    xd, ud, yd = cfg.xdim, cfg.udim, cfg.ydim
+
+    rbf = state.dynamics.rbf
+    cent_full = jnp.full((nfp, xd + ud), 1e6, dtype).at[:nf].set(rbf.centroid)
+    inv_w2 = jnp.ones((1, nfp), dtype).at[0, :nf].set(jnp.exp(-2.0 * rbf.logwidth))
+    c2 = jnp.sum(cent_full * cent_full, axis=-1).reshape(1, nfp)
+
+    pad_eye = jnp.eye(nfp, dtype=dtype).at[:nf, :nf].set(0.0)
+    p_mat = jnp.zeros((nfp, nfp), dtype).at[:nf, :nf].set(blr.precision) + pad_eye
+    v_mat = jnp.zeros((nfp, nfp), dtype).at[:nf, :nf].set(blr.cov) + pad_eye
+    w_dyn = jnp.zeros((nfp, xd), dtype).at[:nf].set(blr.w_mean)
+
+    w0 = p.recognition.layers[0].w       # (h0, yd + ud + 2 xd)
+    lik_lv = (
+        p.likelihood.logvar if cfg.likelihood == "gaussian" else jnp.zeros((), dtype)
+    )
+    return FusedCarry(
+        w_in_y=w0[:, :yd],
+        w_in_u=w0[:, yd : yd + ud] if ud > 0 else None,
+        w_in_m=w0[:, yd + ud : yd + ud + xd],
+        w_in_lv=w0[:, yd + ud + xd :],
+        w_hidden=tuple(l.w for l in p.recognition.layers[1:]),
+        b_hidden=tuple(l.b.reshape(1, -1) for l in p.recognition.layers),
+        w_mean=p.recognition.mean.w,
+        w_logvar=p.recognition.logvar.w,
+        b_logvar=p.recognition.logvar.b.reshape(1, -1),
+        w_dec=p.decoder.w,
+        b_dec=p.decoder.b.reshape(1, -1),
+        cent_x=cent_full[:, :xd],
+        cent_u=cent_full[:, xd:] if ud > 0 else None,
+        c2=c2,
+        inv_w2=inv_w2,
+        p_mat=p_mat,
+        v_mat=v_mat,
+        w_dyn=w_dyn,
+        state_logvar=state.dynamics.logvar.reshape(1, 1).astype(dtype),
+        lik_logvar=jnp.reshape(lik_lv, (1, 1)).astype(dtype),
+        dyn_n=state.dynamics.n_sample.astype(dtype).reshape(1, 1),
+        lik_n=state.lik_n_sample.astype(dtype).reshape(1, 1),
+        rng_seed=jnp.zeros((1, 1), jnp.int32),
+        rng_count=jnp.zeros((1, 1), jnp.int32),
+    )
+
+
+def unpad_carry(cfg: VJFConfig, carry: FusedCarry, state_template):
+    """FusedCarry -> TrainState (slice off padding, restore counters)."""
+    from ...models.dynamics import DynamicsState
+    from ...models.likelihoods import GaussianLikParams
+    from ...models.rbf import RBFParams
+    from ...models.recognition import LinearParams, RecognitionParams
+    from ...models.regression import NSVBLR
+    from ...models.vjf import Params, TrainState
+
+    nf = state_template.dynamics.blr.w_mean.shape[0]
+    tmpl_p = state_template.params
+
+    segs = [carry.w_in_y] + ([carry.w_in_u] if carry.w_in_u is not None else []) + [
+        carry.w_in_m, carry.w_in_lv
+    ]
+    w0 = jnp.concatenate(segs, axis=1)
+    layers = (LinearParams(w0, carry.b_hidden[0].reshape(-1)),) + tuple(
+        LinearParams(w, b.reshape(-1))
+        for w, b in zip(carry.w_hidden, carry.b_hidden[1:])
+    )
+    rec = RecognitionParams(
+        layers=layers,
+        mean=LinearParams(carry.w_mean, None),
+        logvar=LinearParams(carry.w_logvar, carry.b_logvar.reshape(-1)),
+    )
+    if cfg.likelihood == "gaussian":
+        lik = GaussianLikParams(logvar=carry.lik_logvar.reshape(()))
+    else:
+        lik = tmpl_p.likelihood
+    params = Params(
+        recognition=rec,
+        decoder=LinearParams(carry.w_dec, carry.b_dec.reshape(-1)),
+        likelihood=lik,
+        prior=tmpl_p.prior,
+    )
+    cent_segs = [carry.cent_x] + ([carry.cent_u] if carry.cent_u is not None else [])
+    centroid = jnp.concatenate(cent_segs, axis=1)[:nf]
+    dynamics = DynamicsState(
+        rbf=RBFParams(centroid, state_template.dynamics.rbf.logwidth),
+        blr=NSVBLR(
+            w_mean=carry.w_dyn[:nf],
+            precision=carry.p_mat[:nf, :nf],
+            cov=carry.v_mat[:nf, :nf],
+        ),
+        logvar=carry.state_logvar.reshape(()),
+        n_sample=carry.dyn_n.reshape(()).astype(jnp.int32),
+    )
+    return TrainState(
+        params=params,
+        dynamics=dynamics,
+        lik_n_sample=carry.lik_n.reshape(()).astype(jnp.int32),
+    )
+
+
+def exact_v_fallback(
+    cfg: VJFConfig, out, prev_carry: FusedCarry, u: Optional[Array] = None
+):
+    """Replace the NS-tracked V with the exact Cholesky inverse when the
+    kernel's tau says Newton-Schulz hadn't contracted (early steps only).
+
+    The ``lax.cond`` is narrowed to the four affected dynamics fields so
+    the common passthrough path copies ~70 KB, not the whole step output;
+    features are recomputed inside the rare branch rather than streamed out
+    of the kernel every step (128 KB/step of dead HBM traffic otherwise).
+
+    Plain Cholesky, deliberately: P = I + sum F^T F / v is PD by
+    construction, and ``safe_cholesky``'s eigh-repair branch nested inside
+    this cond measured ~1 ms/step on v5e (TPU conditionals do not reliably
+    skip an eigh-heavy untaken branch).
+    """
+    from ...ops.linalg import tri_inv_newton
+
+    c = out.carry
+    b = out.xt.shape[0]
+
+    def exact(_):
+        chol = jnp.linalg.cholesky(c.p_mat)
+        x = tri_inv_newton(chol)
+        v_new = x.T @ x
+        w_new = v_new @ out.g_vec
+        # recompute features of xs (rare branch only)
+        x2 = jnp.sum(out.xs * out.xs, axis=-1, keepdims=True)
+        cross = out.xs @ c.cent_x.T
+        if u is not None and u.shape[-1] > 0:
+            x2 = x2 + jnp.sum(u * u, axis=-1, keepdims=True)
+            cross = cross + u @ c.cent_u.T
+        d2 = jnp.maximum(x2 + c.c2 - 2.0 * cross, 0.0)
+        feat = jnp.exp(-0.5 * d2 * c.inv_w2)
+        resid = (out.xt - out.xs) - feat @ w_new
+        mse = jnp.mean(resid * resid)
+        dyn_n = jnp.minimum(prev_carry.dyn_n[0, 0], float(cfg.state_var_cap))
+        tot = dyn_n + b
+        var = (dyn_n / tot) * jnp.exp(prev_carry.state_logvar[0, 0]) + (
+            b / tot
+        ) * mse
+        return v_new, w_new, jnp.log(var).reshape(1, 1), tot.reshape(1, 1)
+
+    def keep(_):
+        return c.v_mat, c.w_dyn, c.state_logvar, c.dyn_n
+
+    tau = (
+        out.scal.tau[0, 0] if isinstance(out, StepOut) else out.scal[0, 4]
+    )
+    v_new, w_new, slv, dn = jax.lax.cond(tau < NS_TAU_THRESHOLD, keep, exact, None)
+    return out._replace(
+        carry=c._replace(v_mat=v_new, w_dyn=w_new, state_logvar=slv, dyn_n=dn)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fused epoch runner (drop-in for models.vjf.run_epoch)
+# ---------------------------------------------------------------------------
+
+
+def fused_enabled(cfg: VJFConfig, state) -> bool:
+    from ...models.regression import NSVBLR
+
+    if cfg.fused_step == "off":
+        return False
+    if cfg.dynamics != "rbf" or not isinstance(state.dynamics.blr, NSVBLR):
+        return False
+    if cfg.fused_step == "on":
+        return True
+    return cfg.dtype == "float32" and jax.default_backend() == "tpu"
+
+
+def run_epoch_fused(cfg, flags, state, ys, us, key, lr, noise=None, q0=None,
+                    interpret: Optional[bool] = None):
+    """One epoch through the fused kernel — same contract as
+    ``models.vjf.run_epoch`` (pad once, scan the kernel, unpad once).
+
+    Scan I/O is minimized: observations are the only per-step input in the
+    common case (controls only when udim > 0, eps slices only when noise is
+    injected — otherwise the kernel's on-core PRNG generates them), and the
+    per-step outputs are two packed buffers (posterior pack + scalar pack).
+    Per-step dynamic-slice/update ops were measured at ~1 us each on v5e, so
+    every dropped stream is real throughput.
+    """
+    from ...models.vjf import EpochResult, Metrics, prior
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    t_len, n_batch, _ = ys.shape
+    if q0 is None:
+        q0 = prior(state.params, n_batch)
+    internal_rng = noise is None and not interpret
+    if noise is None and not internal_rng:
+        eps = jax.random.normal(key, (t_len, 2, n_batch, cfg.xdim), ys.dtype)
+        noise = (eps[:, 0], eps[:, 1])
+
+    carry0 = pad_carry(cfg, state)
+    if internal_rng:
+        seed = jax.random.randint(key, (1, 1), 0, jnp.iinfo(jnp.int32).max, jnp.int32)
+        carry0 = carry0._replace(rng_seed=seed)
+    has_u = cfg.udim > 0
+    do_fallback = flags.update and not flags.warm_up
+
+    def body(c, inp):
+        carry, qm, qlv = c
+        it = iter(inp)
+        y = next(it)
+        u = next(it) if has_u else None
+        e1, e2 = (next(it), next(it)) if not internal_rng else (None, None)
+        out = fused_step_call(
+            cfg, flags, carry, qm, qlv, y, u, e1, e2, lr, interpret=interpret
+        )
+        if do_fallback:
+            out = exact_v_fallback(cfg, out, carry, u)
+        return (out.carry, out.q_pack[0], out.q_pack[1]), (out.q_pack, out.scal)
+
+    xs_in = (ys,) + ((us,) if has_u else ()) + (
+        (noise[0], noise[1]) if not internal_rng else ()
+    )
+    (carry_f, _, _), (q_seq, scal_seq) = jax.lax.scan(
+        body, (carry0, q0.mean, q0.logvar), xs_in
+    )
+    metrics = Metrics(
+        loss=scal_seq[:, 0, 0],
+        recon=scal_seq[:, 0, 1],
+        dynamics=scal_seq[:, 0, 2],
+        entropy=scal_seq[:, 0, 3],
+    )
+    return EpochResult(
+        state=unpad_carry(cfg, carry_f, state),
+        q_means=q_seq[:, 0],
+        q_logvars=q_seq[:, 1],
+        metrics=metrics,
+    )
