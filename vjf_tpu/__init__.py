@@ -17,11 +17,22 @@ Quick start (mirrors the reference API)::
 
 Functional core: ``vjf_tpu.models.vjf`` (explicit state pytrees, jit/scan).
 """
-from . import config, ops, types
+from . import config, models, ops, parallel, types, utils
 from .api import VJF
 from .config import StepFlags, VJFConfig
 from .types import Gaussian
 
 __version__ = "0.1.0"
 
-__all__ = ["VJF", "VJFConfig", "StepFlags", "Gaussian", "config", "ops", "types"]
+__all__ = [
+    "VJF",
+    "VJFConfig",
+    "StepFlags",
+    "Gaussian",
+    "config",
+    "models",
+    "ops",
+    "parallel",
+    "types",
+    "utils",
+]

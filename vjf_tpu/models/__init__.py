@@ -1,5 +1,6 @@
-from . import decoder, dynamics, likelihoods, rbf, recognition, regression, vjf
+from . import decoder, dynamics, likelihoods, rbf, rbfn, recognition, regression, vjf
 from .dynamics import DynamicsState
+from .rbfn import RBFNParams, apply_rbfn, init_rbfn
 from .vjf import Metrics, Params, TrainState, filter_step, fit, forecast, init_state, run_epoch
 
 __all__ = [

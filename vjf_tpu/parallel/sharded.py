@@ -79,7 +79,12 @@ def make_sharded_epoch(cfg: VJFConfig, flags: StepFlags, mesh: Mesh, donate: boo
     RLS all-reduce guarantees every shard applies the identical dynamics
     update — the JAX equivalent of the shared dynamics posterior noted at
     SURVEY.md §2.4).
+
+    The whole-step pallas kernel is disabled here: GSPMD does not partition
+    a pallas_call, so the sharded path uses the XLA step (whose sufficient-
+    statistic contractions auto-insert the psum collectives).
     """
+    cfg = cfg.replace(fused_step="off")
     st_shard = None
 
     def fn(state, ys, us, key, lr):
