@@ -1,0 +1,77 @@
+"""Recovery tests on the named benchmark systems (BASELINE.json configs):
+Van der Pol (Gaussian obs) and Lorenz (Poisson obs). These anchor the
+accuracy-style results the companion paper reports (SURVEY.md §6)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vjf_tpu.config import VJFConfig
+from vjf_tpu.models import vjf as core
+
+
+def van_der_pol(T=1200, dt=0.05, mu=1.0, x0=(1.0, 0.0), noise=0.02, seed=0):
+    rng = np.random.default_rng(seed)
+    x = np.zeros((T, 2))
+    x[0] = x0
+    for t in range(1, T):
+        p, v = x[t - 1]
+        dp = v
+        dv = mu * (1 - p * p) * v - p
+        x[t] = x[t - 1] + dt * np.array([dp, dv]) + noise * rng.normal(size=2)
+    return x
+
+
+def lorenz(T=1500, dt=0.01, seed=0, noise=0.0):
+    rng = np.random.default_rng(seed)
+    x = np.zeros((T, 3))
+    x[0] = (1.0, 1.0, 25.0)
+    for t in range(1, T):
+        a, b, c = x[t - 1]
+        d = np.array([10 * (b - a), a * (28 - c) - b, a * b - 8 / 3 * c])
+        x[t] = x[t - 1] + dt * d + noise * rng.normal(size=3)
+    return x
+
+
+def _r2(m, x_true):
+    X = np.concatenate([m, np.ones((m.shape[0], 1))], axis=1)
+    A, *_ = np.linalg.lstsq(X, x_true, rcond=None)
+    pred = X @ A
+    return 1 - np.sum((pred - x_true) ** 2) / np.sum((x_true - x_true.mean(0)) ** 2)
+
+
+def test_van_der_pol_gaussian(key):
+    """BASELINE config #1: Van der Pol 2D latent, Gaussian observations."""
+    x = van_der_pol()
+    x = (x - x.mean(0)) / x.std(0)
+    rng = np.random.default_rng(1)
+    C = rng.normal(size=(2, 20))
+    y = x @ C + rng.normal(size=(20,)) + 0.1 * rng.normal(size=(x.shape[0], 20))
+
+    cfg = VJFConfig(ydim=20, xdim=2, udim=0, n_rbf=50, hidden_sizes=(20,),
+                    likelihood="gaussian", dtype="float64", lr=3e-3)
+    state = core.init_state(key, cfg)
+    res = core.fit(cfg, state, y, key=key, max_iter=40)
+    r2 = _r2(np.asarray(res.mu[:, 0, :]), x)
+    assert r2 > 0.85, r2
+
+    # forecast from a trained state stays bounded (limit cycle, not blowup)
+    xf, _ = core.forecast(cfg, res.state, res.mu[-1, 0], key, n_step=300)
+    assert float(jnp.max(jnp.abs(xf))) < 50.0
+
+
+def test_lorenz_poisson(key):
+    """BASELINE config #2: Lorenz 3D latent with Poisson spike observations."""
+    x = lorenz()
+    x = (x - x.mean(0)) / x.std(0)
+    rng = np.random.default_rng(2)
+    C = rng.normal(size=(3, 50)) * 0.4
+    rate = np.exp(np.clip(x @ C + 0.5, -4, 3))
+    y = rng.poisson(rate).astype(np.float64)
+
+    cfg = VJFConfig(ydim=50, xdim=3, udim=0, n_rbf=60, hidden_sizes=(32,),
+                    likelihood="poisson", dtype="float64", lr=2e-3)
+    state = core.init_state(key, cfg)
+    res = core.fit(cfg, state, y, key=key, max_iter=40)
+    r2 = _r2(np.asarray(res.mu[:, 0, :]), x)
+    assert r2 > 0.6, r2

@@ -360,6 +360,7 @@ def fit(
     rtol: Optional[float] = None,
     callback=None,
     donate: bool = True,
+    noise_hook=None,
 ) -> FitResult:
     """Epoch training loop with warm-up — ``VJF.fit`` (``vjf/model.py:223-307``).
 
@@ -368,6 +369,9 @@ def fit(
     the epoch loss plateaus (torch.isclose, rtol), the decoder is frozen
     forever and the dynamics model is bootstrap-initialized from the pooled
     posterior means of that epoch. A second plateau ends training.
+
+    ``noise_hook(epoch) -> (eps_s, eps_t)`` optionally injects the per-step
+    sampling noise of each epoch (golden-parity harness).
     """
     beta = cfg.beta if beta is None else beta
     rtol = cfg.rtol if rtol is None else rtol
@@ -394,7 +398,11 @@ def fit(
     for epoch in range(max_iter):
         key, k_epoch = jax.random.split(key)
         flags = StepFlags(sgd=True, update=True, warm_up=warm_up, train_decoder=warm_up)
-        result = epoch_fn(cfg, flags, state, y, us, k_epoch, jnp.asarray(lr, cfg.jdtype))
+        noise = noise_hook(epoch) if noise_hook is not None else None
+        result = epoch_fn(
+            cfg, flags, state, y, us, k_epoch, jnp.asarray(lr, cfg.jdtype),
+            noise=noise,
+        )
         state = result.state
         epoch_loss = float(jnp.mean(result.metrics.loss))
 
