@@ -151,6 +151,24 @@ def nonecat(a: Array, u: Optional[Array]) -> Array:
     return jnp.concatenate([a, u], axis=-1)
 
 
+def normed_linear(x: Array, w: Array, bias: Optional[Array] = None) -> Array:
+    """Row-normalized linear layer — counterpart of the reference's (unused)
+    utility at ``vjf/functional.py:78-82``: weight rows are L2-normalized
+    before the affine map."""
+    w = w / jnp.linalg.norm(w, axis=1, keepdims=True)
+    out = x @ w
+    return out + bias if bias is not None else out
+
+
+def flat2d(a: Optional[Array]) -> Optional[Array]:
+    """Collapse leading axes to 2D — ``vjf/util.py:66-76``."""
+    if a is None:
+        return None
+    if a.ndim <= 2:
+        return jnp.atleast_2d(a)
+    return a.reshape(-1, a.shape[-1])
+
+
 def finite_or_zero(x: Array) -> Array:
     """Replace a non-finite scalar loss term with 0.
 

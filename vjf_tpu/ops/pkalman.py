@@ -1,0 +1,188 @@
+"""Parallel-in-time Kalman filtering and RTS smoothing via associative scan.
+
+A TPU-native capability beyond the reference: the online filter is
+inherently sequential (per-step parameter updates), but *post-hoc state
+inference* in the learned model is not — for a (locally) linear-Gaussian
+state-space model, Kalman filtering and smoothing are associative
+operations (Sarkka & Garcia-Fernandez, "Temporal Parallelization of
+Bayesian Smoothers", IEEE TAC 2021), so ``jax.lax.associative_scan`` runs
+them in O(log T) depth across the whole sequence — the long-sequence trick
+noted as future work in SURVEY.md §5.
+
+Model (time-invariant system matrices, time-varying observations):
+
+    x[t] = A x[t-1] + N(0, Q),   y[t] = H x[t] + N(0, R),  x[0] ~ N(m0, P0)
+
+Five-tuple filtering elements ``(A, b, C, eta, J)`` composing as
+conditional Gaussians; three-tuple smoothing elements ``(E, g, L)``
+composing backward. Both passes are pure matmul/solve batches — MXU work
+with logarithmic critical path.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+
+
+class FilterResult(NamedTuple):
+    means: Array   # (T, xdim) filtered means
+    covs: Array    # (T, xdim, xdim) filtered covariances
+
+
+class SmoothResult(NamedTuple):
+    means: Array
+    covs: Array
+
+
+def _filter_elements(a, q, h, r, m0, p0, ys):
+    """Per-step associative elements (eqs. 10-12 of the paper)."""
+    t_len = ys.shape[0]
+    xdim = a.shape[0]
+    eye = jnp.eye(xdim, dtype=a.dtype)
+
+    # generic element for t >= 2
+    s = h @ q @ h.T + r                                   # (ydim, ydim)
+    s_chol = jax.scipy.linalg.cho_factor(s)
+    k = jax.scipy.linalg.cho_solve(s_chol, h @ q).T       # K = Q H^T S^-1
+    a_el = (eye - k @ h) @ a
+    c_el = (eye - k @ h) @ q
+    hs_inv_h = h.T @ jax.scipy.linalg.cho_solve(s_chol, h)
+    j_el = a.T @ hs_inv_h @ a
+
+    def generic(y):
+        b = k @ y
+        eta = a.T @ h.T @ jax.scipy.linalg.cho_solve(s_chol, y)
+        return a_el, b, c_el, eta, j_el
+
+    a_g, b_g, c_g, eta_g, j_g = jax.vmap(generic)(ys)
+
+    # first element conditions on the prior
+    m1m = a @ m0
+    p1m = a @ p0 @ a.T + q
+    s1 = h @ p1m @ h.T + r
+    s1_chol = jax.scipy.linalg.cho_factor(s1)
+    k1 = jax.scipy.linalg.cho_solve(s1_chol, h @ p1m).T
+    a1 = jnp.zeros_like(a)
+    b1 = m1m + k1 @ (ys[0] - h @ m1m)
+    c1 = (eye - k1 @ h) @ p1m
+    eta1 = jnp.zeros((xdim,), a.dtype)
+    j1 = jnp.zeros_like(a)
+
+    a_all = a_g.at[0].set(a1)
+    b_all = b_g.at[0].set(b1)
+    c_all = c_g.at[0].set(c1)
+    eta_all = eta_g.at[0].set(eta1)
+    j_all = j_g.at[0].set(j1)
+    return a_all, b_all, c_all, eta_all, j_all
+
+
+def _filter_combine(ei, ej):
+    """(A,b,C,eta,J)_i then _j — eq. 9 of the paper (batched over scan)."""
+    ai, bi, ci, etai, ji = ei
+    aj, bj, cj, etaj, jj = ej
+    xdim = ai.shape[-1]
+    eye = jnp.eye(xdim, dtype=ai.dtype)
+
+    m = eye + ci @ jj                                     # (..., x, x)
+    m_inv_ai = jnp.linalg.solve(m, ai)
+    m_inv_bc = jnp.linalg.solve(m, (bi + (ci @ etaj[..., None])[..., 0])[..., None])
+    a_out = aj @ m_inv_ai
+    b_out = (aj @ m_inv_bc)[..., 0] + bj
+    c_out = aj @ jnp.linalg.solve(m, ci) @ jnp.swapaxes(aj, -1, -2) + cj
+
+    n = eye + jj @ ci
+    n_inv = lambda x: jnp.linalg.solve(n, x)
+    eta_out = (
+        jnp.swapaxes(ai, -1, -2) @ n_inv((etaj - (jj @ bi[..., None])[..., 0])[..., None])
+    )[..., 0] + etai
+    j_out = jnp.swapaxes(ai, -1, -2) @ n_inv(jj @ ai) + ji
+    return a_out, b_out, c_out, eta_out, j_out
+
+
+def parallel_filter(
+    a: Array, q: Array, h: Array, r: Array, m0: Array, p0: Array, ys: Array
+) -> FilterResult:
+    """Kalman filter over (T, ydim) observations in O(log T) depth."""
+    elems = _filter_elements(a, q, h, r, m0, p0, ys)
+    a_s, b_s, c_s, _, _ = jax.lax.associative_scan(_filter_combine, elems)
+    del a_s
+    return FilterResult(means=b_s, covs=c_s)
+
+
+def _smooth_elements(a, q, filtered: FilterResult):
+    """Backward elements (E, g, L): x_t | x_{t+1} ~ N(E x_{t+1} + g, L)."""
+    def elem(m, p):
+        pp = a @ p @ a.T + q
+        e = jnp.linalg.solve(pp, a @ p).T                # G = P A^T Pp^-1
+        g = m - e @ (a @ m)
+        l = p - e @ pp @ e.T
+        return e, g, l
+
+    e_all, g_all, l_all = jax.vmap(elem)(filtered.means, filtered.covs)
+    # last element: identity on the filtered terminal state
+    xdim = a.shape[0]
+    e_all = e_all.at[-1].set(jnp.zeros((xdim, xdim), a.dtype))
+    g_all = g_all.at[-1].set(filtered.means[-1])
+    l_all = l_all.at[-1].set(filtered.covs[-1])
+    return e_all, g_all, l_all
+
+
+def _smooth_combine(ej, ei):
+    """Compose x_i = E_i x_j + g_i, backward direction."""
+    ei_e, ei_g, ei_l = ei
+    ej_e, ej_g, ej_l = ej
+    e_out = ei_e @ ej_e
+    g_out = (ei_e @ ej_g[..., None])[..., 0] + ei_g
+    l_out = ei_e @ ej_l @ jnp.swapaxes(ei_e, -1, -2) + ei_l
+    return e_out, g_out, l_out
+
+
+def parallel_smooth(
+    a: Array, q: Array, h: Array, r: Array, m0: Array, p0: Array, ys: Array
+) -> Tuple[FilterResult, SmoothResult]:
+    """Full RTS smoother in two associative scans (filter fwd, smooth bwd)."""
+    filtered = parallel_filter(a, q, h, r, m0, p0, ys)
+    elems = _smooth_elements(a, q, filtered)
+    _, g_s, l_s = jax.lax.associative_scan(
+        _smooth_combine, elems, reverse=True
+    )
+    return filtered, SmoothResult(means=g_s, covs=l_s)
+
+
+def sequential_filter(a, q, h, r, m0, p0, ys) -> FilterResult:
+    """O(T) reference implementation (lax.scan) for validation."""
+    def step(carry, y):
+        m, p = carry
+        mp = a @ m
+        pp = a @ p @ a.T + q
+        s = h @ pp @ h.T + r
+        k = jnp.linalg.solve(s, h @ pp).T
+        m_new = mp + k @ (y - h @ mp)
+        p_new = (jnp.eye(a.shape[0], dtype=a.dtype) - k @ h) @ pp
+        return (m_new, p_new), (m_new, p_new)
+
+    _, (ms, ps) = jax.lax.scan(step, (m0, p0), ys)
+    return FilterResult(means=ms, covs=ps)
+
+
+def sequential_smooth(a, q, filtered: FilterResult) -> SmoothResult:
+    """O(T) RTS smoother for validation."""
+    def step(carry, mp_pair):
+        ms_next, ps_next = carry
+        m, p = mp_pair
+        pp = a @ p @ a.T + q
+        g = jnp.linalg.solve(pp, a @ p).T
+        m_s = m + g @ (ms_next - a @ m)
+        p_s = p + g @ (ps_next - pp) @ g.T
+        return (m_s, p_s), (m_s, p_s)
+
+    init = (filtered.means[-1], filtered.covs[-1])
+    _, (ms, ps) = jax.lax.scan(
+        step, init, (filtered.means[:-1], filtered.covs[:-1]), reverse=True
+    )
+    ms = jnp.concatenate([ms, filtered.means[-1:]], axis=0)
+    ps = jnp.concatenate([ps, filtered.covs[-1:]], axis=0)
+    return SmoothResult(means=ms, covs=ps)
