@@ -73,10 +73,13 @@ class VJF:
         sgd: bool = True,
         update: bool = True,
         warm_up: bool = False,
-    ) -> Tuple[Gaussian, Array]:
+        verbose: bool = False,
+    ) -> Tuple:
         """One online filter-then-learn step — ``VJF.filter``
         (``vjf/model.py:179-221``). Call repeatedly with the returned
-        posterior for true streaming use."""
+        posterior for true streaming use. ``verbose=True`` additionally
+        returns the ELBO components (recon, dynamics, entropy), mirroring
+        the reference's verbose output."""
         cfg = self.cfg
         y = jnp.atleast_2d(jnp.asarray(y, dtype=cfg.jdtype))
         if u is not None:
@@ -89,6 +92,8 @@ class VJF:
         self.state, qt, metrics = self._step_fn(
             cfg, flags, self.state, qs, y, u, eps[0], eps[1], jnp.asarray(self._lr, cfg.jdtype)
         )
+        if verbose:
+            return qt, metrics.loss, metrics.recon, metrics.dynamics, metrics.entropy
         return qt, metrics.loss
 
     def filter_stream(
@@ -144,12 +149,17 @@ class VJF:
         max_iter: int = 200,
         beta: float = 0.1,
         rtol: float = 1e-4,
+        verbose: bool = False,
         callback=None,
     ) -> Tuple[Array, Array, float]:
         """Epoch training with warm-up — ``VJF.fit`` (``vjf/model.py:223-307``).
 
         :return: (posterior means (T, B, xdim), log-variances, final loss)
         """
+        if callback is None and verbose:
+            from .utils import progress_callback
+
+            callback = progress_callback(verbose=True, total=max_iter)
         self.key, k = jax.random.split(self.key)
         result = core.fit(
             self.cfg,

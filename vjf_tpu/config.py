@@ -56,6 +56,12 @@ class VJFConfig:
     beta: float = 0.1                     # running-loss discount
     rtol: float = 1e-4                    # plateau tolerance
 
+    # runaway guard (no reference counterpart — the reference's unclamped
+    # running-variance recursion NaN-cascades in f32 once a no-warm-up run
+    # destabilizes: logvar -> +inf -> exp -> inf -> log -> nan). +-30 is far
+    # outside any sane noise scale, so parity is unaffected.
+    logvar_clamp: float = 30.0
+
     # --- TPU-native knobs (no reference counterpart) ---
     rls_backend: str = "auto"             # 'precision' | 'covariance' | 'nsv' | 'auto'
     fused_step: str = "auto"              # whole-step pallas kernel: 'on'|'off'|'auto'

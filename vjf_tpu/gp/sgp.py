@@ -138,7 +138,8 @@ def update_from_features(
         jnp.exp(state.logvar), state.n_sample, mse, xs.shape[0],
         size_cap=cfg.state_var_cap,
     )
-    return state._replace(blr=blr, logvar=jnp.log(var), n_sample=n_new.astype(jnp.int32))
+    logvar = jnp.clip(jnp.log(var), -cfg.logvar_clamp, cfg.logvar_clamp)
+    return state._replace(blr=blr, logvar=logvar, n_sample=n_new.astype(jnp.int32))
 
 
 def dynamics_update(

@@ -176,7 +176,14 @@ def update_from_features(
     var, n_new = running_var(
         jnp.exp(state.logvar), state.n_sample, mse, xs.shape[0], size_cap=cfg.state_var_cap
     )
-    return DynamicsState(state.rbf, blr, jnp.log(var), n_new.astype(jnp.int32))
+    logvar = jnp.clip(jnp.log(var), -cfg.logvar_clamp, cfg.logvar_clamp)
+    ok = jnp.isfinite(logvar)
+    return DynamicsState(
+        state.rbf,
+        blr,
+        jnp.where(ok, logvar, state.logvar),
+        jnp.where(ok, n_new.astype(jnp.int32), state.n_sample),
+    )
 
 
 def dynamics_update(

@@ -60,13 +60,20 @@ def gaussian_lik_update(
     eta: Array,
     target: Array,
     size_cap: int = 1000,
+    logvar_clamp: float = 30.0,
 ) -> Tuple[GaussianLikParams, Array]:
     """Running-variance overwrite of the observation noise —
     ``likelihood.py:28-40``. ``new_size`` is the batch size (rows), the mse
-    averages over batch *and* channels, matching the reference.
+    averages over batch *and* channels, matching the reference. The clamp
+    is a runaway guard (see VJFConfig.logvar_clamp).
     """
     mse = jnp.mean(jnp.square(target - eta))
     var, n_new = running_var(
         jnp.exp(params.logvar), n_sample, mse, eta.shape[0], size_cap=size_cap
     )
-    return GaussianLikParams(logvar=jnp.log(var)), n_new
+    logvar = jnp.clip(jnp.log(var), -logvar_clamp, logvar_clamp)
+    ok = jnp.isfinite(logvar)
+    return (
+        GaussianLikParams(logvar=jnp.where(ok, logvar, params.logvar)),
+        jnp.where(ok, n_new, n_sample),
+    )

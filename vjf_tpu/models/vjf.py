@@ -160,6 +160,8 @@ def elbo_terms(
     feat = tr.features(dynamics, xs, u)                  # shared: predict + RLS
     pt = tr.predict_from_features(dynamics, xs, feat, cfg.leak)
     qt = apply_recognition(params.recognition, y, qs, u)  # vjf/model.py:116
+    # runaway guard: never binds in sane regimes (see VJFConfig.logvar_clamp)
+    qt = Gaussian(qt.mean, jnp.clip(qt.logvar, -cfg.logvar_clamp, cfg.logvar_clamp))
     xt = reparametrize(qt, eps_t)                        # vjf/model.py:119
     py = decode(params.decoder, xt)                      # sample decode, model.py:120
 
@@ -237,11 +239,22 @@ def filter_step(
     if flags.update:                                     # vjf/model.py:156-177
         if cfg.likelihood == "gaussian":
             new_lik, lik_n = gaussian_lik_update(
-                new_params.likelihood, lik_n, py, y, size_cap=cfg.obs_var_cap
+                new_params.likelihood, lik_n, py, y,
+                size_cap=cfg.obs_var_cap, logvar_clamp=cfg.logvar_clamp,
             )
             new_params = new_params._replace(likelihood=new_lik)
-        dynamics = _transition(cfg).update_from_features(
+        new_dynamics = _transition(cfg).update_from_features(
             cfg, dynamics, xt, xs, jax.lax.stop_gradient(feat), warm_up=flags.warm_up
+        )
+        # skip the closed-form update entirely if its inputs are non-finite
+        # (the unguarded recursion would otherwise cement NaNs into P/V)
+        upd_ok = jnp.logical_and(
+            jnp.all(jnp.isfinite(xt)), jnp.all(jnp.isfinite(xs))
+        )
+        dynamics = jax.tree.map(
+            lambda new_leaf, old_leaf: jnp.where(upd_ok, new_leaf, old_leaf),
+            new_dynamics,
+            dynamics,
         )
 
     new_state = TrainState(params=new_params, dynamics=dynamics, lik_n_sample=lik_n)

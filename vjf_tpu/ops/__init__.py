@@ -1,4 +1,4 @@
-from . import functional, kalman, linalg
+from . import functional, kalman, linalg, pkalman
 from .functional import (
     finite_or_zero,
     gaussian_entropy,

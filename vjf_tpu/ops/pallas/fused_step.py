@@ -168,6 +168,8 @@ def step_math(
     h_last = a
     qt_m = mm(h_last, carry.w_mean.T)
     qt_lv = mm(h_last, carry.w_logvar.T) + carry.b_logvar
+    # runaway guard; never binds in sane regimes (VJFConfig.logvar_clamp)
+    qt_lv = jnp.clip(qt_lv, -cfg.logvar_clamp, cfg.logvar_clamp)
     sig_t = jnp.exp(0.5 * qt_lv)
     xt = qt_m + eps_t * sig_t
     py = mm(xt, carry.w_dec.T) + carry.b_dec
@@ -199,6 +201,12 @@ def step_math(
     )
     h_ent = 0.5 * jnp.sum(qt_lv) * inv_b
 
+    # the skip-step gate must see the RAW components: the zeroed loss is
+    # always finite, but non-finite components mean non-finite gradients
+    raw_ok = jnp.logical_and(
+        jnp.isfinite(l_recon),
+        jnp.logical_and(jnp.isfinite(l_dyn), jnp.isfinite(h_ent)),
+    )
     l_recon = jnp.where(jnp.isfinite(l_recon), l_recon, 0.0)
     l_dyn = jnp.where(jnp.isfinite(l_dyn), l_dyn, 0.0)
     h_ent = jnp.where(jnp.isfinite(h_ent), h_ent, 0.0)
@@ -207,7 +215,7 @@ def step_math(
     # ---------------- manual backward + clipped SGD ----------------
     new = carry
     if flags.sgd:
-        ok = jnp.isfinite(loss)
+        ok = raw_ok
         step_lr = jnp.where(ok, lr, 0.0)
         clip = cfg.clip
 
@@ -288,12 +296,15 @@ def step_math(
             lik_n = jnp.minimum(new.lik_n[0, 0], float(cfg.obs_var_cap))
             tot = lik_n + b
             var = (lik_n / tot) * jnp.exp(new.lik_logvar[0, 0]) + (b / tot) * obs_mse
+            lik_lv_new = jnp.clip(jnp.log(var), -cfg.logvar_clamp, cfg.logvar_clamp)
+            lik_ok = jnp.isfinite(lik_lv_new)
             new = new._replace(
-                lik_logvar=jnp.log(var).reshape(1, 1),
-                lik_n=tot.reshape(1, 1),
+                lik_logvar=jnp.where(lik_ok, lik_lv_new, new.lik_logvar[0, 0]).reshape(1, 1),
+                lik_n=jnp.where(lik_ok, tot, new.lik_n[0, 0]).reshape(1, 1),
             )
 
         dx = xt - xs
+        dyn_ok = jnp.isfinite(jnp.sum(dx))
         w_dyn_new = carry.w_dyn
         if not flags.warm_up:
             inv_sv_u = jnp.exp(-slogvar)
@@ -320,16 +331,30 @@ def step_math(
                 )
             v_new = 0.5 * (x_ns + x_ns.T)
             w_dyn_new = jnp.dot(v_new, g_vec, preferred_element_type=f32)
-            new = new._replace(p_mat=p_new, v_mat=v_new, w_dyn=w_dyn_new)
+            # gate the whole closed-form update on finiteness: the reference
+            # recursion has no escape hatch once NaN enters P/V
+            dyn_ok = jnp.logical_and(
+                dyn_ok,
+                jnp.isfinite(jnp.sum(v_new) + jnp.sum(w_dyn_new) + jnp.sum(p_new)),
+            )
+            w_dyn_new = jnp.where(dyn_ok, w_dyn_new, carry.w_dyn)
+            new = new._replace(
+                p_mat=jnp.where(dyn_ok, p_new, carry.p_mat),
+                v_mat=jnp.where(dyn_ok, v_new, carry.v_mat),
+                w_dyn=w_dyn_new,
+            )
+            tau = jnp.where(dyn_ok, tau, 0.0)  # fallback must not fire on skip
 
         resid = dx - mm(feat, w_dyn_new)                       # vjf/model.py:372
         mse_dyn = jnp.mean(resid * resid)
         dyn_n = jnp.minimum(new.dyn_n[0, 0], float(cfg.state_var_cap))
         tot_d = dyn_n + b
         var_d = (dyn_n / tot_d) * jnp.exp(slogvar) + (b / tot_d) * mse_dyn
+        slv_new = jnp.clip(jnp.log(var_d), -cfg.logvar_clamp, cfg.logvar_clamp)
+        noise_ok = jnp.isfinite(slv_new)
         new = new._replace(
-            state_logvar=jnp.log(var_d).reshape(1, 1),
-            dyn_n=tot_d.reshape(1, 1),
+            state_logvar=jnp.where(noise_ok, slv_new, slogvar).reshape(1, 1),
+            dyn_n=jnp.where(noise_ok, tot_d, new.dyn_n[0, 0]).reshape(1, 1),
         )
 
     scal = ScalarPack(
@@ -655,7 +680,8 @@ def exact_v_fallback(
         var = (dyn_n / tot) * jnp.exp(prev_carry.state_logvar[0, 0]) + (
             b / tot
         ) * mse
-        return v_new, w_new, jnp.log(var).reshape(1, 1), tot.reshape(1, 1)
+        slv = jnp.clip(jnp.log(var), -cfg.logvar_clamp, cfg.logvar_clamp)
+        return v_new, w_new, slv.reshape(1, 1), tot.reshape(1, 1)
 
     def keep(_):
         return c.v_mat, c.w_dyn, c.state_logvar, c.dyn_n
