@@ -261,6 +261,12 @@ def kalman(
         chol = safe_cholesky(prec)
         return PrecisionBLR(new.w_mean, prec, chol, inv_tril_transpose(chol))
 
+    if isinstance(state, NSVBLR):
+        # cold path (weight-diffusion Kalman isn't used in the hot loop):
+        # update in covariance form, rebuild the tracked pair exactly.
+        new = kalman(CovarianceBLR(state.w_mean, state.cov), feat, target, v, diffusion)
+        return NSVBLR(new.w_mean, jnp.linalg.inv(new.cov), new.cov)
+
     nf = state.cov.shape[0]
     b = feat.shape[0]
     eye = jnp.eye(nf, dtype=feat.dtype)
