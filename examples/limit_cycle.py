@@ -8,11 +8,16 @@ from __future__ import annotations
 
 import argparse
 import math
+import os
+import sys
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# allow running straight from a checkout: python examples/limit_cycle.py
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
 
 def generate_data(key, T=100.0, dt=1e-2 * math.pi, xdim=2, ydim=20, obs_noise=0.1):

@@ -10,11 +10,16 @@ Run: ``python examples/neural_population.py [--trials 256] [--steps 2000]``.
 from __future__ import annotations
 
 import argparse
+import os
+import sys
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# allow running straight from a checkout: python examples/neural_population.py
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
 
 def main():
@@ -36,12 +41,16 @@ def main():
     key = jax.random.PRNGKey(0)
     state = core.init_state(key, cfg)
 
-    # synthetic latent drives Poisson rates
-    rng = np.random.default_rng(0)
-    C = rng.normal(size=(args.xdim, args.ydim)) * 0.3
-    z = np.cumsum(rng.normal(size=(args.steps, args.trials, args.xdim)) * 0.05, axis=0)
-    y = rng.poisson(np.exp(np.clip(z @ C, -3, 3))).astype(np.float32)
-    ys = jnp.asarray(y)
+    # synthetic latent drives spike probabilities — generated ON DEVICE
+    # (host->device of large arrays is slow through tunneled runtimes)
+    k1, k2, k3 = jax.random.split(key, 3)
+    C = 0.3 * jax.random.normal(k1, (args.xdim, args.ydim), jnp.float32)
+    z = jnp.cumsum(0.05 * jax.random.normal(k2, (args.steps, args.trials, args.xdim)), axis=0)
+    p = jax.nn.sigmoid(z @ C)
+    ys = jax.random.bernoulli(k3, p).astype(jnp.float32) + jax.random.bernoulli(
+        jax.random.fold_in(k3, 1), 0.5 * p
+    ).astype(jnp.float32)
+    y = np.asarray(ys[:, :1])  # small host copy for the streaming demo below
     us = jnp.zeros((args.steps, args.trials, 0), dtype=jnp.float32)
 
     flags = StepFlags()
@@ -73,7 +82,7 @@ def main():
     q = None
     t0 = time.perf_counter()
     for t in range(50):
-        q, l = model.filter(y[t, :1], qs=q)
+        q, l = model.filter(y[t, 0], qs=q)
     print(f"streaming filter: {50 / (time.perf_counter() - t0):.0f} steps/s (host-loop bound)")
 
 
