@@ -101,3 +101,43 @@ def test_pad_unpad_roundtrip(key):
     back = F.unpad_carry(cfg, carry, state)
     for a, b in zip(jax.tree_util.tree_leaves(state), jax.tree_util.tree_leaves(back)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+
+def test_fused_epoch_nonaligned_nrbf(key):
+    """Padding contract: n_rbf not a multiple of 128 (150 -> 256 pad) stays
+    exactly decoupled through the whole update chain."""
+    cfg = VJFConfig(ydim=12, xdim=2, udim=0, n_rbf=150, hidden_sizes=(8,),
+                    likelihood="gaussian", dtype="float32", rls_backend="nsv",
+                    fused_step="off", matmul_dtype="float32")
+    state = core.init_state(key, cfg)
+    T, B = 20, 4
+    ys = jax.random.normal(key, (T, B, cfg.ydim), jnp.float32)
+    us = jnp.zeros((T, B, 0), jnp.float32)
+    eps = jax.random.normal(key, (2, T, B, cfg.xdim), jnp.float32)
+    lr = jnp.asarray(1e-3, jnp.float32)
+
+    ref = core.run_epoch(cfg, StepFlags(), state, ys, us, key, lr, noise=(eps[0], eps[1]))
+    got = F.run_epoch_fused(cfg, StepFlags(), state, ys, us, key, lr,
+                            noise=(eps[0], eps[1]), interpret=True)
+    # this config has a violent early transient (large tau, near-threshold
+    # NS-vs-exact branch choices), so compare trajectories, not bits
+    np.testing.assert_allclose(np.asarray(got.metrics.loss), np.asarray(ref.metrics.loss),
+                               rtol=5e-2, atol=5e-2)
+    np.testing.assert_allclose(np.asarray(got.state.dynamics.blr.precision),
+                               np.asarray(ref.state.dynamics.blr.precision),
+                               rtol=2e-2, atol=1e-2)
+    assert got.state.dynamics.blr.w_mean.shape == (150, 2)
+    assert np.all(np.isfinite(np.asarray(got.state.dynamics.blr.w_mean)))
+
+
+def test_api_forward_surface(key):
+    """VJF.forward mirrors the reference's forward tuple (vjf/model.py:97-122)."""
+    from vjf_tpu import VJF
+
+    model = VJF.make_model(8, 2, 0, n_rbf=10, hidden_sizes=[5],
+                           likelihood="gaussian", dtype="float64")
+    y = np.random.default_rng(0).normal(size=(3, 8))
+    xs, pt, qt, xt, py = model.forward(y)
+    assert xs.shape == (3, 2) and xt.shape == (3, 2)
+    assert pt.mean.shape == (3, 2) and qt.mean.shape == (3, 2)
+    assert py.shape == (3, 8)

@@ -63,6 +63,32 @@ class VJF:
         )
         return cls(cfg)
 
+    def forward(
+        self,
+        y: Array,
+        qs: Optional[Gaussian] = None,
+        u: Optional[Array] = None,
+    ) -> Tuple:
+        """Pure forward pass (no learning) — ``VJF.forward``
+        (``vjf/model.py:97-122``): returns ``(xs, pt, qt, xt, py)``."""
+        from .models.decoder import decode
+        from .models.vjf import elbo_terms
+
+        cfg = self.cfg
+        y = jnp.atleast_2d(jnp.asarray(y, dtype=cfg.jdtype))
+        if u is not None:
+            u = jnp.atleast_2d(jnp.asarray(u, dtype=cfg.jdtype))
+        if qs is None:
+            qs = core.prior(self.state.params, y.shape[0])
+        self.key, k = jax.random.split(self.key)
+        eps = jax.random.normal(k, (2, y.shape[0], cfg.xdim), cfg.jdtype)
+        _, (qt, xt, xs, py, _) = core.elbo_terms(
+            cfg, self.state.params, self.state.dynamics, qs, y, u, eps[0], eps[1]
+        )
+        tr = core._transition(cfg)
+        pt = tr.transition_gaussian(self.state.dynamics, xs, u, cfg.leak)
+        return xs, pt, qt, xt, py
+
     # -- streaming filter -------------------------------------------------
     def filter(
         self,

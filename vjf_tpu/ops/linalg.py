@@ -15,6 +15,12 @@ import jax.numpy as jnp
 from jax import Array
 
 
+def symmetric(a: Array, rtol: float = 1e-5, atol: float = 1e-8) -> Array:
+    """Symmetry check — ``vjf/util.py:16-17`` (returns a traced bool; under
+    jit use it in ``checkify``/``jnp.where`` guards rather than asserts)."""
+    return jnp.allclose(a, a.swapaxes(-1, -2), rtol=rtol, atol=atol)
+
+
 def symmetrize(a: Array) -> Array:
     """Exact symmetrization (upper triangle mirrored) — ``vjf/numerical.py:17-19``."""
     u = jnp.triu(a)

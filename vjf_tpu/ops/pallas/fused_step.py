@@ -331,19 +331,26 @@ def step_math(
                 )
             v_new = 0.5 * (x_ns + x_ns.T)
             w_dyn_new = jnp.dot(v_new, g_vec, preferred_element_type=f32)
-            # gate the whole closed-form update on finiteness: the reference
-            # recursion has no escape hatch once NaN enters P/V
-            dyn_ok = jnp.logical_and(
-                dyn_ok,
-                jnp.isfinite(jnp.sum(v_new) + jnp.sum(w_dyn_new) + jnp.sum(p_new)),
+            # Two distinct failure modes, two distinct actions:
+            #  * non-finite INPUTS (dx): skip the whole update (tau -> 0 so
+            #    the fallback doesn't fire on garbage) — the reference
+            #    recursion has no escape hatch once NaN enters P/V;
+            #  * finite inputs but the warm-started NS pass overflowed
+            #    (tau was large): P/g are still valid — FORCE the exact
+            #    Cholesky fallback (tau -> +inf) rather than dropping the
+            #    update, and keep the carry finite meanwhile.
+            ns_ok = jnp.isfinite(jnp.sum(v_new) + jnp.sum(w_dyn_new))
+            w_dyn_new = jnp.where(
+                jnp.logical_and(dyn_ok, ns_ok), w_dyn_new, carry.w_dyn
             )
-            w_dyn_new = jnp.where(dyn_ok, w_dyn_new, carry.w_dyn)
             new = new._replace(
                 p_mat=jnp.where(dyn_ok, p_new, carry.p_mat),
-                v_mat=jnp.where(dyn_ok, v_new, carry.v_mat),
+                v_mat=jnp.where(jnp.logical_and(dyn_ok, ns_ok), v_new, carry.v_mat),
                 w_dyn=w_dyn_new,
             )
-            tau = jnp.where(dyn_ok, tau, 0.0)  # fallback must not fire on skip
+            tau = jnp.where(
+                dyn_ok, jnp.where(ns_ok, tau, jnp.inf), 0.0
+            )
 
         resid = dx - mm(feat, w_dyn_new)                       # vjf/model.py:372
         mse_dyn = jnp.mean(resid * resid)
