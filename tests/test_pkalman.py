@@ -103,3 +103,71 @@ def test_vjf_posthoc_smoothing(key):
         return 1 - np.sum((p - xt) ** 2) / np.sum((xt - xt.mean(0)) ** 2)
 
     assert r2(smoothed.means) > 0.8
+
+
+def test_time_varying_affine_matches_sequential(key):
+    """Per-step (A_t, b_t) dynamics: parallel == sequential recursions."""
+    xdim, ydim, T = 3, 4, 40
+    k1, k2, k3 = jax.random.split(key, 3)
+    a_seq = 0.9 * jnp.stack([
+        jnp.eye(xdim) + 0.1 * jax.random.normal(k, (xdim, xdim), jnp.float64)
+        for k in jax.random.split(k1, T)
+    ])
+    b_seq = 0.1 * jax.random.normal(k2, (T, xdim), jnp.float64)
+    q = 0.05 * jnp.eye(xdim, dtype=jnp.float64)
+    h = jax.random.normal(k3, (ydim, xdim), jnp.float64)
+    r = 0.2 * jnp.eye(ydim, dtype=jnp.float64)
+    m0 = jnp.zeros(xdim, jnp.float64)
+    p0 = jnp.eye(xdim, dtype=jnp.float64)
+    ys = jax.random.normal(k3, (T, ydim), jnp.float64)
+
+    par_f = PK.parallel_filter(a_seq, q, h, r, m0, p0, ys, b=b_seq)
+    seq_f = PK.sequential_filter(a_seq, q, h, r, m0, p0, ys, b=b_seq)
+    np.testing.assert_allclose(np.asarray(par_f.means), np.asarray(seq_f.means),
+                               rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(par_f.covs), np.asarray(seq_f.covs),
+                               rtol=1e-8, atol=1e-10)
+
+    _, par_s = PK.parallel_smooth(a_seq, q, h, r, m0, p0, ys, b=b_seq)
+    seq_s = PK.sequential_smooth(a_seq, q, par_f, b=b_seq)
+    np.testing.assert_allclose(np.asarray(par_s.means), np.asarray(seq_s.means),
+                               rtol=1e-7, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(par_s.covs), np.asarray(seq_s.covs),
+                               rtol=1e-7, atol=1e-9)
+
+
+def test_iterated_smoothing_improves_or_holds(key):
+    """Iterated re-linearization along the smoothed trajectory must not
+    degrade latent recovery on the limit cycle."""
+    import math
+
+    from vjf_tpu.config import VJFConfig
+    from vjf_tpu.models import smoothing
+    from vjf_tpu.models import vjf as core
+
+    dt = 1e-2 * math.pi
+    t = jnp.arange(0, 500 * dt, dt, dtype=jnp.float64)
+    x_true = jnp.stack([jnp.sin(t), jnp.cos(t)], -1)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    xn = x_true + 0.1 * jax.random.normal(k1, x_true.shape, jnp.float64)
+    C = jax.random.normal(k2, (2, 20), jnp.float64)
+    y = xn @ C + jax.random.normal(k3, (20,), jnp.float64) \
+        + 0.1 * jax.random.normal(k4, (t.shape[0], 20), jnp.float64)
+
+    cfg = VJFConfig(ydim=20, xdim=2, udim=0, n_rbf=40, hidden_sizes=(16,),
+                    likelihood="gaussian", dtype="float64", lr=3e-3)
+    state = core.init_state(key, cfg)
+    res = core.fit(cfg, state, y, key=key, max_iter=30)
+
+    def r2(m):
+        m = np.asarray(m)
+        X = np.concatenate([m, np.ones((m.shape[0], 1))], 1)
+        A, *_ = np.linalg.lstsq(X, np.asarray(x_true), rcond=None)
+        xt = np.asarray(x_true)
+        return 1 - np.sum((X @ A - xt) ** 2) / np.sum((xt - xt.mean(0)) ** 2)
+
+    _, s1 = smoothing.smooth(cfg, res.state, y)
+    _, s3 = smoothing.smooth_iterated(cfg, res.state, y, n_iter=3)
+    assert np.all(np.isfinite(np.asarray(s3.means)))
+    assert r2(s3.means) > r2(s1.means) - 0.02  # no degradation
+    assert r2(s3.means) > 0.8

@@ -58,22 +58,52 @@ def smooth(
         raise ValueError("smooth() takes one (T, ydim) sequence")
 
     a, c = linearize_dynamics(cfg, state, x_ref)
+    return _smooth_affine(cfg, state, ys, a, c)
+
+
+def _system_matrices(cfg: VJFConfig, state: TrainState):
     q = jnp.exp(state.dynamics.logvar) * jnp.eye(cfg.xdim, dtype=cfg.jdtype)
     h = state.params.decoder.w                       # (ydim, xdim)
     r = jnp.exp(state.params.likelihood.logvar) * jnp.eye(cfg.ydim, dtype=cfg.jdtype)
     m0 = state.params.prior.mean
     p0 = jnp.diag(jnp.exp(state.params.prior.logvar))
+    return q, h, r, m0, p0
 
-    # absorb affine offsets: y - d - H (accumulated c) — handle c by state
-    # augmentation-free trick: subtract the decoder bias, and fold c into a
-    # shifted coordinate x' = x - x*, where x* solves (I - A) x* = c.
-    eye = jnp.eye(cfg.xdim, dtype=cfg.jdtype)
-    x_star = jnp.linalg.solve(eye - a + 1e-6 * eye, c)
-    y_eff = ys - state.params.decoder.b - (h @ x_star)
-    m0_eff = m0 - x_star
 
-    filtered, smoothed = pkalman.parallel_smooth(a, q, h, r, m0_eff, p0, y_eff)
-    return (
-        pkalman.FilterResult(filtered.means + x_star, filtered.covs),
-        pkalman.SmoothResult(smoothed.means + x_star, smoothed.covs),
-    )
+def _smooth_affine(cfg, state, ys, a, c):
+    """Run the parallel smoother for (possibly per-step) affine dynamics."""
+    q, h, r, m0, p0 = _system_matrices(cfg, state)
+    y_eff = ys - state.params.decoder.b
+    return pkalman.parallel_smooth(a, q, h, r, m0, p0, y_eff, b=c)
+
+
+def smooth_iterated(
+    cfg: VJFConfig,
+    state: TrainState,
+    ys: Array,
+    n_iter: int = 3,
+    x_ref: Optional[Array] = None,
+) -> Tuple[pkalman.FilterResult, pkalman.SmoothResult]:
+    """Iterated extended smoothing: re-linearize the learned velocity field
+    along the previous smoothed trajectory (per-timestep A_t, c_t) and
+    re-run the parallel smoother — the associative-scan analogue of the
+    iterated extended Kalman smoother. Each pass is O(log T) depth."""
+    if cfg.likelihood != "gaussian":
+        raise NotImplementedError("parallel smoothing requires the Gaussian likelihood")
+    ys = jnp.asarray(ys, cfg.jdtype)
+    tr = _transition(cfg)
+
+    def mean_fn(x):
+        g = tr.transition_gaussian(state.dynamics, x[None, :], None, cfg.leak)
+        return g.mean[0]
+
+    filtered, smoothed = smooth(cfg, state, ys, x_ref)
+    for _ in range(max(0, n_iter - 1)):
+        # transition INTO t linearized at the smoothed mean of t-1
+        pts = jnp.concatenate(
+            [state.params.prior.mean[None], smoothed.means[:-1]], axis=0
+        )
+        a_seq = jax.vmap(jax.jacfwd(mean_fn))(pts)          # (T, x, x)
+        c_seq = jax.vmap(mean_fn)(pts) - jnp.einsum("tij,tj->ti", a_seq, pts)
+        filtered, smoothed = _smooth_affine(cfg, state, ys, a_seq, c_seq)
+    return filtered, smoothed

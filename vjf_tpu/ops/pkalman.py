@@ -37,39 +37,59 @@ class SmoothResult(NamedTuple):
     covs: Array
 
 
-def _filter_elements(a, q, h, r, m0, p0, ys):
-    """Per-step associative elements (eqs. 10-12 of the paper)."""
-    t_len = ys.shape[0]
-    xdim = a.shape[0]
-    eye = jnp.eye(xdim, dtype=a.dtype)
+def _broadcast_a(a, t_len):
+    """Accept a time-invariant (x, x) or per-step (T, x, x) transition."""
+    if a.ndim == 2:
+        return jnp.broadcast_to(a, (t_len,) + a.shape)
+    return a
 
-    # generic element for t >= 2
+
+def _broadcast_b(b, t_len, xdim, dtype):
+    if b is None:
+        return jnp.zeros((t_len, xdim), dtype)
+    if b.ndim == 1:
+        return jnp.broadcast_to(b, (t_len, b.shape[0]))
+    return b
+
+
+def _filter_elements(a, q, h, r, m0, p0, ys, b=None):
+    """Per-step associative elements (eqs. 10-12 of the paper); ``a`` may be
+    time-varying (a[t] maps x[t-1] -> x[t]) and the dynamics affine
+    (``x[t] = a[t] x[t-1] + b[t] + noise``)."""
+    t_len = ys.shape[0]
+    xdim = q.shape[0]
+    eye = jnp.eye(xdim, dtype=q.dtype)
+    a_seq = _broadcast_a(a, t_len)
+    b_seq = _broadcast_b(b, t_len, xdim, q.dtype)
+
+    # observation-side factors are time-invariant
     s = h @ q @ h.T + r                                   # (ydim, ydim)
     s_chol = jax.scipy.linalg.cho_factor(s)
     k = jax.scipy.linalg.cho_solve(s_chol, h @ q).T       # K = Q H^T S^-1
-    a_el = (eye - k @ h) @ a
-    c_el = (eye - k @ h) @ q
+    i_kh = eye - k @ h
+    c_el = i_kh @ q
     hs_inv_h = h.T @ jax.scipy.linalg.cho_solve(s_chol, h)
-    j_el = a.T @ hs_inv_h @ a
 
-    def generic(y):
-        b = k @ y
-        eta = a.T @ h.T @ jax.scipy.linalg.cho_solve(s_chol, y)
-        return a_el, b, c_el, eta, j_el
+    def generic(a_t, b_t, y):
+        innov = y - h @ b_t
+        b_out = i_kh @ b_t + k @ y
+        eta = a_t.T @ h.T @ jax.scipy.linalg.cho_solve(s_chol, innov)
+        return i_kh @ a_t, b_out, c_el, eta, a_t.T @ hs_inv_h @ a_t
 
-    a_g, b_g, c_g, eta_g, j_g = jax.vmap(generic)(ys)
+    a_g, b_g, c_g, eta_g, j_g = jax.vmap(generic)(a_seq, b_seq, ys)
 
     # first element conditions on the prior
-    m1m = a @ m0
-    p1m = a @ p0 @ a.T + q
+    a0 = a_seq[0]
+    m1m = a0 @ m0 + b_seq[0]
+    p1m = a0 @ p0 @ a0.T + q
     s1 = h @ p1m @ h.T + r
     s1_chol = jax.scipy.linalg.cho_factor(s1)
     k1 = jax.scipy.linalg.cho_solve(s1_chol, h @ p1m).T
-    a1 = jnp.zeros_like(a)
+    a1 = jnp.zeros((xdim, xdim), q.dtype)
     b1 = m1m + k1 @ (ys[0] - h @ m1m)
     c1 = (eye - k1 @ h) @ p1m
-    eta1 = jnp.zeros((xdim,), a.dtype)
-    j1 = jnp.zeros_like(a)
+    eta1 = jnp.zeros((xdim,), q.dtype)
+    j1 = jnp.zeros((xdim, xdim), q.dtype)
 
     a_all = a_g.at[0].set(a1)
     b_all = b_g.at[0].set(b1)
@@ -103,28 +123,39 @@ def _filter_combine(ei, ej):
 
 
 def parallel_filter(
-    a: Array, q: Array, h: Array, r: Array, m0: Array, p0: Array, ys: Array
+    a: Array, q: Array, h: Array, r: Array, m0: Array, p0: Array, ys: Array,
+    b: Array = None,
 ) -> FilterResult:
     """Kalman filter over (T, ydim) observations in O(log T) depth."""
-    elems = _filter_elements(a, q, h, r, m0, p0, ys)
+    elems = _filter_elements(a, q, h, r, m0, p0, ys, b)
     a_s, b_s, c_s, _, _ = jax.lax.associative_scan(_filter_combine, elems)
     del a_s
     return FilterResult(means=b_s, covs=c_s)
 
 
-def _smooth_elements(a, q, filtered: FilterResult):
-    """Backward elements (E, g, L): x_t | x_{t+1} ~ N(E x_{t+1} + g, L)."""
-    def elem(m, p):
-        pp = a @ p @ a.T + q
-        e = jnp.linalg.solve(pp, a @ p).T                # G = P A^T Pp^-1
-        g = m - e @ (a @ m)
+def _smooth_elements(a, q, filtered: FilterResult, b=None):
+    """Backward elements (E, g, L): x_t | x_{t+1} ~ N(E x_{t+1} + g, L).
+
+    With time-varying dynamics, the gain at t uses the transition INTO
+    t+1, i.e. ``a[t+1]`` / ``b[t+1]``."""
+    t_len = filtered.means.shape[0]
+    xdim = q.shape[0]
+    a_seq = _broadcast_a(a, t_len)
+    b_seq = _broadcast_b(b, t_len, xdim, q.dtype)
+    a_next = jnp.roll(a_seq, -1, axis=0)                 # a_next[t] = a[t+1]
+    b_next = jnp.roll(b_seq, -1, axis=0)
+
+    def elem(a_n, b_n, m, p):
+        pp = a_n @ p @ a_n.T + q
+        e = jnp.linalg.solve(pp, a_n @ p).T              # G = P A^T Pp^-1
+        g = m - e @ (a_n @ m + b_n)
         l = p - e @ pp @ e.T
         return e, g, l
 
-    e_all, g_all, l_all = jax.vmap(elem)(filtered.means, filtered.covs)
+    e_all, g_all, l_all = jax.vmap(elem)(a_next, b_next, filtered.means, filtered.covs)
     # last element: identity on the filtered terminal state
-    xdim = a.shape[0]
-    e_all = e_all.at[-1].set(jnp.zeros((xdim, xdim), a.dtype))
+    xdim = q.shape[0]
+    e_all = e_all.at[-1].set(jnp.zeros((xdim, xdim), q.dtype))
     g_all = g_all.at[-1].set(filtered.means[-1])
     l_all = l_all.at[-1].set(filtered.covs[-1])
     return e_all, g_all, l_all
@@ -141,47 +172,58 @@ def _smooth_combine(ej, ei):
 
 
 def parallel_smooth(
-    a: Array, q: Array, h: Array, r: Array, m0: Array, p0: Array, ys: Array
+    a: Array, q: Array, h: Array, r: Array, m0: Array, p0: Array, ys: Array,
+    b: Array = None,
 ) -> Tuple[FilterResult, SmoothResult]:
     """Full RTS smoother in two associative scans (filter fwd, smooth bwd)."""
-    filtered = parallel_filter(a, q, h, r, m0, p0, ys)
-    elems = _smooth_elements(a, q, filtered)
+    filtered = parallel_filter(a, q, h, r, m0, p0, ys, b)
+    elems = _smooth_elements(a, q, filtered, b)
     _, g_s, l_s = jax.lax.associative_scan(
         _smooth_combine, elems, reverse=True
     )
     return filtered, SmoothResult(means=g_s, covs=l_s)
 
 
-def sequential_filter(a, q, h, r, m0, p0, ys) -> FilterResult:
+def sequential_filter(a, q, h, r, m0, p0, ys, b=None) -> FilterResult:
     """O(T) reference implementation (lax.scan) for validation."""
-    def step(carry, y):
+    a_seq = _broadcast_a(a, ys.shape[0])
+    b_seq = _broadcast_b(b, ys.shape[0], q.shape[0], q.dtype)
+
+    def step(carry, inp):
+        a_t, b_t, y = inp
         m, p = carry
-        mp = a @ m
-        pp = a @ p @ a.T + q
+        mp = a_t @ m + b_t
+        pp = a_t @ p @ a_t.T + q
         s = h @ pp @ h.T + r
         k = jnp.linalg.solve(s, h @ pp).T
         m_new = mp + k @ (y - h @ mp)
-        p_new = (jnp.eye(a.shape[0], dtype=a.dtype) - k @ h) @ pp
+        p_new = (jnp.eye(q.shape[0], dtype=q.dtype) - k @ h) @ pp
         return (m_new, p_new), (m_new, p_new)
 
-    _, (ms, ps) = jax.lax.scan(step, (m0, p0), ys)
+    _, (ms, ps) = jax.lax.scan(step, (m0, p0), (a_seq, b_seq, ys))
     return FilterResult(means=ms, covs=ps)
 
 
-def sequential_smooth(a, q, filtered: FilterResult) -> SmoothResult:
+def sequential_smooth(a, q, filtered: FilterResult, b=None) -> SmoothResult:
     """O(T) RTS smoother for validation."""
-    def step(carry, mp_pair):
+    t_len = filtered.means.shape[0]
+    a_seq = _broadcast_a(a, t_len)
+    b_seq = _broadcast_b(b, t_len, q.shape[0], q.dtype)
+
+    def step(carry, inp):
+        a_n, b_n, m, p = inp                             # a_n/b_n at t+1
         ms_next, ps_next = carry
-        m, p = mp_pair
-        pp = a @ p @ a.T + q
-        g = jnp.linalg.solve(pp, a @ p).T
-        m_s = m + g @ (ms_next - a @ m)
+        pp = a_n @ p @ a_n.T + q
+        g = jnp.linalg.solve(pp, a_n @ p).T
+        m_s = m + g @ (ms_next - a_n @ m - b_n)
         p_s = p + g @ (ps_next - pp) @ g.T
         return (m_s, p_s), (m_s, p_s)
 
     init = (filtered.means[-1], filtered.covs[-1])
     _, (ms, ps) = jax.lax.scan(
-        step, init, (filtered.means[:-1], filtered.covs[:-1]), reverse=True
+        step, init,
+        (a_seq[1:], b_seq[1:], filtered.means[:-1], filtered.covs[:-1]),
+        reverse=True,
     )
     ms = jnp.concatenate([ms, filtered.means[-1:]], axis=0)
     ps = jnp.concatenate([ps, filtered.covs[-1:]], axis=0)
