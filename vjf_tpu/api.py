@@ -35,6 +35,9 @@ class VJF:
         self.state = core.init_state(k_init, cfg, backend=backend)
         self._step_fn = jax.jit(core.filter_step, static_argnames=("cfg", "flags"))
         self._lr = cfg.lr
+        # once fit()'s warm-up phase ends the decoder is frozen permanently
+        # (requires_grad_(False) in the reference, vjf/model.py:283)
+        self._decoder_frozen = False
 
     # -- construction -----------------------------------------------------
     @classmethod
@@ -112,7 +115,10 @@ class VJF:
             u = jnp.atleast_2d(jnp.asarray(u, dtype=cfg.jdtype))
         if qs is None:
             qs = core.prior(self.state.params, y.shape[0])
-        flags = StepFlags(sgd=sgd, update=update, warm_up=warm_up, train_decoder=True)
+        flags = StepFlags(
+            sgd=sgd, update=update, warm_up=warm_up,
+            train_decoder=not self._decoder_frozen,
+        )
         self.key, k = jax.random.split(self.key)
         eps = jax.random.normal(k, (2, y.shape[0], cfg.xdim), cfg.jdtype)
         self.state, qt, metrics = self._step_fn(
@@ -143,7 +149,10 @@ class VJF:
         from .models import vjf as core
 
         cfg = self.cfg
-        flags = StepFlags(sgd=True, update=True, warm_up=warm_up, train_decoder=True)
+        flags = StepFlags(
+            sgd=True, update=True, warm_up=warm_up,
+            train_decoder=not self._decoder_frozen,
+        )
         run = jax.jit(core.run_epoch, static_argnames=("cfg", "flags"))
         q = None
         for chunk in chunks:
@@ -199,6 +208,8 @@ class VJF:
             callback=callback,
         )
         self.state = result.state
+        if not result.warm_up:
+            self._decoder_frozen = True
         return result.mu, result.logvar, result.loss
 
     # -- generation -------------------------------------------------------

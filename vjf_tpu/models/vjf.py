@@ -339,6 +339,8 @@ class FitResult:
     logvar: Array     # (T, B, xdim)
     loss: float       # final epoch mean loss
     state: TrainState
+    warm_up: bool = True   # False once the plateau fired (decoder frozen —
+                           # persists like requires_grad_(False), model.py:283)
 
 
 def _promote_y(y: Array) -> Array:
@@ -449,7 +451,8 @@ def fit(
 
     assert result is not None
     return FitResult(
-        mu=result.q_means, logvar=result.q_logvars, loss=epoch_loss, state=state
+        mu=result.q_means, logvar=result.q_logvars, loss=epoch_loss, state=state,
+        warm_up=warm_up,
     )
 
 
