@@ -183,3 +183,21 @@ def test_forecast_shapes(key):
     x = dyn.forecast(state, x0, key, n_step=7, noise=True)
     assert x.shape == (8, 4, cfg.xdim)
     assert np.all(np.isfinite(np.asarray(x)))
+
+
+def test_kalman_dynamics_variant(key):
+    """cfg.dynamics_update='kalman' — the weight-diffusion alternative the
+    reference keeps commented at vjf/model.py:372 — trains end-to-end."""
+    from vjf_tpu.config import StepFlags
+    from vjf_tpu.models import vjf as core
+
+    cfg = _cfg(udim=0, rls_backend="covariance",
+               dynamics_update="kalman", kalman_diffusion=0.01)
+    state = core.init_state(key, cfg)
+    T, B = 30, 3
+    ys = jax.random.normal(key, (T, B, cfg.ydim), dtype=jnp.float64)
+    us = jnp.zeros((T, B, 0), dtype=jnp.float64)
+    out = core.run_epoch(cfg, StepFlags(), state, ys, us, key, jnp.asarray(1e-3))
+    assert np.all(np.isfinite(np.asarray(out.metrics.loss)))
+    assert not np.allclose(np.asarray(out.state.dynamics.blr.w_mean),
+                           np.asarray(state.dynamics.blr.w_mean))

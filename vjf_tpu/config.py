@@ -51,6 +51,11 @@ class VJFConfig:
     init_obs_logvar: float = math.log(0.1)  # vjf/likelihood.py:16
     rls_shrink: float = 1.0               # forgetting factor, vjf/model.py:371
     leak: float = 0.0                     # vjf/model.py:334
+    # dynamics weight learner: 'rls' (live reference path, vjf/model.py:371)
+    # or 'kalman' (the commented weight-diffusion alternative at
+    # vjf/model.py:372, w[t] = w[t-1] + N(0, diffusion I))
+    dynamics_update: str = "rls"
+    kalman_diffusion: float = 0.01        # vjf/model.py:372 default
 
     # --- fit loop (vjf/model.py:223-224) ---
     beta: float = 0.1                     # running-loss discount

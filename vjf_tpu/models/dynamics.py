@@ -167,9 +167,17 @@ def update_from_features(
     dx = xt - xs
     blr = state.blr
     if not warm_up:
-        blr = regression.rls(
-            blr, feat, dx, jnp.exp(state.logvar), shrink=cfg.rls_shrink, jitter=cfg.chol_jitter
-        )
+        if cfg.dynamics_update == "kalman":
+            # the reference's commented weight-diffusion alternative
+            # (vjf/model.py:372): w[t] = w[t-1] + N(0, diffusion I)
+            blr = regression.kalman(
+                blr, feat, dx, jnp.exp(state.logvar), diffusion=cfg.kalman_diffusion
+            )
+        else:
+            blr = regression.rls(
+                blr, feat, dx, jnp.exp(state.logvar),
+                shrink=cfg.rls_shrink, jitter=cfg.chol_jitter,
+            )
 
     residual = dx - regression.predict_gaussian(blr, feat).mean
     mse = jnp.mean(jnp.square(residual))

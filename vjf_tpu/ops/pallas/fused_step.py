@@ -714,6 +714,8 @@ def fused_enabled(cfg: VJFConfig, state) -> bool:
         return False
     if cfg.dynamics != "rbf" or not isinstance(state.dynamics.blr, NSVBLR):
         return False
+    if cfg.dynamics_update != "rls":
+        return False  # the kernel implements the RLS learner only
     if cfg.fused_step == "on":
         return True
     return cfg.dtype == "float32" and jax.default_backend() == "tpu"
