@@ -9,7 +9,6 @@ RNG key.
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional, Sequence, Tuple
 
 import jax
@@ -74,9 +73,6 @@ class VJF:
     ) -> Tuple:
         """Pure forward pass (no learning) — ``VJF.forward``
         (``vjf/model.py:97-122``): returns ``(xs, pt, qt, xt, py)``."""
-        from .models.decoder import decode
-        from .models.vjf import elbo_terms
-
         cfg = self.cfg
         y = jnp.atleast_2d(jnp.asarray(y, dtype=cfg.jdtype))
         if u is not None:
@@ -235,8 +231,6 @@ class VJF:
     def velocity(self, x: Array) -> Array:
         """Mean velocity field at query points — the example script's
         ``model.transition.velocity(grid)`` (``script/example.py:68``)."""
-        from .models.dynamics import transition_gaussian
-
         x = jnp.atleast_2d(jnp.asarray(x, dtype=self.cfg.jdtype))
         g = core._transition(self.cfg).transition_gaussian(self.state.dynamics, x, None, 0.0)
         return g.mean - x

@@ -17,7 +17,7 @@ top of the parametric term ``diag(phi V phi^T)``.
 """
 from __future__ import annotations
 
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp

@@ -11,7 +11,7 @@ parameter pytree entirely, the structural equivalent of
 """
 from __future__ import annotations
 
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp

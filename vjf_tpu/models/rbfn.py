@@ -9,7 +9,7 @@ for the same reason — e.g. as a gradient-trained velocity field baseline.
 """
 from __future__ import annotations
 
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

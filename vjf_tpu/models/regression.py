@@ -41,7 +41,6 @@ from ..ops.linalg import (
     inv_tril_transpose,
     safe_cholesky,
     tri_inv_newton,
-    tril_solve,
 )
 from ..types import Gaussian
 

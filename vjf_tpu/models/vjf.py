@@ -30,8 +30,6 @@ from ..types import Gaussian
 from . import dynamics as dyn
 from .decoder import decode, init_decoder
 from .likelihoods import (
-    GaussianLikParams,
-    PoissonLikParams,
     gaussian_lik_update,
     gaussian_nll,
     init_gaussian_lik,

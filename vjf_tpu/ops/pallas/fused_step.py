@@ -33,7 +33,6 @@ Newton-Schulz-tracked (exact to ~1e-6, self-correcting).
 """
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple, Optional, Tuple
 
 import jax
