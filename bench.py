@@ -41,7 +41,7 @@ def main() -> None:
 
     n_batch = int(sys.argv[1]) if len(sys.argv) > 1 else 256
     t_chunk = int(sys.argv[2]) if len(sys.argv) > 2 else 10000
-    reps = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+    reps = int(sys.argv[3]) if len(sys.argv) > 3 else 5
 
     cfg = VJFConfig(
         ydim=200,

@@ -197,9 +197,16 @@ def rls(
         return PrecisionBLR(w_new, p_new, chol, u)
 
     if isinstance(state, NSVBLR):
+        # HIGHEST precision on the V/w feedback chain: TPU's default f32
+        # matmul uses bf16 passes whose rounding compounds through the
+        # g -> w -> g recursion (measured: training divergence at hot lr)
+        hp = jax.lax.Precision.HIGHEST
         sf = feat / jnp.sqrt(v)
         st = target / jnp.sqrt(v)
-        g = state.precision @ state.w_mean * shrink + sf.T @ st
+        g = (
+            jnp.matmul(state.precision, state.w_mean, precision=hp) * shrink
+            + sf.T @ st
+        )
         p_new = state.precision * shrink + sf.T @ sf
         if jitter:
             p_new = p_new + jitter * jnp.eye(p_new.shape[0], dtype=p_new.dtype)
@@ -211,7 +218,9 @@ def rls(
         def ns_path(v0):
             x = v0
             for _ in range(NS_ITERS):
-                x = x @ (eye2 - p_new @ x)
+                x = jnp.matmul(
+                    x, eye2 - jnp.matmul(p_new, x, precision=hp), precision=hp
+                )
             return 0.5 * (x + x.T)
 
         def exact_path(v0):
@@ -223,7 +232,7 @@ def rls(
             return x.T @ x                             # P^{-1} = L^-T L^-1
 
         v_new = jax.lax.cond(tau < NS_TAU_THRESHOLD, ns_path, exact_path, v_old)
-        w_new = v_new @ g
+        w_new = jnp.matmul(v_new, g, precision=hp)
         return NSVBLR(w_new, p_new, v_new)
 
     v1 = state.cov / shrink

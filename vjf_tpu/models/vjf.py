@@ -244,10 +244,21 @@ def filter_step(
         new_dynamics = _transition(cfg).update_from_features(
             cfg, dynamics, xt, xs, jax.lax.stop_gradient(feat), warm_up=flags.warm_up
         )
-        # skip the closed-form update entirely if its inputs are non-finite
-        # (the unguarded recursion would otherwise cement NaNs into P/V)
+        # skip the closed-form update entirely if its inputs OR outputs are
+        # non-finite (the unguarded recursion would otherwise cement NaNs
+        # into P/V — e.g. an f32 overflow in the exact-path Cholesky)
         upd_ok = jnp.logical_and(
             jnp.all(jnp.isfinite(xt)), jnp.all(jnp.isfinite(xs))
+        )
+        upd_ok = jax.tree_util.tree_reduce(
+            lambda acc, leaf: jnp.logical_and(
+                acc,
+                jnp.all(jnp.isfinite(leaf))
+                if jnp.issubdtype(leaf.dtype, jnp.floating)
+                else acc,
+            ),
+            new_dynamics,
+            upd_ok,
         )
         dynamics = jax.tree.map(
             lambda new_leaf, old_leaf: jnp.where(upd_ok, new_leaf, old_leaf),
@@ -323,10 +334,15 @@ def run_epoch(
 
 
 def _isclose(a: float, b: float, rtol: float, atol: float = 1e-8) -> bool:
-    """torch.isclose semantics (``vjf/model.py:279,293``)."""
+    """torch.isclose semantics (``vjf/model.py:279,293``).
+
+    Non-finite values are never "close" (guards against a transient inf
+    epoch loss poisoning the running loss and `inf <= inf` reading as a
+    spurious plateau/convergence).
+    """
     import math
 
-    if math.isnan(a) or math.isnan(b):
+    if not (math.isfinite(a) and math.isfinite(b)):
         return False
     return abs(a - b) <= atol + rtol * abs(b)
 

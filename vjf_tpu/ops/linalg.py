@@ -93,6 +93,9 @@ def tri_inv_newton(tri: Array, lower: bool = True) -> Array:
     diag = jnp.diagonal(tri, axis1=-2, axis2=-1)
     x = eye * (1.0 / diag)[..., :, None]
     two_eye = 2.0 * eye
+    # HIGHEST precision is load-bearing: TPU's default f32 matmul uses bf16
+    # passes, whose rounding compounds through the inverse-feedback chain
+    hp = jax.lax.Precision.HIGHEST
     for _ in range(max(1, math.ceil(math.log2(n)))):
-        x = x @ (two_eye - tri @ x)
+        x = jnp.matmul(x, two_eye - jnp.matmul(tri, x, precision=hp), precision=hp)
     return x
