@@ -83,3 +83,40 @@ def test_mesh_construction():
     assert m.shape["dp"] * m.shape["tp"] == 8
     m1 = make_mesh(8, axis_names=("dp",))
     assert m1.shape["dp"] == 8
+
+
+def test_ensemble_vmap_and_shard(key, mesh8):
+    """N independent filters as one vmap; model axis sharded across the
+    mesh with zero collectives (docs/ARCHITECTURE.md §4 scaling regime b)."""
+    from vjf_tpu.parallel import init_ensemble, run_epoch_ensemble, shard_ensemble
+
+    cfg = VJFConfig(ydim=6, xdim=2, udim=0, n_rbf=8, hidden_sizes=(5,),
+                    likelihood="gaussian", dtype="float64")
+    N, T, B = 4, 8, 2
+    states = init_ensemble(key, cfg, N)
+    ys = jax.random.normal(key, (N, T, B, cfg.ydim), dtype=jnp.float64)
+    us = jnp.zeros((N, T, B, 0), dtype=jnp.float64)
+    keys = jax.random.split(key, N)
+
+    out = run_epoch_ensemble(cfg, StepFlags(), states, ys, us, keys, jnp.asarray(1e-3))
+    assert out.metrics.loss.shape == (N, T)
+    assert np.all(np.isfinite(np.asarray(out.metrics.loss)))
+    # members are genuinely independent: different losses
+    losses = np.asarray(out.metrics.loss)
+    assert not np.allclose(losses[0], losses[1])
+
+    # member 0 alone == member 0 in the ensemble (pure-function vmap)
+    single = core.run_epoch(
+        cfg, StepFlags(),
+        jax.tree.map(lambda x: x[0], states), ys[0], us[0], keys[0], jnp.asarray(1e-3),
+    )
+    np.testing.assert_allclose(np.asarray(single.metrics.loss), losses[0],
+                               rtol=1e-9, atol=1e-12)
+
+    # shard the model axis over the mesh and run again
+    mesh1d = make_mesh(4, axis_names=("dp",))
+    sharded_states = shard_ensemble(states, mesh1d)
+    out2 = run_epoch_ensemble(cfg, StepFlags(), sharded_states,
+                              jax.device_put(ys, jax.sharding.NamedSharding(mesh1d, jax.sharding.PartitionSpec("dp"))),
+                              us, keys, jnp.asarray(1e-3))
+    np.testing.assert_allclose(np.asarray(out2.metrics.loss), losses, rtol=1e-9)

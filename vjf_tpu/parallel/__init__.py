@@ -1,4 +1,5 @@
 from .mesh import make_mesh
+from .replicated import init_ensemble, run_epoch_ensemble, shard_ensemble
 from .sharded import (
     data_sharding,
     make_sharded_epoch,
@@ -9,6 +10,9 @@ from .sharded import (
 
 __all__ = [
     "make_mesh",
+    "init_ensemble",
+    "run_epoch_ensemble",
+    "shard_ensemble",
     "data_sharding",
     "make_sharded_epoch",
     "shard_data",
