@@ -98,7 +98,7 @@ class NSVBLR(NamedTuple):
 BLRState = Union[PrecisionBLR, CovarianceBLR, NSVBLR]
 
 NS_TAU_THRESHOLD = 0.25
-NS_ITERS = 4
+NS_ITERS = 3
 
 
 def init_precision(n_feature: int, n_out: int, dtype=jnp.float32) -> PrecisionBLR:

@@ -43,7 +43,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ...config import StepFlags, VJFConfig
 
-NS_ITERS = 4
+NS_ITERS = 3
 NS_TAU_THRESHOLD = 0.25
 
 
