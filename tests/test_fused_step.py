@@ -95,6 +95,104 @@ def test_fused_epoch_matches_xla_epoch(key):
     assert int(got.state.dynamics.n_sample) == int(ref.state.dynamics.n_sample)
 
 
+def test_mega_epoch_matches_stepwise_and_xla(key):
+    """The grid-over-time mega kernel (prefix + cond-free steady state) must
+    reproduce the per-step cond path and the XLA epoch. The regime is sized
+    so tau contracts below threshold within the prefix (n_rbf=20, B=16,
+    prefix=100) — the steady-state segment then exercises the in-kernel
+    Newton-Schulz escalation branches instead of the exact fallback. T is
+    deliberately not a multiple of the scalar-pack row block (8)."""
+    cfg = VJFConfig(ydim=20, xdim=3, udim=0, n_rbf=20, hidden_sizes=(16,),
+                    likelihood="poisson", dtype="float32", rls_backend="nsv",
+                    fused_step="off", matmul_dtype="float32", ns_prefix=100)
+    state = core.init_state(key, cfg)
+    T, B = 163, 16
+    ys = jax.random.poisson(key, 1.0, (T, B, cfg.ydim)).astype(jnp.float32)
+    us = jnp.zeros((T, B, 0), jnp.float32)
+    eps = jax.random.normal(key, (2, T, B, cfg.xdim), jnp.float32)
+    lr = jnp.asarray(1e-3, jnp.float32)
+    flags = StepFlags()
+
+    got = F.run_epoch_fused(cfg, flags, state, ys, us, key, lr,
+                            noise=(eps[0], eps[1]), interpret=True)
+    tau = np.asarray(got.metrics.tau)
+    assert tau[cfg.ns_prefix:].max() < F.NS_TAU_THRESHOLD, "regime drifted hot"
+
+    ref = F.run_epoch_fused(cfg.replace(fused_epoch="stepwise"), flags, state,
+                            ys, us, key, lr, noise=(eps[0], eps[1]), interpret=True)
+    np.testing.assert_allclose(np.asarray(got.metrics.loss),
+                               np.asarray(ref.metrics.loss), rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(got.q_means), np.asarray(ref.q_means),
+                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got.state.dynamics.blr.w_mean),
+                               np.asarray(ref.state.dynamics.blr.w_mean),
+                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got.state.dynamics.blr.cov),
+                               np.asarray(ref.state.dynamics.blr.cov),
+                               rtol=1e-3, atol=1e-4)
+
+    xla = core.run_epoch(cfg, flags, state, ys, us, key, lr, noise=(eps[0], eps[1]))
+    np.testing.assert_allclose(np.asarray(got.metrics.loss),
+                               np.asarray(xla.metrics.loss), rtol=5e-4, atol=5e-4)
+    np.testing.assert_allclose(np.asarray(got.q_means), np.asarray(xla.q_means),
+                               rtol=2e-3, atol=2e-4)
+
+
+def test_mega_epoch_warmup_no_prefix(key):
+    """Warm-up epochs skip RLS entirely, so the whole epoch runs mega with
+    no prefix; must still match the stepwise layout."""
+    cfg = VJFConfig(ydim=12, xdim=2, udim=0, n_rbf=16, hidden_sizes=(8,),
+                    likelihood="gaussian", dtype="float32", rls_backend="nsv",
+                    fused_step="off", matmul_dtype="float32", ns_prefix=100)
+    state = core.init_state(key, cfg)
+    T, B = 30, 4
+    ys = jax.random.normal(key, (T, B, cfg.ydim), jnp.float32)
+    us = jnp.zeros((T, B, 0), jnp.float32)
+    eps = jax.random.normal(key, (2, T, B, cfg.xdim), jnp.float32)
+    lr = jnp.asarray(1e-3, jnp.float32)
+    flags = StepFlags(warm_up=True)
+
+    got = F.run_epoch_fused(cfg, flags, state, ys, us, key, lr,
+                            noise=(eps[0], eps[1]), interpret=True)
+    ref = F.run_epoch_fused(cfg.replace(fused_epoch="stepwise"), flags, state,
+                            ys, us, key, lr, noise=(eps[0], eps[1]), interpret=True)
+    np.testing.assert_allclose(np.asarray(got.metrics.loss),
+                               np.asarray(ref.metrics.loss), rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(got.q_means), np.asarray(ref.q_means),
+                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(got.state.params.likelihood.logvar),
+        np.asarray(ref.state.params.likelihood.logvar), rtol=1e-4)
+
+
+def test_logvar_clamp_gradient_mask(key):
+    """When the qt_logvar runaway clamp binds, the hand-written backward
+    must zero the gradient into the logvar head exactly like jax.grad
+    through jnp.clip on the XLA path (r1 advisor finding)."""
+    cfg, state, y, u, eps = _setup(key, "gaussian")
+    cfg = cfg.replace(logvar_clamp=0.05)   # tiny clamp: binds immediately
+    qs = core.prior(state.params, y.shape[0])
+    lr = jnp.asarray(1e-3, jnp.float32)
+    flags = StepFlags(update=False)
+
+    st_ref, _, _ = core.filter_step(cfg, flags, state, qs, y, u, eps[0], eps[1], lr)
+    carry = F.pad_carry(cfg, state)
+    out = F.step_math(cfg, flags, carry, qs.mean, qs.logvar, y, u, eps[0], eps[1], lr)
+    st = F.unpad_carry(cfg, out.carry, state)
+
+    # the clamp must actually bind for this test to mean anything
+    assert np.any(np.abs(np.asarray(out.qt_logvar)) >= cfg.logvar_clamp - 1e-6)
+    np.testing.assert_allclose(
+        np.asarray(st.params.recognition.logvar.w),
+        np.asarray(st_ref.params.recognition.logvar.w), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(st.params.recognition.logvar.b),
+        np.asarray(st_ref.params.recognition.logvar.b), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(st.params.recognition.layers[0].w),
+        np.asarray(st_ref.params.recognition.layers[0].w), rtol=1e-5, atol=1e-6)
+
+
 def test_pad_unpad_roundtrip(key):
     cfg, state, *_ = _setup(key, "gaussian", udim=1)
     carry = F.pad_carry(cfg, state)

@@ -70,6 +70,20 @@ class VJFConfig:
     # --- TPU-native knobs (no reference counterpart) ---
     rls_backend: str = "auto"             # 'precision' | 'covariance' | 'nsv' | 'auto'
     fused_step: str = "auto"              # whole-step pallas kernel: 'on'|'off'|'auto'
+    # epoch compilation strategy for the fused path:
+    #   'mega'     — exact-inverse prefix of ns_prefix per-step kernel calls
+    #                (lax.cond Cholesky fallback while Newton-Schulz hasn't
+    #                contracted), then ONE grid-over-time pallas_call for the
+    #                cond-free remainder of the epoch;
+    #   'stepwise' — the round-1 layout: scan of per-step kernel calls with
+    #                the fallback cond every step.
+    fused_epoch: str = "mega"
+    # length of the exact-inverse prefix segment. tau (the Newton-Schulz
+    # residual bound) was measured to fall below threshold within ~400 steps
+    # of the first RLS-active epoch on every BASELINE config; the mega
+    # segment self-reports its max tau so fit() can warn if this is ever
+    # too short for a new regime.
+    ns_prefix: int = 512
     # bf16 MXU inputs (f32 accumulate) for the fused kernel's activation /
     # gradient / sufficient-statistic matmuls; the error-feedback-critical
     # chain (P w, Newton-Schulz polish, V g) always stays f32. 'float32'

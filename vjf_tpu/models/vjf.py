@@ -74,12 +74,18 @@ class TrainState(NamedTuple):
 
 class Metrics(NamedTuple):
     """Per-step ELBO components (sign conventions of ``vjf/model.py:151``:
-    recon/dynamics/entropy are the *ELBO* terms, loss the negative ELBO)."""
+    recon/dynamics/entropy are the *ELBO* terms, loss the negative ELBO).
+
+    ``tau`` (fused path only) is the per-step Newton-Schulz residual bound —
+    the cond-free mega segment self-reports it so the host can detect the
+    (never-observed) case of an update skipped at ``tau >= NS_TAU_MAX``.
+    """
 
     loss: Array
     recon: Array
     dynamics: Array
     entropy: Array
+    tau: Optional[Array] = None
 
 
 def init_state(
@@ -434,6 +440,20 @@ def fit(
         )
         state = result.state
         epoch_loss = float(jnp.mean(result.metrics.loss))
+        if result.metrics.tau is not None and not warm_up:
+            # cond-free mega segment: tau >= NS_TAU_MAX means a skipped
+            # NSV update (never observed past the exact prefix; see
+            # ops/pallas/fused_step.py). Warn so a mis-sized ns_prefix on a
+            # novel regime is visible rather than silent.
+            max_tau = float(jnp.max(result.metrics.tau[cfg.ns_prefix:])) if (
+                result.metrics.tau.shape[0] > cfg.ns_prefix
+            ) else 0.0
+            if max_tau >= 0.7:
+                logger.warning(
+                    "Newton-Schulz residual bound tau=%.3f exceeded the "
+                    "in-kernel escalation ceiling past the exact prefix; "
+                    "increase cfg.ns_prefix (epoch %d).", max_tau, epoch,
+                )
 
         if callback is not None:
             callback(epoch, epoch_loss, result)

@@ -45,6 +45,22 @@ from ...config import StepFlags, VJFConfig
 
 NS_ITERS = 3
 NS_TAU_THRESHOLD = 0.25
+# Escalation ceiling for the cond-free steady-state (mega) kernel: two extra
+# Newton-Schulz iterations are applied when tau >= NS_TAU_THRESHOLD, which
+# keeps the tracked inverse within ~tau^32 (< 1.1e-5 at tau = 0.7) of exact;
+# beyond NS_TAU_MAX the update is skipped for that step and the tau shows up
+# in the scalar stream for the host to inspect (fit() warns — see
+# models.vjf.fit). Post-prefix tau was measured < 0.05 on every BASELINE
+# config, so neither branch fires in steady state.
+NS_TAU_MAX = 0.7
+NS_EXTRA_ITERS = 2
+# The mega kernel runs 2 base Newton-Schulz iterations (error tau^4, i.e.
+# < 6e-6 once tau < 0.05 — steady-state tau on the flagship is < 0.01) and
+# escalates behind hardware branches: +1 iteration at tau >= 0.05 (matching
+# the XLA path's fixed 3) and +2 more at tau >= NS_TAU_THRESHOLD. Each f32
+# 128x128x128 iteration costs ~0.7 us on v5e, so the common case saves the
+# third iteration without giving up accuracy anywhere.
+NS_TAU_ESCALATE = 0.05
 
 
 def _round_up(x: int, m: int = 128) -> int:
@@ -114,8 +130,19 @@ def step_math(
     eps_s: Array,
     eps_t: Array,
     lr: Array,
+    ns_extra=None,
+    ns_tau_max: Optional[float] = None,
+    ns_iters: int = NS_ITERS,
 ) -> StepOut:
-    """Pure-jnp fused step on padded arrays. See module docstring."""
+    """Pure-jnp fused step on padded arrays. See module docstring.
+
+    ``ns_extra(x_ns, p_new, eye2, tau) -> x_ns`` optionally escalates the
+    Newton-Schulz refinement (the mega kernel runs extra iterations behind a
+    hardware branch when tau is near-threshold); ``ns_tau_max`` additionally
+    gates the V/w update on ``tau < ns_tau_max`` for cond-free segments that
+    have no exact-inverse fallback (the skipped-step tau is visible in the
+    scalar stream).
+    """
     f32 = qs_m.dtype
     b = y.shape[0]
     inv_b = 1.0 / b
@@ -166,9 +193,9 @@ def step_math(
         hs.append(a)
     h_last = a
     qt_m = mm(h_last, carry.w_mean.T)
-    qt_lv = mm(h_last, carry.w_logvar.T) + carry.b_logvar
+    raw_qt_lv = mm(h_last, carry.w_logvar.T) + carry.b_logvar
     # runaway guard; never binds in sane regimes (VJFConfig.logvar_clamp)
-    qt_lv = jnp.clip(qt_lv, -cfg.logvar_clamp, cfg.logvar_clamp)
+    qt_lv = jnp.clip(raw_qt_lv, -cfg.logvar_clamp, cfg.logvar_clamp)
     sig_t = jnp.exp(0.5 * qt_lv)
     xt = qt_m + eps_t * sig_t
     py = mm(xt, carry.w_dec.T) + carry.b_dec
@@ -246,6 +273,12 @@ def step_math(
             else:
                 g_qt_lv = g_qt_lv + 0.5 * jnp.exp(qt_lv - slogvar) * inv_b
 
+        # gradient of the clip: when the runaway guard binds, nothing flows
+        # back into the logvar head — matches jax.grad through jnp.clip on
+        # the XLA path (models/vjf.py:162). Binding is a runaway regime, so
+        # this mask is all-ones in any sane run.
+        g_qt_lv = g_qt_lv * (jnp.abs(raw_qt_lv) < cfg.logvar_clamp)
+
         g_wm = mm(g_qt_m.T, h_last)
         g_wlv = mm(g_qt_lv.T, h_last)
         g_blv = jnp.sum(g_qt_lv, axis=0, keepdims=True)
@@ -322,12 +355,14 @@ def step_math(
             # loop (measured: training quality loss within 2k steps).
             x_ns = carry.v_mat
             eye2 = 2.0 * jnp.eye(p_new.shape[0], dtype=f32)
-            for _ in range(NS_ITERS):
+            for _ in range(ns_iters):
                 x_ns = jnp.dot(
                     x_ns,
                     eye2 - jnp.dot(p_new, x_ns, preferred_element_type=f32),
                     preferred_element_type=f32,
                 )
+            if ns_extra is not None:
+                x_ns = ns_extra(x_ns, p_new, eye2, tau)
             v_new = 0.5 * (x_ns + x_ns.T)
             w_dyn_new = jnp.dot(v_new, g_vec, preferred_element_type=f32)
             # Two distinct failure modes, two distinct actions:
@@ -339,6 +374,8 @@ def step_math(
             #    Cholesky fallback (tau -> +inf) rather than dropping the
             #    update, and keep the carry finite meanwhile.
             ns_ok = jnp.isfinite(jnp.sum(v_new) + jnp.sum(w_dyn_new))
+            if ns_tau_max is not None:
+                ns_ok = jnp.logical_and(ns_ok, tau < ns_tau_max)
             w_dyn_new = jnp.where(
                 jnp.logical_and(dyn_ok, ns_ok), w_dyn_new, carry.w_dyn
             )
@@ -397,6 +434,20 @@ def _box_muller(shape, dtype):
     return r * jnp.cos((2.0 * 3.14159265358979) * u2)
 
 
+def _box_muller_latents(b: int, xd: int, dtype):
+    """(eps_s, eps_t), each (B, xd), generated in a LANE-PACKED layout.
+
+    A (B, xd) f32 array with xd ~ 10 pads its lane dimension 128/xd-fold, so
+    Box-Muller's transcendentals (log, sqrt, cos) would run on ~13x more
+    vregs than carry data — measured ~1.7 us/step of pure padding waste on
+    the flagship shape. Generating in (2*xd, B) instead packs the lanes
+    full; the one transpose back to (B, 2*xd) is a cheap relayout next to
+    the transcendental savings.
+    """
+    eps = _box_muller((2 * xd, b), dtype).T        # (B, 2*xd)
+    return eps[:, :xd], eps[:, xd:]
+
+
 def _make_kernel(cfg: VJFConfig, flags: StepFlags, carry_treedef, n_carry: int,
                  has_u: bool, internal_rng: bool, xd: int):
     # data layout: qs_m, qs_lv, y, [u], [eps_s, eps_t unless internal_rng]
@@ -419,8 +470,7 @@ def _make_kernel(cfg: VJFConfig, flags: StepFlags, carry_treedef, n_carry: int,
         if internal_rng:
             pltpu.prng_seed(carry.rng_seed[0, 0], carry.rng_count[0, 0])
             b = qs_m.shape[0]
-            eps = _box_muller((2, b, xd), qs_m.dtype)
-            eps_s, eps_t = eps[0], eps[1]
+            eps_s, eps_t = _box_muller_latents(b, xd, qs_m.dtype)
         else:
             eps_s = next(it)[:]
             eps_t = next(it)[:]
@@ -702,6 +752,231 @@ def exact_v_fallback(
 
 
 # ---------------------------------------------------------------------------
+# Mega kernel: one pallas_call per epoch segment (grid over time)
+# ---------------------------------------------------------------------------
+#
+# The per-step kernel already fused the whole step; what remains per step is
+# the harness around it — the scan body's pallas invocation, the fallback
+# lax.cond, and the scan input/output streams (~1 us each on v5e). The mega
+# kernel removes all of it: the time axis becomes the pallas GRID (TPU grid
+# iterations execute sequentially on one core), the training carry lives in
+# constant-index output blocks that persist in VMEM across iterations, the
+# posterior carry lives in VMEM scratch, and y[t] is streamed in / q[t]
+# streamed out by the automatically double-buffered block pipeline. One
+# dispatch, zero per-step XLA ops.
+#
+# The exact-inverse fallback cannot run inside the kernel (a 128-sweep
+# in-kernel Cholesky costs ~65 us); instead Newton-Schulz escalates in-kernel
+# behind a hardware branch (2 extra iterations when tau >= 0.25, accurate to
+# tau^32 < 1.1e-5 up to tau = 0.7) and the rare tau >= 0.7 step skips the
+# V/w update and reports tau via the scalar stream. run_epoch_fused therefore
+# routes the first cfg.ns_prefix post-warm-up steps (where tau is large by
+# construction) through the per-step kernel with the exact cond fallback, and
+# only the contracted steady state through the mega kernel.
+
+
+def _const_spec(shape):
+    nd = len(shape)
+    return pl.BlockSpec(shape, lambda t, _n=nd: (0,) * _n)
+
+
+def _make_mega_kernel(
+    cfg: VJFConfig,
+    flags: StepFlags,
+    carry_treedef,
+    n_carry: int,
+    has_u: bool,
+    internal_rng: bool,
+    xd: int,
+    scal_rows: int,
+):
+    n_data = 1 + (1 if has_u else 0) + (0 if internal_rng else 2)
+
+    def kernel(*refs):
+        lr_ref = refs[0]
+        carry_in = refs[1 : 1 + n_carry]
+        q0_m_ref = refs[1 + n_carry]
+        q0_lv_ref = refs[2 + n_carry]
+        data_refs = refs[3 + n_carry : 3 + n_carry + n_data]
+        n_in = 3 + n_carry + n_data
+        carry_out = refs[n_in : n_in + n_carry]
+        q_ref = refs[n_in + n_carry]
+        scal_ref = refs[n_in + n_carry + 1]
+        qm_s, qlv_s, ns_s = refs[n_in + n_carry + 2 :]
+
+        t = pl.program_id(0)
+
+        @pl.when(t == 0)
+        def _():
+            for co, ci in zip(carry_out, carry_in):
+                co[:] = ci[:]
+            qm_s[:] = q0_m_ref[:]
+            qlv_s[:] = q0_lv_ref[:]
+
+        carry = jax.tree_util.tree_unflatten(
+            carry_treedef, [r[:] for r in carry_out]
+        )
+        it = iter(data_refs)
+        y = next(it)[:]
+        u = next(it)[:] if has_u else None
+        if internal_rng:
+            pltpu.prng_seed(carry.rng_seed[0, 0], carry.rng_count[0, 0])
+            b = y.shape[0]
+            eps_s, eps_t = _box_muller_latents(b, xd, y.dtype)
+        else:
+            eps_s = next(it)[:]
+            eps_t = next(it)[:]
+
+        def ns_extra(x_ns, p_new, eye2, tau):
+            # escalation runs on scalar-unit branches: the common case
+            # (contracted tau) costs one scratch round-trip and two
+            # predicates; near-threshold tau buys back iterations.
+            ns_s[:] = x_ns
+
+            @pl.when(tau >= NS_TAU_ESCALATE)
+            def _():
+                x = ns_s[:]
+                ns_s[:] = jnp.dot(
+                    x,
+                    eye2 - jnp.dot(p_new, x, preferred_element_type=x.dtype),
+                    preferred_element_type=x.dtype,
+                )
+
+            @pl.when(tau >= NS_TAU_THRESHOLD)
+            def _():
+                x = ns_s[:]
+                for _ in range(NS_EXTRA_ITERS):
+                    x = jnp.dot(
+                        x,
+                        eye2 - jnp.dot(p_new, x, preferred_element_type=x.dtype),
+                        preferred_element_type=x.dtype,
+                    )
+                ns_s[:] = x
+
+            return ns_s[:]
+
+        out = step_math(
+            cfg, flags, carry, qm_s[:], qlv_s[:], y, u, eps_s, eps_t,
+            lr_ref[0], ns_extra=ns_extra, ns_tau_max=NS_TAU_MAX,
+            ns_iters=NS_ITERS - 1,
+        )
+        out = out._replace(
+            carry=out.carry._replace(rng_count=out.carry.rng_count + 1)
+        )
+
+        for ref, val in zip(carry_out, jax.tree_util.tree_leaves(out.carry)):
+            ref[:] = val
+        qm_s[:] = out.qt_mean
+        qlv_s[:] = out.qt_logvar
+        q_ref[0] = out.qt_mean
+        q_ref[1] = out.qt_logvar
+        # scalar pack: Mosaic requires (8, 128)-tileable output blocks, so
+        # the per-step scalar row rides a (scal_rows, 128) block covering
+        # scal_rows consecutive steps (revisited in VMEM; flushed when the
+        # block index advances). The row for step t is selected by iota
+        # mask — no dynamic-index stores, no scalar stores.
+        s = out.scal
+        cols = jax.lax.broadcasted_iota(jnp.int32, (scal_rows, 128), 1)
+        row_of_t = jax.lax.broadcasted_iota(jnp.int32, (scal_rows, 128), 0)
+        vals = (
+            jnp.where(cols == 0, s.loss[0, 0], 0.0)
+            + jnp.where(cols == 1, s.recon[0, 0], 0.0)
+            + jnp.where(cols == 2, s.dyn[0, 0], 0.0)
+            + jnp.where(cols == 3, s.ent[0, 0], 0.0)
+            + jnp.where(cols == 4, s.tau[0, 0], 0.0)
+        )
+        r = t % scal_rows
+        scal_ref[:] = jnp.where(
+            row_of_t == r, vals, jnp.where(row_of_t < r, scal_ref[:], 0.0)
+        )
+
+    return kernel
+
+
+def mega_epoch_call(
+    cfg: VJFConfig,
+    flags: StepFlags,
+    carry: FusedCarry,
+    qs_m: Array,
+    qs_lv: Array,
+    ys: Array,
+    us: Optional[Array],
+    eps_s: Optional[Array],
+    eps_t: Optional[Array],
+    lr: Array,
+    interpret: bool = False,
+):
+    """Run ``T = ys.shape[0]`` fused steps as ONE grid-over-time pallas_call.
+
+    Returns ``(carry, q_pack (T, 2, B, xd), scal (T, 8))``. ``eps_s=None``
+    selects in-kernel Box-Muller RNG (stream index = the carried rng_count,
+    so a mega segment continues a per-step prefix bit-identically).
+    """
+    carry_leaves, carry_treedef = jax.tree_util.tree_flatten(carry)
+    has_u = us is not None and us.shape[-1] > 0
+    internal_rng = eps_s is None
+    t_total, b, yd = ys.shape
+    xd = cfg.xdim
+    dtype = qs_m.dtype
+    nfp = carry.p_mat.shape[0]
+
+    scal_rows = 8 if t_total >= 8 else t_total
+    kernel = _make_mega_kernel(
+        cfg, flags, carry_treedef, len(carry_leaves), has_u, internal_rng, xd,
+        scal_rows,
+    )
+    data = [ys] + ([us] if has_u else []) + (
+        [] if internal_rng else [eps_s, eps_t]
+    )
+    data_specs = [
+        pl.BlockSpec((None,) + d.shape[1:], lambda t, _n=d.ndim - 1: (t,) + (0,) * _n)
+        for d in data
+    ]
+    in_specs = (
+        [pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [_const_spec(l.shape) for l in carry_leaves]
+        + [_const_spec(qs_m.shape), _const_spec(qs_lv.shape)]
+        + data_specs
+    )
+    out_shape = (
+        tuple(jax.ShapeDtypeStruct(l.shape, l.dtype) for l in carry_leaves)
+        + (
+            jax.ShapeDtypeStruct((t_total, 2, b, xd), dtype),   # q_pack
+            jax.ShapeDtypeStruct((t_total, 128), dtype),        # scal rows
+        )
+    )
+    out_specs = (
+        tuple(_const_spec(l.shape) for l in carry_leaves)
+        + (
+            pl.BlockSpec((None, 2, b, xd), lambda t: (t, 0, 0, 0)),
+            pl.BlockSpec(
+                (scal_rows, 128), lambda t, _r=scal_rows: (t // _r, 0)
+            ),
+        )
+    )
+    aliases = {1 + i: i for i in range(len(carry_leaves))}
+    results = pl.pallas_call(
+        kernel,
+        grid=(t_total,),
+        out_shape=out_shape,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        scratch_shapes=[
+            pltpu.VMEM((b, xd), dtype),
+            pltpu.VMEM((b, xd), dtype),
+            pltpu.VMEM((nfp, nfp), dtype),
+        ],
+        input_output_aliases=aliases,
+        interpret=interpret,
+    )(lr.reshape(1), *carry_leaves, qs_m, qs_lv, *data)
+
+    n_c = len(carry_leaves)
+    new_carry = jax.tree_util.tree_unflatten(carry_treedef, list(results[:n_c]))
+    q_pack, scal = results[n_c], results[n_c + 1]
+    return new_carry, q_pack, scal[:, :8]
+
+
+# ---------------------------------------------------------------------------
 # Fused epoch runner (drop-in for models.vjf.run_epoch)
 # ---------------------------------------------------------------------------
 
@@ -723,14 +998,24 @@ def fused_enabled(cfg: VJFConfig, state) -> bool:
 def run_epoch_fused(cfg, flags, state, ys, us, key, lr, noise=None, q0=None,
                     interpret: Optional[bool] = None):
     """One epoch through the fused kernel — same contract as
-    ``models.vjf.run_epoch`` (pad once, scan the kernel, unpad once).
+    ``models.vjf.run_epoch`` (pad once, run the segments, unpad once).
 
-    Scan I/O is minimized: observations are the only per-step input in the
-    common case (controls only when udim > 0, eps slices only when noise is
-    injected — otherwise the kernel's on-core PRNG generates them), and the
-    per-step outputs are two packed buffers (posterior pack + scalar pack).
-    Per-step dynamic-slice/update ops were measured at ~1 us each on v5e, so
-    every dropped stream is real throughput.
+    Epoch layout (``cfg.fused_epoch``):
+
+    * ``'mega'`` — the first ``cfg.ns_prefix`` RLS-active steps run the
+      per-step kernel with the exact-inverse ``lax.cond`` fallback (tau is
+      large by construction right after warm-up); the remainder of the epoch
+      is ONE grid-over-time pallas_call with no per-step XLA ops at all.
+      Warm-up epochs (no RLS) need no prefix and run fully mega.
+    * ``'stepwise'`` — the round-1 layout: ``lax.scan`` of per-step kernel
+      calls with the fallback cond every step.
+
+    Step I/O is minimized either way: observations are the only per-step
+    input in the common case (controls only when udim > 0, eps slices only
+    when noise is injected — otherwise the kernel's on-core PRNG generates
+    them), and the per-step outputs are two packed buffers (posterior pack +
+    scalar pack). Per-step scan streams were measured at ~1 us each on v5e,
+    so every dropped stream is real throughput.
     """
     from ...models.vjf import EpochResult, Metrics, prior
 
@@ -752,6 +1037,11 @@ def run_epoch_fused(cfg, flags, state, ys, us, key, lr, noise=None, q0=None,
     has_u = cfg.udim > 0
     do_fallback = flags.update and not flags.warm_up
 
+    if cfg.fused_epoch == "mega":
+        prefix = min(cfg.ns_prefix, t_len) if do_fallback else 0
+    else:
+        prefix = t_len
+
     def body(c, inp):
         carry, qm, qlv = c
         it = iter(inp)
@@ -765,17 +1055,40 @@ def run_epoch_fused(cfg, flags, state, ys, us, key, lr, noise=None, q0=None,
             out = exact_v_fallback(cfg, out, carry, u)
         return (out.carry, out.q_pack[0], out.q_pack[1]), (out.q_pack, out.scal)
 
-    xs_in = (ys,) + ((us,) if has_u else ()) + (
-        (noise[0], noise[1]) if not internal_rng else ()
-    )
-    (carry_f, _, _), (q_seq, scal_seq) = jax.lax.scan(
-        body, (carry0, q0.mean, q0.logvar), xs_in
-    )
+    def seg_inputs(lo, hi):
+        return (ys[lo:hi],) + ((us[lo:hi],) if has_u else ()) + (
+            (noise[0][lo:hi], noise[1][lo:hi]) if not internal_rng else ()
+        )
+
+    q_segs, scal_segs = [], []
+    carry_f, qm_f, qlv_f = carry0, q0.mean, q0.logvar
+    if prefix > 0:
+        (carry_f, qm_f, qlv_f), (q_seq_a, scal_a) = jax.lax.scan(
+            body, (carry_f, qm_f, qlv_f), seg_inputs(0, prefix)
+        )
+        q_segs.append(q_seq_a)
+        scal_segs.append(scal_a[:, 0, :])
+    if prefix < t_len:
+        e1, e2 = (
+            (noise[0][prefix:], noise[1][prefix:])
+            if not internal_rng
+            else (None, None)
+        )
+        carry_f, q_seq_b, scal_b = mega_epoch_call(
+            cfg, flags, carry_f, qm_f, qlv_f, ys[prefix:],
+            us[prefix:] if has_u else None, e1, e2, lr, interpret=interpret,
+        )
+        q_segs.append(q_seq_b)
+        scal_segs.append(scal_b)
+
+    q_seq = q_segs[0] if len(q_segs) == 1 else jnp.concatenate(q_segs, axis=0)
+    scal_seq = scal_segs[0] if len(scal_segs) == 1 else jnp.concatenate(scal_segs, axis=0)
     metrics = Metrics(
-        loss=scal_seq[:, 0, 0],
-        recon=scal_seq[:, 0, 1],
-        dynamics=scal_seq[:, 0, 2],
-        entropy=scal_seq[:, 0, 3],
+        loss=scal_seq[:, 0],
+        recon=scal_seq[:, 1],
+        dynamics=scal_seq[:, 2],
+        entropy=scal_seq[:, 3],
+        tau=scal_seq[:, 4],
     )
     return EpochResult(
         state=unpad_carry(cfg, carry_f, state),
