@@ -83,3 +83,28 @@ def test_streaming_filter_end_to_end(tmp_path):
     # equivalence with one offline epoch (same init, same noise path is not
     # injected here, so compare only counter/step bookkeeping)
     assert int(model.state.dynamics.n_sample) > 0
+
+
+def test_streaming_filter_partial_tail(tmp_path):
+    """T % chunk != 0: the tail chunk must train on the valid prefix only
+    AND yield its (truncated) results (r1 advisor finding)."""
+    import numpy as np
+
+    from vjf_tpu import VJF
+
+    rng = np.random.default_rng(2)
+    T, B, ydim, chunk = 90, 1, 8, 32           # 32 + 32 + 26
+    data = rng.normal(size=(T, B, ydim)).astype(np.float64)
+    path = tmp_path / "y.bin"
+    data.tofile(path)
+
+    model = VJF.make_model(ydim, 2, 0, n_rbf=10, hidden_sizes=[6],
+                           likelihood="gaussian", dtype="float64")
+    loader = StreamingLoader(str(path), ydim=ydim, batch=B, chunk=chunk,
+                             dtype=np.float64, native=False)
+    results = list(model.filter_stream(loader, valid_fn=lambda: loader.last_valid))
+    assert len(results) == 3
+    assert results[-1].q_means.shape[0] == T - 2 * chunk   # truncated, not dropped
+    losses = np.concatenate([np.asarray(r.metrics.loss) for r in results])
+    assert losses.shape == (T,)
+    assert np.all(np.isfinite(losses))

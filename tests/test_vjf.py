@@ -172,3 +172,36 @@ def test_velocity_field_query(key):
     grid = np.random.default_rng(0).normal(size=(30, 2))
     v = model.velocity(grid)
     assert v.shape == (30, 2)
+
+
+def test_run_epochs_matches_sequential_run_epoch(key):
+    """The multi-epoch device-side driver (one dispatch per K epochs) must
+    equal K sequential run_epoch dispatches given the same per-epoch keys
+    and lrs — both the final state and per-epoch mean losses."""
+    cfg = VJFConfig(ydim=10, xdim=2, udim=0, n_rbf=12, hidden_sizes=(8,),
+                    likelihood="gaussian", dtype="float32", rls_backend="nsv",
+                    fused_step="off")
+    state = core.init_state(key, cfg)
+    T, B, E = 30, 4, 3
+    ys = jax.random.normal(key, (T, B, cfg.ydim), jnp.float32)
+    us = jnp.zeros((T, B, 0), jnp.float32)
+    keys = jax.random.split(key, E)
+    lrs = cfg.lr * (cfg.lr_decay ** jnp.arange(E, dtype=jnp.float32))
+    flags = StepFlags()
+
+    multi = core.run_epochs(cfg, flags, state, ys, us, keys, lrs)
+
+    st = state
+    losses = []
+    for e in range(E):
+        res = core.run_epoch(cfg, flags, st, ys, us, keys[e], lrs[e])
+        st = res.state
+        losses.append(float(jnp.mean(res.metrics.loss)))
+
+    np.testing.assert_allclose(np.asarray(multi.epoch_loss), np.asarray(losses),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(multi.q_means), np.asarray(res.q_means),
+                               rtol=1e-5, atol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(multi.state),
+                    jax.tree_util.tree_leaves(st)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)

@@ -156,10 +156,29 @@ class VJF:
             t_len, n_batch = chunk.shape[0], chunk.shape[1]
             n_valid = valid_fn() if valid_fn is not None else t_len
             if n_valid < t_len:
-                # tail chunk: step the valid prefix one-by-one to avoid
-                # training on padding
+                # tail chunk: step only the valid prefix (never train on
+                # padding) and still yield its results — one EpochResult per
+                # chunk, truncated to n_valid (r1 advisor finding: the tail's
+                # posteriors/metrics were silently dropped).
+                if n_valid == 0:
+                    return
+                q_means, q_logvars, per_step = [], [], []
                 for t in range(n_valid):
-                    q, _ = self.filter(chunk[t], qs=q, warm_up=warm_up)
+                    q, loss, recon, dyn, ent = self.filter(
+                        chunk[t], qs=q, warm_up=warm_up, verbose=True
+                    )
+                    q_means.append(q.mean)
+                    q_logvars.append(q.logvar)
+                    per_step.append((loss, recon, dyn, ent))
+                metrics = core.Metrics(
+                    *(jnp.stack([m[i] for m in per_step]) for i in range(4))
+                )
+                yield core.EpochResult(
+                    state=self.state,
+                    q_means=jnp.stack(q_means),
+                    q_logvars=jnp.stack(q_logvars),
+                    metrics=metrics,
+                )
                 return
             us = jnp.zeros((t_len, n_batch, 0), dtype=cfg.jdtype)
             self.key, k = jax.random.split(self.key)

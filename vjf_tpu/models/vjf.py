@@ -334,6 +334,73 @@ def run_epoch(
     return EpochResult(state, q_seq.mean, q_seq.logvar, metrics)
 
 
+class EpochsResult(NamedTuple):
+    state: TrainState
+    q_means: Array        # (T, B, xdim) — LAST epoch only
+    q_logvars: Array      # (T, B, xdim)
+    epoch_loss: Array     # (n_epochs,) mean loss per epoch
+    epoch_metrics: Metrics  # each (n_epochs,) epoch means
+    max_tau: Array        # (n_epochs,) fused path only; zeros otherwise
+
+
+def run_epochs(
+    cfg: VJFConfig,
+    flags: StepFlags,
+    state: TrainState,
+    ys: Array,
+    us: Array,
+    keys: jax.Array,
+    lrs: Array,
+    q0: Optional[Gaussian] = None,
+) -> EpochsResult:
+    """Run ``len(keys)`` consecutive epochs in ONE compiled computation.
+
+    The reference's ``fit`` syncs to host every epoch only to drive the
+    plateau logic (``vjf/model.py:276-295``); between those decisions the
+    epochs are a pure chain. Scanning them device-side amortizes dispatch
+    latency and keeps the chip busy — the natural unit for a production
+    training loop is "K epochs per dispatch, host checks the plateau every
+    K". Per-epoch posterior sequences are not stacked (that would hold
+    n_epochs copies of a (T, B, xdim) buffer); the last epoch's posteriors
+    — the ones ``fit`` consumes — ride the scan carry.
+
+    :param keys: (n_epochs, 2) PRNG keys (one per epoch)
+    :param lrs: (n_epochs,) learning rate per epoch (ExponentialLR schedule)
+    """
+    t_len, n_batch, _ = ys.shape
+    if q0 is None:
+        q0 = prior(state.params, n_batch)
+
+    def body(carry, inp):
+        st, _, _ = carry
+        key, lr = inp
+        res = run_epoch(cfg, flags, st, ys, us, key, lr, q0=q0)
+        mean_m = jax.tree.map(jnp.mean, res.metrics)
+        # post-prefix only: inside the exact-inverse prefix tau may spike
+        # (including the forced-fallback inf marker) by design — the cond
+        # fallback repairs it there. Only the cond-free segment's tau is a
+        # health signal.
+        if res.metrics.tau is not None and t_len > cfg.ns_prefix:
+            max_tau = jnp.max(res.metrics.tau[cfg.ns_prefix:])
+        else:
+            max_tau = jnp.zeros((), ys.dtype)
+        return (res.state, res.q_means, res.q_logvars), (mean_m, max_tau)
+
+    q_shape = (t_len, n_batch, cfg.xdim)
+    init = (state, jnp.zeros(q_shape, ys.dtype), jnp.zeros(q_shape, ys.dtype))
+    (state, q_means, q_logvars), (mean_metrics, max_tau) = jax.lax.scan(
+        body, init, (keys, lrs)
+    )
+    return EpochsResult(
+        state=state,
+        q_means=q_means,
+        q_logvars=q_logvars,
+        epoch_loss=mean_metrics.loss,
+        epoch_metrics=mean_metrics,
+        max_tau=max_tau,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Host-side fit loop (epoch-granular control flow lives outside jit)
 # ---------------------------------------------------------------------------
