@@ -120,3 +120,59 @@ def test_ensemble_vmap_and_shard(key, mesh8):
                               jax.device_put(ys, jax.sharding.NamedSharding(mesh1d, jax.sharding.PartitionSpec("dp"))),
                               us, keys, jnp.asarray(1e-3))
     np.testing.assert_allclose(np.asarray(out2.metrics.loss), losses, rtol=1e-9)
+
+
+def test_sharded_fused_epoch_matches_single_device_fused(key, mesh8):
+    """VERDICT r1 item 2: the fused kernel under shard_map. Per-device
+    phase-1 kernel (forward + local sums) + ONE psum of the FusedSums
+    pytree + replicated apply must equal the single-device fused epoch,
+    including the stats-based exact-inverse fallback."""
+    from vjf_tpu.ops.pallas import fused_step as F
+    from vjf_tpu.parallel.sharded import run_epoch_fused_sharded
+
+    cfg = VJFConfig(ydim=12, xdim=3, udim=0, n_rbf=20, hidden_sizes=(10,),
+                    likelihood="poisson", dtype="float32", rls_backend="nsv",
+                    fused_step="on", matmul_dtype="float32")
+    state = core.init_state(key, cfg)
+    T, B = 40, 16
+    ys = jax.random.poisson(key, 1.0, (T, B, cfg.ydim)).astype(jnp.float32)
+    us = jnp.zeros((T, B, 0), jnp.float32)
+    eps = jax.random.normal(key, (2, T, B, cfg.xdim), jnp.float32)
+    lr = jnp.asarray(1e-3, jnp.float32)
+    flags = StepFlags()
+
+    dp_mesh = make_mesh(8, axis_names=("dp",))
+    got = run_epoch_fused_sharded(cfg, flags, state, ys, us, key, lr, dp_mesh,
+                                  noise=(eps[0], eps[1]), interpret=True)
+    ref = F.run_epoch_fused(cfg.replace(fused_epoch="stepwise"), flags, state,
+                            ys, us, key, lr, noise=(eps[0], eps[1]),
+                            interpret=True)
+    np.testing.assert_allclose(np.asarray(got.metrics.loss),
+                               np.asarray(ref.metrics.loss), rtol=5e-4, atol=5e-4)
+    np.testing.assert_allclose(np.asarray(got.q_means), np.asarray(ref.q_means),
+                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got.state.dynamics.blr.w_mean),
+                               np.asarray(ref.state.dynamics.blr.w_mean),
+                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got.state.dynamics.blr.cov),
+                               np.asarray(ref.state.dynamics.blr.cov),
+                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got.state.dynamics.logvar),
+                               np.asarray(ref.state.dynamics.logvar), rtol=1e-4)
+
+
+def test_make_sharded_epoch_routes_to_fused(key, mesh8):
+    """make_sharded_epoch must take the shard_map-fused path when the
+    kernel is eligible, and produce finite results end-to-end."""
+    cfg = VJFConfig(ydim=12, xdim=3, udim=0, n_rbf=20, hidden_sizes=(10,),
+                    likelihood="poisson", dtype="float32", rls_backend="nsv",
+                    fused_step="on", matmul_dtype="float32")
+    state = core.init_state(key, cfg)
+    T, B = 12, 16
+    ys = jax.random.poisson(key, 1.0, (T, B, cfg.ydim)).astype(jnp.float32)
+    us = jnp.zeros((T, B, 0), jnp.float32)
+    dp_mesh = make_mesh(8, axis_names=("dp",))
+    epoch = make_sharded_epoch(cfg, StepFlags(), dp_mesh, donate=False)
+    out = epoch(state, ys, us, key, jnp.asarray(1e-3, jnp.float32))
+    assert np.all(np.isfinite(np.asarray(out.metrics.loss)))
+    assert out.q_means.shape == (T, B, cfg.xdim)

@@ -119,36 +119,58 @@ class StepOut(NamedTuple):
     scal: ScalarPack
 
 
-def step_math(
-    cfg: VJFConfig,
-    flags: StepFlags,
-    carry: FusedCarry,
-    qs_m: Array,
-    qs_lv: Array,
-    y: Array,
-    u: Optional[Array],
-    eps_s: Array,
-    eps_t: Array,
-    lr: Array,
-    ns_extra=None,
-    ns_tau_max: Optional[float] = None,
-    ns_iters: int = NS_ITERS,
-) -> StepOut:
-    """Pure-jnp fused step on padded arrays. See module docstring.
+class FusedSums(NamedTuple):
+    """Everything the step needs from the batch, reduced over trials.
 
-    ``ns_extra(x_ns, p_new, eye2, tau) -> x_ns`` optionally escalates the
-    Newton-Schulz refinement (the mega kernel runs extra iterations behind a
-    hardware branch when tau is near-threshold); ``ns_tau_max`` additionally
-    gates the V/w update on ``tau < ns_tau_max`` for cond-free segments that
-    have no exact-inverse fallback (the skipped-step tau is visible in the
-    scalar stream).
+    This is the whole cross-device surface of the algorithm: trials are
+    embarrassingly parallel except through these sums (gradient batch-sums
+    for SGD, the RLS sufficient statistics F^T F / F^T dx, and the scalar
+    ELBO/noise statistics — SURVEY.md §2.4). Under ``shard_map`` a single
+    ``psum`` of this pytree makes :func:`step_apply` bit-consistent on every
+    device. Batch-dependent scalings use the GLOBAL inverse batch size
+    (passed to :func:`step_forward_sums`), so local contributions sum to the
+    single-device values exactly; additive constants (``xd * slogvar``,
+    ``ydim * lik_lv``, ...) are applied once in :func:`step_apply`.
     """
-    f32 = qs_m.dtype
-    b = y.shape[0]
-    inv_b = 1.0 / b
-    slogvar = carry.state_logvar[0, 0]
-    has_u = u is not None and u.shape[-1] > 0
 
+    # gradient batch-sums (loss-scaled; pre-clip, pre-lr)
+    g_w_in_y: Array
+    g_w_in_u: Optional[Array]
+    g_w_in_m: Array
+    g_w_in_lv: Array
+    g_w_hidden: Tuple[Array, ...]
+    g_b_hidden: Tuple[Array, ...]
+    g_w_mean: Array
+    g_w_logvar: Array
+    g_b_logvar: Array
+    g_w_dec: Array
+    g_b_dec: Array
+    g_lik_lv_batch: Array     # () gaussian batch part (constant added in apply)
+    # ELBO batch sums (per-trial parts only)
+    recon_batch: Array        # () poisson recon; gaussian reconstructed from sq_y
+    dyn_batch: Array          # ()
+    ent: Array                # ()
+    sq_y: Array               # () gaussian squared residual sum
+    # RLS raw sufficient statistics (inv_sv scaling applied in apply)
+    ftf_raw: Array            # (nfp, nfp)
+    fxd_raw: Array            # (nfp, xd)
+    fvf_sum: Array            # ()
+    dx_sum: Array             # ()
+    dx2_sum: Array            # ()
+
+
+class PerTrial(NamedTuple):
+    """Trial-local step outputs (never cross devices)."""
+
+    qt_m: Array
+    qt_lv: Array
+    xt: Array
+    xs: Array
+    feat: Array
+    dx: Array
+
+
+def _mm_fn(cfg: VJFConfig, f32):
     # bf16-input matmuls (f32 accumulate) for activations / gradients /
     # sufficient statistics: f32 matmuls cost 6 MXU passes on v5e. The
     # error-feedback-critical chain (P w, final NS polish, V g) stays f32 —
@@ -163,6 +185,30 @@ def step_math(
                 preferred_element_type=f32,
             )
         return jnp.dot(a_, b_, preferred_element_type=f32)
+
+    return mm
+
+
+def step_forward_sums(
+    cfg: VJFConfig,
+    flags: StepFlags,
+    carry: FusedCarry,
+    qs_m: Array,
+    qs_lv: Array,
+    y: Array,
+    u: Optional[Array],
+    eps_s: Array,
+    eps_t: Array,
+    inv_b: float,
+) -> Tuple[FusedSums, PerTrial]:
+    """Per-trial phase of the fused step: forward pass, hand-written
+    backward, and trial-axis reductions. ``inv_b`` must be the GLOBAL
+    1/batch so that summing :class:`FusedSums` across trial shards
+    reproduces the single-device values (see class docstring)."""
+    f32 = qs_m.dtype
+    slogvar = carry.state_logvar[0, 0]
+    has_u = u is not None and u.shape[-1] > 0
+    mm = _mm_fn(cfg, f32)
 
     # ---------------- forward (vjf/model.py:97-122) ----------------
     xs = qs_m + eps_s * jnp.exp(0.5 * qs_lv)
@@ -200,18 +246,18 @@ def step_math(
     xt = qt_m + eps_t * sig_t
     py = mm(xt, carry.w_dec.T) + carry.b_dec
 
-    # ---------------- ELBO components (vjf/model.py:124-154) ---------------
+    # ---------------- ELBO batch sums (vjf/model.py:124-154) ---------------
+    zero = jnp.zeros((), f32)
     if cfg.likelihood == "poisson":
         pyc = jnp.minimum(py, cfg.poisson_clamp)
         exp_pyc = jnp.exp(pyc)
-        l_recon = jnp.sum(exp_pyc - y * pyc) * inv_b
-        obs_mse = jnp.zeros((), f32)
+        recon_batch = jnp.sum(exp_pyc - y * pyc) * inv_b
+        sq_y = zero
     else:
         lik_lv = carry.lik_logvar[0, 0]
         resid_y = y - py
         sq_y = jnp.sum(resid_y * resid_y)
-        l_recon = 0.5 * (sq_y * jnp.exp(-lik_lv) * inv_b + y.shape[-1] * lik_lv)
-        obs_mse = sq_y * inv_b / y.shape[-1]
+        recon_batch = zero
 
     inv_sv = jnp.exp(-slogvar)
     diff = pt_m - qt_m
@@ -219,50 +265,30 @@ def step_math(
         trace = jnp.exp(pt_lv + qt_lv - slogvar)
     else:
         trace = jnp.exp(pt_lv - slogvar) + jnp.exp(qt_lv - slogvar)
-    xd = qt_m.shape[-1]
-    l_dyn = 0.5 * (
-        jnp.sum(diff * diff) * inv_sv * inv_b
-        + xd * slogvar
-        + jnp.sum(trace) * inv_b
+    dyn_batch = (
+        jnp.sum(diff * diff) * inv_sv * inv_b + jnp.sum(trace) * inv_b
     )
     h_ent = 0.5 * jnp.sum(qt_lv) * inv_b
 
-    # the skip-step gate must see the RAW components: the zeroed loss is
-    # always finite, but non-finite components mean non-finite gradients
-    raw_ok = jnp.logical_and(
-        jnp.isfinite(l_recon),
-        jnp.logical_and(jnp.isfinite(l_dyn), jnp.isfinite(h_ent)),
-    )
-    l_recon = jnp.where(jnp.isfinite(l_recon), l_recon, 0.0)
-    l_dyn = jnp.where(jnp.isfinite(l_dyn), l_dyn, 0.0)
-    h_ent = jnp.where(jnp.isfinite(h_ent), h_ent, 0.0)
-    loss = l_recon - h_ent + (0.0 if flags.warm_up else l_dyn)
-
-    # ---------------- manual backward + clipped SGD ----------------
-    new = carry
+    # ---------------- manual backward (gradient batch-sums) ----------------
+    xd = qt_m.shape[-1]
+    nh = len(carry.w_hidden)
     if flags.sgd:
-        ok = raw_ok
-        step_lr = jnp.where(ok, lr, 0.0)
-        clip = cfg.clip
-
         if cfg.likelihood == "poisson":
             g_py = (exp_pyc - y) * (py < cfg.poisson_clamp) * inv_b
-            lik_logvar_new = carry.lik_logvar
+            g_lik_lv_batch = zero
         else:
             g_py = -resid_y * jnp.exp(-lik_lv) * inv_b
-            g_lik_lv = -0.5 * sq_y * jnp.exp(-lik_lv) * inv_b + 0.5 * y.shape[-1]
-            lik_logvar_new = carry.lik_logvar - step_lr * jnp.clip(
-                g_lik_lv, -clip, clip
-            )
+            # batch part only; the +0.5*ydim constant is added in apply
+            g_lik_lv_batch = -0.5 * sq_y * jnp.exp(-lik_lv) * inv_b
 
         g_xt = mm(g_py, carry.w_dec)                           # (B, xd)
         if flags.train_decoder:
-            w_dec_new = carry.w_dec - step_lr * jnp.clip(mm(g_py.T, xt), -clip, clip)
-            b_dec_new = carry.b_dec - step_lr * jnp.clip(
-                jnp.sum(g_py, axis=0, keepdims=True), -clip, clip
-            )
+            g_w_dec = mm(g_py.T, xt)
+            g_b_dec = jnp.sum(g_py, axis=0, keepdims=True)
         else:
-            w_dec_new, b_dec_new = carry.w_dec, carry.b_dec
+            g_w_dec = jnp.zeros_like(carry.w_dec)
+            g_b_dec = jnp.zeros_like(carry.b_dec)
 
         g_qt_m = g_xt
         g_qt_lv = g_xt * eps_t * (0.5 * sig_t) - (0.5 * inv_b)  # + entropy term
@@ -284,36 +310,150 @@ def step_math(
         g_blv = jnp.sum(g_qt_lv, axis=0, keepdims=True)
         g_h = mm(g_qt_m, carry.w_mean) + mm(g_qt_lv, carry.w_logvar)
 
-        new_w_hidden = list(carry.w_hidden)
-        new_b_hidden = list(carry.b_hidden)
-        for i in range(len(carry.w_hidden), 0, -1):            # layers n..1
+        g_w_hidden = [None] * nh
+        g_b_hidden = [None] * (nh + 1)
+        for i in range(nh, 0, -1):                             # layers n..1
             h_i = hs[i]
             g_a = g_h * (1.0 - h_i * h_i)
-            new_w_hidden[i - 1] = carry.w_hidden[i - 1] - step_lr * jnp.clip(
-                mm(g_a.T, hs[i - 1]), -clip, clip
-            )
-            new_b_hidden[i] = carry.b_hidden[i] - step_lr * jnp.clip(
-                jnp.sum(g_a, axis=0, keepdims=True), -clip, clip
-            )
+            g_w_hidden[i - 1] = mm(g_a.T, hs[i - 1])
+            g_b_hidden[i] = jnp.sum(g_a, axis=0, keepdims=True)
             g_h = mm(g_a, carry.w_hidden[i - 1])
         g_a0 = g_h * (1.0 - hs[0] * hs[0])                     # first layer
-        new_b_hidden[0] = carry.b_hidden[0] - step_lr * jnp.clip(
-            jnp.sum(g_a0, axis=0, keepdims=True), -clip, clip
-        )
-        w_in_u_new = carry.w_in_u
-        if has_u:
-            w_in_u_new = carry.w_in_u - step_lr * jnp.clip(mm(g_a0.T, u), -clip, clip)
+        g_b_hidden[0] = jnp.sum(g_a0, axis=0, keepdims=True)
+        g_w_in_u = mm(g_a0.T, u) if has_u else None
+        g_w_in_y = mm(g_a0.T, y)
+        g_w_in_m = mm(g_a0.T, qs_m)
+        g_w_in_lv = mm(g_a0.T, qs_lv)
+    else:
+        g_w_in_y = jnp.zeros_like(carry.w_in_y)
+        g_w_in_u = jnp.zeros_like(carry.w_in_u) if has_u else None
+        g_w_in_m = jnp.zeros_like(carry.w_in_m)
+        g_w_in_lv = jnp.zeros_like(carry.w_in_lv)
+        g_w_hidden = [jnp.zeros_like(w) for w in carry.w_hidden]
+        g_b_hidden = [jnp.zeros_like(bb) for bb in carry.b_hidden]
+        g_wm = jnp.zeros_like(carry.w_mean)
+        g_wlv = jnp.zeros_like(carry.w_logvar)
+        g_blv = jnp.zeros_like(carry.b_logvar)
+        g_w_dec = jnp.zeros_like(carry.w_dec)
+        g_b_dec = jnp.zeros_like(carry.b_dec)
+        g_lik_lv_batch = zero
 
+    # ---------------- RLS raw statistics ----------------
+    dx = xt - xs
+    if flags.update:
+        dx_sum = jnp.sum(dx)
+        dx2_sum = jnp.sum(dx * dx)
+        fvf_sum = jnp.sum(fvf)
+        ftf_raw = mm(feat.T, feat)
+        fxd_raw = mm(feat.T, dx)
+    else:
+        dx_sum = dx2_sum = fvf_sum = zero
+        ftf_raw = jnp.zeros_like(carry.p_mat)
+        fxd_raw = jnp.zeros_like(carry.w_dyn)
+
+    sums = FusedSums(
+        g_w_in_y=g_w_in_y, g_w_in_u=g_w_in_u, g_w_in_m=g_w_in_m,
+        g_w_in_lv=g_w_in_lv,
+        g_w_hidden=tuple(g_w_hidden), g_b_hidden=tuple(g_b_hidden),
+        g_w_mean=g_wm, g_w_logvar=g_wlv, g_b_logvar=g_blv,
+        g_w_dec=g_w_dec, g_b_dec=g_b_dec, g_lik_lv_batch=g_lik_lv_batch,
+        recon_batch=recon_batch, dyn_batch=dyn_batch, ent=h_ent, sq_y=sq_y,
+        ftf_raw=ftf_raw, fxd_raw=fxd_raw, fvf_sum=fvf_sum,
+        dx_sum=dx_sum, dx2_sum=dx2_sum,
+    )
+    per = PerTrial(qt_m=qt_m, qt_lv=qt_lv, xt=xt, xs=xs, feat=feat, dx=dx)
+    return sums, per
+
+
+def step_apply(
+    cfg: VJFConfig,
+    flags: StepFlags,
+    carry: FusedCarry,
+    sums: FusedSums,
+    lr: Array,
+    b_total: int,
+    feat: Optional[Array] = None,
+    dx: Optional[Array] = None,
+    ns_extra=None,
+    ns_tau_max: Optional[float] = None,
+    ns_iters: int = NS_ITERS,
+) -> Tuple[FusedCarry, ScalarPack, Array]:
+    """Batch-independent phase: reconstruct the ELBO from the (possibly
+    all-reduced) sums, apply clipped SGD, then the closed-form updates.
+    Deterministic given ``sums`` — every device applies the identical
+    update after one ``psum`` of the :class:`FusedSums` pytree.
+
+    ``feat``/``dx`` (trial-local) select the direct residual computation for
+    the single-device path; when absent (sharded), the post-update residual
+    MSE comes from the algebraic identity over the summed statistics
+    ``|dx - F w|^2 = dx2 - 2<w, F^T dx> + <w, F^T F w>``.
+    """
+    f32 = carry.w_dyn.dtype
+    b = b_total
+    inv_b = 1.0 / b
+    slogvar = carry.state_logvar[0, 0]
+    mm = _mm_fn(cfg, f32)
+    ydim = carry.w_dec.shape[0]
+    xd = carry.w_dyn.shape[-1]
+
+    # ---------------- ELBO components with their constants -----------------
+    if cfg.likelihood == "poisson":
+        l_recon = sums.recon_batch
+        obs_mse = jnp.zeros((), f32)
+    else:
+        lik_lv = carry.lik_logvar[0, 0]
+        l_recon = 0.5 * (sums.sq_y * jnp.exp(-lik_lv) * inv_b + ydim * lik_lv)
+        obs_mse = sums.sq_y * inv_b / ydim
+    l_dyn = 0.5 * (sums.dyn_batch + xd * slogvar)
+    h_ent = sums.ent
+
+    # the skip-step gate must see the RAW components: the zeroed loss is
+    # always finite, but non-finite components mean non-finite gradients
+    raw_ok = jnp.logical_and(
+        jnp.isfinite(l_recon),
+        jnp.logical_and(jnp.isfinite(l_dyn), jnp.isfinite(h_ent)),
+    )
+    l_recon = jnp.where(jnp.isfinite(l_recon), l_recon, 0.0)
+    l_dyn = jnp.where(jnp.isfinite(l_dyn), l_dyn, 0.0)
+    h_ent = jnp.where(jnp.isfinite(h_ent), h_ent, 0.0)
+    loss = l_recon - h_ent + (0.0 if flags.warm_up else l_dyn)
+
+    # ---------------- clipped SGD (vjf/model.py:206-214) ----------------
+    new = carry
+    if flags.sgd:
+        step_lr = jnp.where(raw_ok, lr, 0.0)
+        clip = cfg.clip
+
+        def upd(p, g):
+            return p - step_lr * jnp.clip(g, -clip, clip)
+
+        if cfg.likelihood == "poisson":
+            lik_logvar_new = carry.lik_logvar
+        else:
+            lik_logvar_new = upd(
+                carry.lik_logvar, sums.g_lik_lv_batch + 0.5 * ydim
+            )
+        if flags.train_decoder:
+            w_dec_new = upd(carry.w_dec, sums.g_w_dec)
+            b_dec_new = upd(carry.b_dec, sums.g_b_dec)
+        else:
+            w_dec_new, b_dec_new = carry.w_dec, carry.b_dec
         new = new._replace(
-            w_in_y=carry.w_in_y - step_lr * jnp.clip(mm(g_a0.T, y), -clip, clip),
-            w_in_u=w_in_u_new,
-            w_in_m=carry.w_in_m - step_lr * jnp.clip(mm(g_a0.T, qs_m), -clip, clip),
-            w_in_lv=carry.w_in_lv - step_lr * jnp.clip(mm(g_a0.T, qs_lv), -clip, clip),
-            w_hidden=tuple(new_w_hidden),
-            b_hidden=tuple(new_b_hidden),
-            w_mean=carry.w_mean - step_lr * jnp.clip(g_wm, -clip, clip),
-            w_logvar=carry.w_logvar - step_lr * jnp.clip(g_wlv, -clip, clip),
-            b_logvar=carry.b_logvar - step_lr * jnp.clip(g_blv, -clip, clip),
+            w_in_y=upd(carry.w_in_y, sums.g_w_in_y),
+            w_in_u=upd(carry.w_in_u, sums.g_w_in_u)
+            if sums.g_w_in_u is not None
+            else carry.w_in_u,
+            w_in_m=upd(carry.w_in_m, sums.g_w_in_m),
+            w_in_lv=upd(carry.w_in_lv, sums.g_w_in_lv),
+            w_hidden=tuple(
+                upd(w, g) for w, g in zip(carry.w_hidden, sums.g_w_hidden)
+            ),
+            b_hidden=tuple(
+                upd(bb, g) for bb, g in zip(carry.b_hidden, sums.g_b_hidden)
+            ),
+            w_mean=upd(carry.w_mean, sums.g_w_mean),
+            w_logvar=upd(carry.w_logvar, sums.g_w_logvar),
+            b_logvar=upd(carry.b_logvar, sums.g_b_logvar),
             w_dec=w_dec_new,
             b_dec=b_dec_new,
             lik_logvar=lik_logvar_new,
@@ -335,20 +475,19 @@ def step_math(
                 lik_n=jnp.where(lik_ok, tot, new.lik_n[0, 0]).reshape(1, 1),
             )
 
-        dx = xt - xs
-        dyn_ok = jnp.isfinite(jnp.sum(dx))
+        dyn_ok = jnp.isfinite(sums.dx_sum)
         w_dyn_new = carry.w_dyn
         if not flags.warm_up:
             inv_sv_u = jnp.exp(-slogvar)
-            ftf = mm(feat.T, feat) * inv_sv_u
+            ftf = sums.ftf_raw * inv_sv_u
             # P w stays f32: bf16 error here would compound through the
             # g -> w -> g recursion across the whole stream.
             g_vec = (
                 jnp.dot(carry.p_mat, carry.w_dyn, preferred_element_type=f32)
-                + mm(feat.T, dx) * inv_sv_u
+                + sums.fxd_raw * inv_sv_u
             )
             p_new = carry.p_mat + ftf
-            tau = jnp.sum(fvf) * inv_sv_u
+            tau = sums.fvf_sum * inv_sv_u
             # Newton-Schulz in full f32: the residual floor scales with
             # eps * cond(P), and P's condition grows with the data stream —
             # bf16 iterations stall at ~0.01*cond and poison the w feedback
@@ -388,8 +527,18 @@ def step_math(
                 dyn_ok, jnp.where(ns_ok, tau, jnp.inf), 0.0
             )
 
-        resid = dx - mm(feat, w_dyn_new)                       # vjf/model.py:372
-        mse_dyn = jnp.mean(resid * resid)
+        if feat is not None:
+            resid = dx - mm(feat, w_dyn_new)                   # vjf/model.py:372
+            mse_dyn = jnp.mean(resid * resid)
+        else:
+            hp = jax.lax.Precision.HIGHEST
+            quad = jnp.sum(
+                w_dyn_new
+                * jnp.matmul(sums.ftf_raw, w_dyn_new, precision=hp)
+            )
+            mse_dyn = (
+                sums.dx2_sum - 2.0 * jnp.sum(w_dyn_new * sums.fxd_raw) + quad
+            ) / (b * xd)
         dyn_n = jnp.minimum(new.dyn_n[0, 0], float(cfg.state_var_cap))
         tot_d = dyn_n + b
         var_d = (dyn_n / tot_d) * jnp.exp(slogvar) + (b / tot_d) * mse_dyn
@@ -407,9 +556,46 @@ def step_math(
         ent=h_ent.reshape(1, 1),
         tau=tau.reshape(1, 1),
     )
+    return new, scal, g_vec
+
+
+def step_math(
+    cfg: VJFConfig,
+    flags: StepFlags,
+    carry: FusedCarry,
+    qs_m: Array,
+    qs_lv: Array,
+    y: Array,
+    u: Optional[Array],
+    eps_s: Array,
+    eps_t: Array,
+    lr: Array,
+    ns_extra=None,
+    ns_tau_max: Optional[float] = None,
+    ns_iters: int = NS_ITERS,
+) -> StepOut:
+    """Pure-jnp fused step on padded arrays: forward-and-reduce
+    (:func:`step_forward_sums`) composed with the batch-independent apply
+    (:func:`step_apply`). See module docstring.
+
+    ``ns_extra(x_ns, p_new, eye2, tau) -> x_ns`` optionally escalates the
+    Newton-Schulz refinement (the mega kernel runs extra iterations behind a
+    hardware branch when tau is near-threshold); ``ns_tau_max`` additionally
+    gates the V/w update on ``tau < ns_tau_max`` for cond-free segments that
+    have no exact-inverse fallback (the skipped-step tau is visible in the
+    scalar stream).
+    """
+    b = y.shape[0]
+    sums, per = step_forward_sums(
+        cfg, flags, carry, qs_m, qs_lv, y, u, eps_s, eps_t, 1.0 / b
+    )
+    new, scal, g_vec = step_apply(
+        cfg, flags, carry, sums, lr, b, feat=per.feat, dx=per.dx,
+        ns_extra=ns_extra, ns_tau_max=ns_tau_max, ns_iters=ns_iters,
+    )
     return StepOut(
-        carry=new, qt_mean=qt_m, qt_logvar=qt_lv, g_vec=g_vec,
-        xt=xt, xs=xs, scal=scal,
+        carry=new, qt_mean=per.qt_m, qt_logvar=per.qt_lv, g_vec=g_vec,
+        xt=per.xt, xs=per.xs, scal=scal,
     )
 
 
@@ -749,6 +935,154 @@ def exact_v_fallback(
     return out._replace(
         carry=c._replace(v_mat=v_new, w_dyn=w_new, state_logvar=slv, dyn_n=dn)
     )
+
+
+# ---------------------------------------------------------------------------
+# Phase-1 kernel for the sharded path (forward + local sums, no apply)
+# ---------------------------------------------------------------------------
+
+
+def _split_sums(sums: FusedSums):
+    """Flatten FusedSums into (scalar leaves, array leaves) with treedef."""
+    leaves, treedef = jax.tree_util.tree_flatten(sums)
+    scalar_idx = [i for i, l in enumerate(leaves) if l.ndim == 0]
+    array_idx = [i for i, l in enumerate(leaves) if l.ndim != 0]
+    return leaves, treedef, scalar_idx, array_idx
+
+
+def forward_sums_call(
+    cfg: VJFConfig,
+    flags: StepFlags,
+    carry: FusedCarry,
+    qs_m: Array,
+    qs_lv: Array,
+    y: Array,
+    u: Optional[Array],
+    eps_s: Array,
+    eps_t: Array,
+    inv_b: float,
+    interpret: bool = False,
+) -> Tuple[FusedSums, Array, Array]:
+    """Run the per-trial phase as ONE pallas kernel on this device's trial
+    shard: forward, hand-written backward, and the trial reductions. Returns
+    ``(sums, qt_mean, qt_logvar)`` — everything the cross-device ``psum`` +
+    :func:`step_apply` needs. Scalar sums ride one packed (1, 128) row
+    (Mosaic cannot store scalars to VMEM)."""
+    carry_leaves, carry_treedef = jax.tree_util.tree_flatten(carry)
+    has_u = u is not None and u.shape[-1] > 0
+    b = y.shape[0]
+    xd = cfg.xdim
+    dtype = qs_m.dtype
+
+    # probe shapes once (abstract eval) to build the output layout
+    sums_shape = jax.eval_shape(
+        lambda c, qm, qlv, yy, uu, e1, e2: step_forward_sums(
+            cfg, flags, c, qm, qlv, yy, uu, e1, e2, inv_b
+        )[0],
+        carry, qs_m, qs_lv, y, u if has_u else None, eps_s, eps_t,
+    )
+    leaves_s, treedef_s, scalar_idx, array_idx = _split_sums(sums_shape)
+
+    def kernel(*refs):
+        carry_refs = refs[: len(carry_leaves)]
+        data_refs = refs[len(carry_leaves) : len(carry_leaves) + 5 + (1 if has_u else 0)]
+        out_refs = refs[len(carry_leaves) + 5 + (1 if has_u else 0) :]
+
+        c = jax.tree_util.tree_unflatten(carry_treedef, [r[:] for r in carry_refs])
+        it = iter(data_refs)
+        qm = next(it)[:]
+        qlv = next(it)[:]
+        yy = next(it)[:]
+        uu = next(it)[:] if has_u else None
+        e1 = next(it)[:]
+        e2 = next(it)[:]
+
+        sums, per = step_forward_sums(cfg, flags, c, qm, qlv, yy, uu, e1, e2, inv_b)
+        leaves = jax.tree_util.tree_leaves(sums)
+        n_arr = len(array_idx)
+        for ref, i in zip(out_refs[:n_arr], array_idx):
+            ref[:] = leaves[i]
+        cols = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+        row = jnp.zeros((1, 128), dtype)
+        for j, i in enumerate(scalar_idx):
+            row = row + jnp.where(cols == j, leaves[i], 0.0)
+        out_refs[n_arr][:] = row
+        out_refs[n_arr + 1][0] = per.qt_m
+        out_refs[n_arr + 1][1] = per.qt_lv
+
+    data = [qs_m, qs_lv, y] + ([u] if has_u else []) + [eps_s, eps_t]
+    out_shape = (
+        tuple(
+            jax.ShapeDtypeStruct(leaves_s[i].shape, leaves_s[i].dtype)
+            for i in array_idx
+        )
+        + (
+            jax.ShapeDtypeStruct((1, 128), dtype),
+            jax.ShapeDtypeStruct((2, b, xd), dtype),
+        )
+    )
+    results = pl.pallas_call(
+        kernel,
+        out_shape=out_shape,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * (len(carry_leaves) + len(data)),
+        out_specs=tuple(pl.BlockSpec(memory_space=pltpu.VMEM) for _ in out_shape),
+        interpret=interpret,
+    )(*carry_leaves, *data)
+
+    arr_res = results[: len(array_idx)]
+    row = results[len(array_idx)]
+    q_pack = results[len(array_idx) + 1]
+    leaves_out = list(leaves_s)
+    for r, i in zip(arr_res, array_idx):
+        leaves_out[i] = r
+    for j, i in enumerate(scalar_idx):
+        leaves_out[i] = row[0, j]
+    sums = jax.tree_util.tree_unflatten(treedef_s, leaves_out)
+    return sums, q_pack[0], q_pack[1]
+
+
+def exact_v_fallback_sums(
+    cfg: VJFConfig,
+    carry_new: FusedCarry,
+    prev_carry: FusedCarry,
+    sums: FusedSums,
+    g_vec: Array,
+    tau: Array,
+    b_total: int,
+):
+    """Stats-based exact-inverse fallback for the sharded path: identical
+    semantics to :func:`exact_v_fallback`, but the post-update residual MSE
+    comes from the all-reduced statistics (the per-trial features never
+    leave their device)."""
+    from ...ops.linalg import tri_inv_newton
+
+    c = carry_new
+    b = b_total
+    xd = c.w_dyn.shape[-1]
+    hp = jax.lax.Precision.HIGHEST
+
+    def exact(_):
+        chol = jnp.linalg.cholesky(c.p_mat)
+        x = tri_inv_newton(chol)
+        v_new = x.T @ x
+        w_new = jnp.matmul(v_new, g_vec, precision=hp)
+        quad = jnp.sum(w_new * jnp.matmul(sums.ftf_raw, w_new, precision=hp))
+        mse = (
+            sums.dx2_sum - 2.0 * jnp.sum(w_new * sums.fxd_raw) + quad
+        ) / (b * xd)
+        dyn_n = jnp.minimum(prev_carry.dyn_n[0, 0], float(cfg.state_var_cap))
+        tot = dyn_n + b
+        var = (dyn_n / tot) * jnp.exp(prev_carry.state_logvar[0, 0]) + (
+            b / tot
+        ) * mse
+        slv = jnp.clip(jnp.log(var), -cfg.logvar_clamp, cfg.logvar_clamp)
+        return v_new, w_new, slv.reshape(1, 1), tot.reshape(1, 1)
+
+    def keep(_):
+        return c.v_mat, c.w_dyn, c.state_logvar, c.dyn_n
+
+    v_new, w_new, slv, dn = jax.lax.cond(tau < NS_TAU_THRESHOLD, keep, exact, None)
+    return c._replace(v_mat=v_new, w_dyn=w_new, state_logvar=slv, dyn_n=dn)
 
 
 # ---------------------------------------------------------------------------

@@ -16,6 +16,7 @@ from __future__ import annotations
 from typing import Optional
 
 import jax
+import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import StepFlags, VJFConfig
@@ -71,6 +72,120 @@ def shard_data(mesh: Mesh, ys, us):
     return ys, us
 
 
+def run_epoch_fused_sharded(
+    cfg: VJFConfig,
+    flags: StepFlags,
+    state: core.TrainState,
+    ys,
+    us,
+    key,
+    lr,
+    mesh: Mesh,
+    noise=None,
+    q0=None,
+    interpret: Optional[bool] = None,
+):
+    """The fused kernel under multi-chip sharding (``shard_map`` over dp).
+
+    Trials are embarrassingly parallel inside the step; the only coupling is
+    through the batch sums (gradients, RLS sufficient statistics, scalar
+    ELBO/noise stats — SURVEY.md §2.4). So the step splits into exactly two
+    phases around ONE collective:
+
+    1. phase 1 — :func:`~...fused_step.forward_sums_call`: each device runs
+       the whole per-trial pallas kernel (forward + hand-written backward +
+       trial reductions) on its local shard;
+    2. ``psum`` of the :class:`~...fused_step.FusedSums` pytree over dp —
+       the single ICI collective per step;
+    3. phase 2 — :func:`~...fused_step.step_apply`: every device applies the
+       identical SGD + Newton-Schulz RLS + noise updates, keeping the
+       replicated training state bit-consistent with the single-device path
+       (the exact-inverse fallback runs stats-based, features never leave
+       their device).
+
+    The grid-over-time mega kernel cannot cross the collective (a psum
+    cannot run inside a pallas grid iteration), so the sharded path scans
+    the two-phase step; per-chip overhead is two kernel invocations + one
+    psum per step.
+    """
+    from ..ops.pallas import fused_step as F
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    from jax import shard_map
+
+    t_len, n_batch, _ = ys.shape
+    dp = _dp_axis(mesh)
+    n_dp = mesh.shape[dp]
+    assert n_batch % n_dp == 0, (n_batch, n_dp)
+    if q0 is None:
+        q0 = core.prior(state.params, n_batch)
+    if noise is None:
+        eps = jax.random.normal(key, (t_len, 2, n_batch, cfg.xdim), ys.dtype)
+        noise = (eps[:, 0], eps[:, 1])
+
+    carry0 = F.pad_carry(cfg, state)
+    inv_b = 1.0 / n_batch
+    has_u = cfg.udim > 0
+    do_fallback = flags.update and not flags.warm_up
+
+    def local_epoch(carry0, qm0, qlv0, ys_l, us_l, e1_l, e2_l, lr):
+        def body(c, inp):
+            carry, qm, qlv = c
+            y, u, e1, e2 = inp
+            sums, qt_m, qt_lv = F.forward_sums_call(
+                cfg, flags, carry, qm, qlv, y, u if has_u else None,
+                e1, e2, inv_b, interpret=interpret,
+            )
+            sums = jax.lax.psum(sums, dp)
+            new_carry, scal, g_vec = F.step_apply(
+                cfg, flags, carry, sums, lr, n_batch
+            )
+            if do_fallback:
+                new_carry = F.exact_v_fallback_sums(
+                    cfg, new_carry, carry, sums, g_vec, scal.tau[0, 0], n_batch
+                )
+            q_pack = jnp.stack([qt_m, qt_lv])
+            srow = jnp.concatenate(
+                [scal.loss, scal.recon, scal.dyn, scal.ent, scal.tau], axis=1
+            )
+            return (new_carry, qt_m, qt_lv), (q_pack, srow)
+
+        (carry_f, _, _), (q_seq, scal_seq) = jax.lax.scan(
+            body, (carry0, qm0, qlv0), (ys_l, us_l, e1_l, e2_l)
+        )
+        return carry_f, q_seq, scal_seq
+
+    carry_spec = jax.tree.map(lambda _: P(), carry0)
+    fn = shard_map(
+        local_epoch,
+        mesh=mesh,
+        in_specs=(
+            carry_spec, P(dp), P(dp),
+            P(None, dp), P(None, dp), P(None, dp), P(None, dp), P(),
+        ),
+        out_specs=(carry_spec, P(None, None, dp), P()),
+        check_vma=False,
+    )
+    carry_f, q_seq, scal_seq = fn(
+        carry0, q0.mean, q0.logvar, ys, us, noise[0], noise[1],
+        jnp.asarray(lr, ys.dtype),
+    )
+    metrics = core.Metrics(
+        loss=scal_seq[:, 0, 0],
+        recon=scal_seq[:, 0, 1],
+        dynamics=scal_seq[:, 0, 2],
+        entropy=scal_seq[:, 0, 3],
+        tau=scal_seq[:, 0, 4],
+    )
+    return core.EpochResult(
+        state=F.unpad_carry(cfg, carry_f, state),
+        q_means=q_seq[:, 0],
+        q_logvars=q_seq[:, 1],
+        metrics=metrics,
+    )
+
+
 def make_sharded_epoch(cfg: VJFConfig, flags: StepFlags, mesh: Mesh, donate: bool = True):
     """Jit ``run_epoch`` with explicit in/out shardings over ``mesh``.
 
@@ -80,19 +195,22 @@ def make_sharded_epoch(cfg: VJFConfig, flags: StepFlags, mesh: Mesh, donate: boo
     update — the JAX equivalent of the shared dynamics posterior noted at
     SURVEY.md §2.4).
 
-    The whole-step pallas kernel is disabled here: GSPMD does not partition
-    a pallas_call, so the sharded path uses the XLA step (whose sufficient-
-    statistic contractions auto-insert the psum collectives).
+    When the fused kernel is eligible (nsv backend, rbf/rls dynamics, f32)
+    the epoch runs :func:`run_epoch_fused_sharded` — the per-step pallas
+    kernel inside ``shard_map`` with one explicit psum of the sufficient
+    statistics. Otherwise the XLA step runs under GSPMD annotations (whose
+    sufficient-statistic contractions auto-insert the same collectives).
     """
-    cfg = cfg.replace(fused_step="off")
     st_shard = None
 
+    cfg_xla = cfg.replace(fused_step="off")
+
     def fn(state, ys, us, key, lr):
-        return core.run_epoch(cfg, flags, state, ys, us, key, lr)
+        return core.run_epoch(cfg_xla, flags, state, ys, us, key, lr)
 
     def build(state, ys):
         nonlocal st_shard
-        st_shard = state_shardings(cfg, state, mesh)
+        st_shard = state_shardings(cfg_xla, state, mesh)
         replicated = NamedSharding(mesh, P())
         dpax = _dp_axis(mesh)
         out_shardings = core.EpochResult(
@@ -114,9 +232,23 @@ def make_sharded_epoch(cfg: VJFConfig, flags: StepFlags, mesh: Mesh, donate: boo
             donate_argnums=(0,) if donate else (),
         )
 
+    def build_fused():
+        def fused_fn(state, ys, us, key, lr):
+            return run_epoch_fused_sharded(
+                cfg, flags, state, ys, us, key, lr, mesh
+            )
+
+        return jax.jit(fused_fn, donate_argnums=(0,) if donate else ())
+
     cache = {}
 
     def call(state, ys, us, key, lr):
+        from ..ops.pallas import fused_step as F
+
+        if F.fused_enabled(cfg, state):
+            if "fused" not in cache:
+                cache["fused"] = build_fused()
+            return cache["fused"](state, ys, us, key, lr)
         if "fn" not in cache:
             cache["fn"] = build(state, ys)
         return cache["fn"](state, ys, us, key, lr)
