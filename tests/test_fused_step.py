@@ -239,3 +239,60 @@ def test_api_forward_surface(key):
     assert xs.shape == (3, 2) and xt.shape == (3, 2)
     assert pt.mean.shape == (3, 2) and qt.mean.shape == (3, 2)
     assert py.shape == (3, 8)
+
+
+def test_skip_gate_nonfinite_grad_finite_loss(key):
+    """The r1 skip-gate deviation, closed: a NON-FINITE GRADIENT under a
+    FINITE loss (every raw ELBO component finite) must skip the SGD step on
+    BOTH paths. Construction: xt == 0 exactly (eps_t = 0, zero mean head)
+    keeps the decode finite while a huge decoder weight overflows the
+    backward (g_xt = g_py @ W_dec = inf), and the reparametrization factor
+    eps_t = 0 turns it into NaN (inf * 0) in the logvar-head gradient —
+    clip() would pass that NaN straight into the weights."""
+    cfg = VJFConfig(ydim=6, xdim=2, udim=0, n_rbf=8, hidden_sizes=(5,),
+                    likelihood="gaussian", dtype="float32", rls_backend="nsv",
+                    fused_step="off", matmul_dtype="float32")
+    state = core.init_state(key, cfg)
+    # zero mean head => qt_m = 0; with eps_t = 0, xt = 0 exactly
+    rec = state.params.recognition
+    rec = rec._replace(mean=rec.mean._replace(w=jnp.zeros_like(rec.mean.w)))
+    dec = state.params.decoder._replace(
+        w=jnp.full_like(state.params.decoder.w, 1e38))
+    state = state._replace(params=state.params._replace(recognition=rec,
+                                                        decoder=dec))
+    B = 4
+    y = 10.0 * jax.random.normal(key, (B, cfg.ydim), jnp.float32)
+    eps_s = jax.random.normal(key, (B, cfg.xdim), jnp.float32)
+    eps_t = jnp.zeros((B, cfg.xdim), jnp.float32)
+    qs = core.prior(state.params, B)
+    lr = jnp.asarray(1e-3, jnp.float32)
+    flags = StepFlags(update=False)
+
+    # the construction must actually produce a non-finite gradient leaf
+    def loss_fn(params):
+        (l_recon, l_dyn, h), _ = core.elbo_terms(
+            cfg, params, state.dynamics, qs, y, None, eps_s, eps_t)
+        return l_recon - h + l_dyn
+    grads = jax.grad(loss_fn)(state.params)
+    bad = [not bool(jnp.all(jnp.isfinite(g)))
+           for g in jax.tree_util.tree_leaves(grads)]
+    assert any(bad), "construction no longer produces a non-finite gradient"
+
+    # XLA path: finite loss, step skipped
+    st_x, _, m_x = core.filter_step(cfg, flags, state, qs, y, None,
+                                    eps_s, eps_t, lr)
+    assert bool(jnp.isfinite(m_x.loss))
+    for a, b in zip(jax.tree_util.tree_leaves(st_x.params),
+                    jax.tree_util.tree_leaves(state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # fused path: same finite loss, same skip (grad_check gate)
+    carry = F.pad_carry(cfg, state)
+    out = F.step_math(cfg, flags, carry, qs.mean, qs.logvar, y, None,
+                      eps_s, eps_t, lr)
+    assert bool(np.isfinite(np.asarray(out.scal.loss)[0, 0]))
+    st_f = F.unpad_carry(cfg, out.carry, state)
+    for a, b in zip(jax.tree_util.tree_leaves(st_f.params),
+                    jax.tree_util.tree_leaves(state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert np.all(np.isfinite(np.asarray(st_f.params.recognition.logvar.w)))

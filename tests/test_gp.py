@@ -107,3 +107,95 @@ def test_sgp_dynamics_initialize(key):
     err = float(jnp.sqrt(jnp.mean(jnp.square(pred - xt))))
     base = float(jnp.sqrt(jnp.mean(jnp.square(xs - xt))))
     assert err < 0.5 * base
+
+
+def test_sgp_hyperparam_adaptation_improves_nll(key):
+    """adapt_hyperparams must reduce the predictive NLL and move a badly
+    mis-set lengthscale toward the data's scale (r1: the hypers were dead
+    state fields)."""
+    cfg = VJFConfig(ydim=8, xdim=1, udim=0, dynamics="sgp", n_inducing=24,
+                    sgp_scale=1.0, sgp_lengthscale=3.0,   # way too long
+                    dtype="float64", sgp_adapt_lr=0.1, sgp_adapt_steps=20)
+    state = sgp_mod.init_sgp_dynamics(key, cfg)
+    rng = np.random.default_rng(4)
+    xs = jnp.asarray(rng.uniform(-2, 2, size=(400, 1)))
+    xt = xs + 0.3 * jnp.sin(5.0 * xs)        # short-lengthscale velocity field
+    # give the weights something to work with first
+    state = sgp_mod.dynamics_update(cfg, state, xt, xs)
+
+    theta0 = (state.log_scale, state.log_lengthscale)
+    nll0 = float(sgp_mod.hyperparam_nll(state, theta0, np.asarray(xs), np.asarray(xt - xs)))
+    new = sgp_mod.adapt_hyperparams(cfg, state, xt, xs)
+    nll1 = float(sgp_mod.hyperparam_nll(
+        new, (new.log_scale, new.log_lengthscale), np.asarray(xs), np.asarray(xt - xs)))
+    assert nll1 < nll0
+    assert float(new.log_lengthscale) < float(state.log_lengthscale)
+
+
+def test_sgp_adapt_reprojection_preserves_posterior(key):
+    """With zero adaptation steps the re-whitening reprojection is the
+    identity; with a hyper CHANGE, the posterior mean AT THE INDUCING POINTS
+    must be preserved exactly (f(Z) = L v is basis-free)."""
+    cfg = VJFConfig(ydim=8, xdim=2, udim=0, dynamics="sgp", n_inducing=12,
+                    sgp_lengthscale=0.8, dtype="float64", sgp_adapt_lr=0.05,
+                    sgp_adapt_steps=3)
+    state = sgp_mod.init_sgp_dynamics(key, cfg)
+    rng = np.random.default_rng(5)
+    xs = jnp.asarray(rng.normal(size=(100, 2)))
+    xt = xs + 0.1 * (-xs)
+    state = sgp_mod.dynamics_update(cfg, state, xt, xs)
+
+    same = sgp_mod.adapt_hyperparams(cfg, state, xt, xs, n_steps=0)
+    np.testing.assert_allclose(np.asarray(same.blr.w_mean),
+                               np.asarray(state.blr.w_mean), rtol=1e-9)
+
+    new = sgp_mod.adapt_hyperparams(cfg, state, xt, xs)
+    f_z_old = np.asarray(state.kzz_chol @ state.blr.w_mean)
+    f_z_new = np.asarray(new.kzz_chol @ new.blr.w_mean)
+    np.testing.assert_allclose(f_z_new, f_z_old, rtol=1e-8, atol=1e-10)
+    # the precision factorization stays consistent: P' (U' U'^T) ~= I
+    u = np.asarray(new.blr.prec_chol_inv_t)
+    pv = np.asarray(new.blr.precision) @ (u @ u.T)
+    np.testing.assert_allclose(pv, np.eye(pv.shape[0]), atol=1e-6)
+
+
+def test_sgp_ring_attractor_recovery(key):
+    """BASELINE config #3 with a quality gate: VJF + SGP dynamics on a ring
+    attractor must recover the latent trajectory (affine-aligned R^2) and
+    the learned velocity field must point inward outside the ring."""
+    rng = np.random.default_rng(6)
+    T, dt = 600, 0.1
+    x = np.zeros((T, 2))
+    x[0] = [1.5, 0.0]
+    for t in range(T - 1):
+        r = np.linalg.norm(x[t])
+        radial = (1.0 - r) * x[t] / max(r, 1e-6)
+        angular = 0.5 * np.array([-x[t, 1], x[t, 0]])
+        x[t + 1] = x[t] + dt * (radial + angular) + 0.02 * rng.normal(size=2)
+    C = rng.normal(size=(2, 12))
+    d = rng.normal(size=12)
+    y = x @ C + d + 0.1 * rng.normal(size=(T, 12))
+
+    cfg = VJFConfig(ydim=12, xdim=2, udim=0, dynamics="sgp", n_inducing=30,
+                    sgp_scale=1.0, sgp_lengthscale=1.0, likelihood="gaussian",
+                    dtype="float64", lr=1e-3, sgp_adapt_lr=0.02,
+                    rtol=2e-3)   # coarser plateau: warm-up must END in-test
+    state = core.init_state(key, cfg)
+    result = core.fit(cfg, state, y, key=key, max_iter=60)
+    assert not result.warm_up, "warm-up never ended; RLS never ran"
+    m = np.asarray(result.mu[:, 0, :])
+
+    X = np.concatenate([m, np.ones((T, 1))], axis=1)
+    A, *_ = np.linalg.lstsq(X, x, rcond=None)
+    r2 = 1 - np.sum((X @ A - x) ** 2) / np.sum((x - x.mean(0)) ** 2)
+    assert r2 > 0.8, r2
+
+    # velocity field sanity: just OUTSIDE the learned ring (still within the
+    # kernel's reach — far away a zero-mean GP correctly predicts zero
+    # velocity), motion points inward on average
+    ring = m[T // 2 :][::40]                     # points on the learned ring
+    probe = 1.35 * ring
+    s = np.asarray(sgp_mod.transition_gaussian(result.state.dynamics,
+                                               jnp.asarray(probe), None).mean) - probe
+    radial = np.sum(s * probe, axis=-1)          # <x, dx>: negative = inward
+    assert np.mean(radial) < 0, radial

@@ -108,3 +108,88 @@ def test_streaming_filter_partial_tail(tmp_path):
     losses = np.concatenate([np.asarray(r.metrics.loss) for r in results])
     assert losses.shape == (T,)
     assert np.all(np.isfinite(losses))
+
+
+def test_native_fifo_no_hang(tmp_path):
+    """Closing a loader whose FIFO has no writer must not hang (the r1
+    advisor finding: fread blocked forever in the reader thread). Also:
+    a writer attaching AFTER the open must be picked up (not treated as
+    instant EOF)."""
+    import os
+    import threading
+    import time
+
+    if _load_native() is None:
+        pytest.skip("native toolchain unavailable")
+
+    fifo = str(tmp_path / "stream.fifo")
+    os.mkfifo(fifo)
+    loader = StreamingLoader(fifo, ydim=4, batch=1, chunk=8, native=True)
+    assert loader.is_native
+
+    done = threading.Event()
+
+    def closer():
+        loader.close()
+        done.set()
+
+    t = threading.Thread(target=closer, daemon=True)
+    t.start()
+    assert done.wait(timeout=10.0), "close() hung on an idle FIFO"
+
+    # late writer: open loader first, write afterwards, data must arrive
+    fifo2 = str(tmp_path / "late.fifo")
+    os.mkfifo(fifo2)
+    loader2 = StreamingLoader(fifo2, ydim=4, batch=1, chunk=8, native=True)
+    data = np.arange(8 * 4, dtype=np.float32).reshape(8, 1, 4)
+
+    def writer():
+        time.sleep(0.2)
+        with open(fifo2, "wb") as f:
+            f.write(data.tobytes())
+
+    w = threading.Thread(target=writer, daemon=True)
+    w.start()
+    chunk = next(iter(loader2))
+    np.testing.assert_array_equal(chunk, data)
+    w.join()
+    loader2.close()
+
+
+def test_native_build_failure_cached(tmp_path, monkeypatch):
+    """A failed build writes a marker and later loads skip the compiler
+    subprocess (r1 advisor finding)."""
+    from vjf_tpu.native import loader as L
+
+    marker = tmp_path / ".build_failed"
+    src = tmp_path / "stream_loader.cpp"
+    src.write_text("// src")
+    monkeypatch.setattr(L, "_FAIL_MARKER", str(marker))
+    monkeypatch.setattr(L, "_SRC_PATH", str(src))
+    monkeypatch.setattr(L, "_SO_PATH", str(tmp_path / "nope.so"))
+    monkeypatch.setattr(L, "_lib", None)
+    monkeypatch.setattr(L, "_lib_tried", False)
+
+    calls = []
+
+    def fake_run(*a, **k):
+        calls.append(a)
+        raise RuntimeError("no compiler")
+
+    monkeypatch.setattr(L.subprocess, "run", fake_run)
+    assert L._load_native() is None
+    assert marker.exists()
+    assert len(calls) == 1
+
+    # a fresh process (simulated by resetting the module cache) must NOT
+    # re-invoke the compiler: the on-disk marker short-circuits
+    monkeypatch.setattr(L, "_lib_tried", False)
+    assert L._load_native() is None
+    assert len(calls) == 1
+
+    # touching the source invalidates the marker -> one more attempt
+    import os as _os
+    _os.utime(str(src), (src.stat().st_atime, src.stat().st_mtime + 10))
+    monkeypatch.setattr(L, "_lib_tried", False)
+    assert L._load_native() is None
+    assert len(calls) == 2

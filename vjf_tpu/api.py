@@ -27,11 +27,19 @@ class VJF:
     multi-device or custom training loops.
     """
 
-    def __init__(self, cfg: VJFConfig, seed: int = 0, backend: Optional[str] = None):
+    def __init__(
+        self,
+        cfg: VJFConfig,
+        seed: int = 0,
+        backend: Optional[str] = None,
+        batch_hint: Optional[int] = None,
+    ):
         self.cfg = cfg
         self.key = jax.random.PRNGKey(seed)
         self.key, k_init = jax.random.split(self.key)
-        self.state = core.init_state(k_init, cfg, backend=backend)
+        self.state = core.init_state(
+            k_init, cfg, backend=backend, batch_hint=batch_hint
+        )
         self._step_fn = jax.jit(core.filter_step, static_argnames=("cfg", "flags"))
         self._lr = cfg.lr
         # once fit()'s warm-up phase ends the decoder is frozen permanently
@@ -123,6 +131,59 @@ class VJF:
         if verbose:
             return qt, metrics.loss, metrics.recon, metrics.dynamics, metrics.entropy
         return qt, metrics.loss
+
+    def update(
+        self,
+        y: Array,
+        xs: Array,
+        u: Optional[Array] = None,
+        xt: Optional[Array] = None,
+        py: Optional[Array] = None,
+        *,
+        likelhood: bool = True,          # [sic] — the reference's kwarg name
+        likelihood: Optional[bool] = None,
+        decoder: bool = True,
+        transition: bool = True,
+        recognition: bool = True,
+        warm_up: bool = False,
+    ) -> None:
+        """Gradient-free update with per-module toggles — ``VJF.update``
+        (``vjf/model.py:156-177``). ``likelhood`` replicates the reference's
+        misspelled kwarg; ``likelihood=`` is the corrected alias (wins when
+        both given). ``decoder``/``recognition`` are accepted and ignored,
+        exactly like the reference (no closed-form update exists for them).
+        """
+        cfg = self.cfg
+        lik_on = likelhood if likelihood is None else likelihood
+        del decoder, recognition
+        y = jnp.atleast_2d(jnp.asarray(y, cfg.jdtype))
+        xs = jnp.atleast_2d(jnp.asarray(xs, cfg.jdtype))
+        xt = xs if xt is None else jnp.atleast_2d(jnp.asarray(xt, cfg.jdtype))
+        if u is not None:
+            u = jnp.atleast_2d(jnp.asarray(u, cfg.jdtype))
+
+        state = self.state
+        if lik_on and cfg.likelihood == "gaussian":
+            from .models.likelihoods import gaussian_lik_update
+
+            if py is None:
+                from .models.decoder import decode
+
+                py = decode(state.params.decoder, xt)
+            new_lik, lik_n = gaussian_lik_update(
+                state.params.likelihood, state.lik_n_sample, py, y,
+                size_cap=cfg.obs_var_cap, logvar_clamp=cfg.logvar_clamp,
+            )
+            state = state._replace(
+                params=state.params._replace(likelihood=new_lik),
+                lik_n_sample=lik_n,
+            )
+        if transition:
+            dynamics = core._transition(cfg).dynamics_update(
+                cfg, state.dynamics, xt, xs, u, warm_up=warm_up
+            )
+            state = state._replace(dynamics=dynamics)
+        self.state = state
 
     def filter_stream(
         self,

@@ -37,6 +37,9 @@ class VJFConfig:
     hidden_sizes: Tuple[int, ...] = (20,)
     likelihood: str = "gaussian"          # 'gaussian' | 'poisson'
     dynamics: str = "rbf"                 # 'rbf' | 'sgp'
+    # recognition MLP activation (vjf/recognition.py:17, default Tanh);
+    # the fused kernel supports tanh only — others run the XLA step.
+    recognition_activation: str = "tanh"  # 'tanh'|'relu'|'sigmoid'|'softplus'|'identity'
 
     # --- optimizer (vjf/model.py:52,69-78) ---
     lr: float = 1e-4
@@ -96,6 +99,12 @@ class VJFConfig:
     n_inducing: int = 50
     sgp_scale: float = 1.0
     sgp_lengthscale: float = 1.0
+    # kernel hyperparameter adaptation (gp/sgp.py:adapt_hyperparams): SGD
+    # steps on (log_scale, log_lengthscale) against the pooled predictive
+    # NLL after each post-warm-up epoch, with the posterior reprojected into
+    # the re-whitened basis. 0 disables (hypers frozen at the cfg values).
+    sgp_adapt_lr: float = 0.0
+    sgp_adapt_steps: int = 5
 
     @property
     def jdtype(self):
@@ -121,9 +130,14 @@ class StepFlags:
     (``vjf/model.py:148-149, 370-371``); ``train_decoder`` is the fit loop's
     post-warm-up decoder freeze (``vjf/model.py:283``) — a separate flag
     because a standalone ``filter`` call never freezes the decoder.
+    ``update_likelihood``/``update_transition`` are the per-module toggles
+    of ``VJF.update`` (``vjf/model.py:156-177``, kwargs ``likelhood=`` [sic]
+    / ``transition=``); both require ``update=True`` to take effect.
     """
 
     sgd: bool = True
     update: bool = True
     warm_up: bool = False
     train_decoder: bool = True
+    update_likelihood: bool = True
+    update_transition: bool = True

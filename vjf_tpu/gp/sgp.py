@@ -26,7 +26,7 @@ from jax import Array
 from ..config import VJFConfig
 from ..models import regression
 from ..ops.functional import gaussian_loss, nonecat, running_var
-from ..ops.linalg import safe_cholesky, tril_solve
+from ..ops.linalg import cho_solve, safe_cholesky, tril_solve
 from ..types import Gaussian
 from .covfun import CovarianceFunction, SquaredExponential
 
@@ -233,6 +233,111 @@ def forecast(
 
     _, xs = jax.lax.scan(body, x0, (keys, us))
     return jnp.concatenate([x0[None], xs], axis=0)
+
+
+# ---------------------------------------------------------------------------
+# Kernel hyperparameter adaptation (epoch-granular)
+# ---------------------------------------------------------------------------
+
+
+def _se_kernel(x1: Array, x2: Array, log_scale: Array, log_lengthscale: Array) -> Array:
+    a = jnp.sum(x1 * x1, axis=-1, keepdims=True)
+    b = jnp.sum(x2 * x2, axis=-1)
+    d2 = jnp.maximum(a + b - 2.0 * (x1 @ x2.T), 0.0)
+    return jnp.exp(2.0 * log_scale - 0.5 * d2 * jnp.exp(-2.0 * log_lengthscale))
+
+
+def hyperparam_nll(
+    state: SGPDynamicsState, theta, xu: Array, dx: Array
+) -> Array:
+    """One-step predictive NLL of the velocity targets under hypers
+    ``theta = (log_scale, log_lengthscale)``, holding the POSTERIOR MEAN AT
+    THE INDUCING POINTS fixed (``f(Z) = L_zz v`` — a basis-free quantity, so
+    the objective is differentiable in theta without re-deriving the
+    whitened weights): ``f(x; theta) = k_theta(x,Z) K_theta(Z,Z)^{-1} f(Z)``
+    with the DTC variance correction in the noise term.
+    """
+    log_scale, log_ls = theta
+    z = state.inducing
+    m = z.shape[0]
+    f_z = jax.lax.stop_gradient(state.kzz_chol @ state.blr.w_mean)
+    sv = jax.lax.stop_gradient(jnp.exp(state.logvar))
+
+    kzz = _se_kernel(z, z, log_scale, log_ls) + _JITTER * jnp.eye(m, dtype=z.dtype)
+    lzz = jnp.linalg.cholesky(kzz)
+    kxz = _se_kernel(xu, z, log_scale, log_ls)
+    alpha = cho_solve(lzz, f_z)                       # K^{-1} f(Z)
+    mean = kxz @ alpha
+    phi = tril_solve(lzz, kxz.T).T
+    dtc = jnp.maximum(jnp.exp(2.0 * log_scale) - jnp.sum(phi * phi, axis=-1), 0.0)
+    s = sv + dtc[:, None] + 1e-12
+    resid = dx - mean
+    return 0.5 * jnp.mean(resid * resid / s + jnp.log(s))
+
+
+def adapt_hyperparams(
+    cfg: VJFConfig,
+    state: SGPDynamicsState,
+    xt: Array,
+    xs: Array,
+    u: Optional[Array] = None,
+    lr: Optional[float] = None,
+    n_steps: Optional[int] = None,
+) -> SGPDynamicsState:
+    """Adapt ``log_scale``/``log_lengthscale`` by SGD on the pooled one-step
+    predictive NLL, then re-whiten: rebuild ``L_zz`` and REPROJECT the
+    weight posterior into the new feature basis.
+
+    The whitened weights are basis-dependent (``f(Z) = L_zz v``), so a
+    hyper change maps the posterior through ``A = L_new^{-1} L_old``:
+    ``v' = A v`` (mean at Z preserved exactly), ``V' = A V A^T``,
+    ``P' = A^{-T} P A^{-1}``. Runs at epoch granularity (the slow timescale
+    of the dual-estimation structure — SGD hypers / closed-form weights),
+    wired into ``fit`` via ``cfg.sgp_adapt_lr``.
+    """
+    lr = cfg.sgp_adapt_lr if lr is None else lr
+    n_steps = cfg.sgp_adapt_steps if n_steps is None else n_steps
+    xs = jnp.atleast_2d(xs)
+    xt = jnp.atleast_2d(xt)
+    xu = nonecat(xs, u)
+    dx = xt - xs
+
+    theta = (state.log_scale, state.log_lengthscale)
+    grad_fn = jax.grad(lambda th: hyperparam_nll(state, th, xu, dx))
+    for _ in range(max(0, n_steps)):
+        g = grad_fn(theta)
+        theta = tuple(
+            t - lr * jnp.clip(gi, -cfg.clip, cfg.clip) for t, gi in zip(theta, g)
+        )
+    log_scale, log_ls = theta
+
+    # re-whiten + reproject the posterior through A = L_new^{-1} L_old
+    z = state.inducing
+    m = z.shape[0]
+    kzz = _se_kernel(z, z, log_scale, log_ls) + _JITTER * jnp.eye(m, dtype=z.dtype)
+    l_new = safe_cholesky(kzz)
+    l_old = state.kzz_chol
+    a = tril_solve(l_new, l_old)                       # A = L_new^{-1} L_old
+    blr = state.blr
+    w_new = a @ blr.w_mean
+    if isinstance(blr, regression.NSVBLR):
+        b_inv = tril_solve(l_old, l_new)               # A^{-1} = L_old^{-1} L_new
+        p_new = b_inv.T @ blr.precision @ b_inv
+        v_new = a @ blr.cov @ a.T
+        blr = regression.NSVBLR(w_new, p_new, v_new)
+    elif isinstance(blr, regression.CovarianceBLR):
+        blr = regression.CovarianceBLR(w_new, a @ blr.cov @ a.T)
+    else:                                              # PrecisionBLR
+        b_inv = tril_solve(l_old, l_new)
+        p_new = b_inv.T @ blr.precision @ b_inv
+        p_new = 0.5 * (p_new + p_new.T)
+        chol = safe_cholesky(p_new)
+        from ..ops.linalg import inv_tril_transpose
+
+        blr = regression.PrecisionBLR(w_new, p_new, chol, inv_tril_transpose(chol))
+    return state._replace(
+        log_scale=log_scale, log_lengthscale=log_ls, kzz_chol=l_new, blr=blr
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -74,15 +74,29 @@ def init_recognition(
     return RecognitionParams(layers, mean, logvar)
 
 
+# the reference takes the activation as a constructor arg (default Tanh,
+# ``vjf/recognition.py:17``); the unused imports there (hardtanh, ReLU, ...)
+# suggest the intended menu.
+ACTIVATIONS = {
+    "tanh": jnp.tanh,
+    "relu": jax.nn.relu,
+    "sigmoid": jax.nn.sigmoid,
+    "softplus": jax.nn.softplus,
+    "identity": lambda x: x,
+}
+
+
 def apply_recognition(
     params: RecognitionParams,
     y: Array,
     qs: Gaussian,
     u: Optional[Array] = None,
+    activation: str = "tanh",
 ) -> Gaussian:
     """q[t] = MLP(y[t], u[t], q[t-1]) — ``vjf/recognition.py:31-42``."""
+    act = ACTIVATIONS[activation]
     yu = nonecat(y, u)
     h = jnp.concatenate([yu, jnp.atleast_2d(qs.mean), jnp.atleast_2d(qs.logvar)], axis=-1)
     for layer in params.layers:
-        h = jnp.tanh(apply_linear(layer, h))
+        h = act(apply_linear(layer, h))
     return Gaussian(apply_linear(params.mean, h), apply_linear(params.logvar, h))

@@ -285,6 +285,29 @@ def kalman(
     return CovarianceBLR(w_new, chol_new @ chol_new.T)
 
 
+class NonBayesLR(NamedTuple):
+    """The reference's ``LinearRegression(..., bayes=False)`` mode
+    (``vjf/module.py:46-50,66-68``): ``w_mean`` is a gradient-trained
+    parameter (a registered ``Parameter`` there — visible to the optimizer,
+    unlike the Bayesian mode's plain attribute) and ``forward`` returns the
+    point prediction ``F w``, never a Gaussian. No closed-form updates
+    apply. Unused by the reference's ``VJF`` but part of the constructor
+    surface; kept as its own tiny pytree so it slots into gradient-trained
+    parameter collections.
+    """
+
+    w_mean: Array      # (n_feature, n_out)
+
+
+def init_nonbayes(n_feature: int, n_out: int, dtype=jnp.float32) -> NonBayesLR:
+    return NonBayesLR(w_mean=jnp.zeros((n_feature, n_out), dtype=dtype))
+
+
+def predict_point(state: NonBayesLR, feat: Array) -> Array:
+    """``functional.linear(feat, w.t())`` — ``vjf/module.py:66-68``."""
+    return feat @ state.w_mean
+
+
 def batch_lstsq_posterior(
     feat: Array, target: Array, v: Array, dtype=None
 ) -> Tuple[Array, Array]:

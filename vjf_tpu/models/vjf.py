@@ -89,10 +89,18 @@ class Metrics(NamedTuple):
 
 
 def init_state(
-    key: jax.Array, cfg: VJFConfig, backend: Optional[str] = None
+    key: jax.Array,
+    cfg: VJFConfig,
+    backend: Optional[str] = None,
+    batch_hint: Optional[int] = None,
 ) -> TrainState:
     """Build a fresh model — the functional ``VJF.make_model``
-    (``vjf/model.py:309-319``)."""
+    (``vjf/model.py:309-319``).
+
+    ``batch_hint`` (expected per-step trial count) lets the ``'auto'`` RLS
+    backend pick the covariance form for true-streaming workloads (B small
+    relative to the feature count — only a B x B factorization per step).
+    """
     k_rec, k_dec, k_dyn = jax.random.split(key, 3)
     dtype = cfg.jdtype
     if cfg.likelihood == "gaussian":
@@ -112,6 +120,7 @@ def init_state(
             logvar=jnp.zeros((cfg.xdim,), dtype=dtype),
         ),
     )
+    backend = backend or dyn.resolve_backend(cfg, batch_hint=batch_hint)
     if cfg.dynamics == "sgp":
         from ..gp.sgp import init_sgp_dynamics
 
@@ -163,7 +172,9 @@ def elbo_terms(
     xs = reparametrize(qs, eps_s)                        # vjf/model.py:112
     feat = tr.features(dynamics, xs, u)                  # shared: predict + RLS
     pt = tr.predict_from_features(dynamics, xs, feat, cfg.leak)
-    qt = apply_recognition(params.recognition, y, qs, u)  # vjf/model.py:116
+    qt = apply_recognition(
+        params.recognition, y, qs, u, activation=cfg.recognition_activation
+    )                                                    # vjf/model.py:116
     # runaway guard: never binds in sane regimes (see VJFConfig.logvar_clamp)
     qt = Gaussian(qt.mean, jnp.clip(qt.logvar, -cfg.logvar_clamp, cfg.logvar_clamp))
     xt = reparametrize(qt, eps_t)                        # vjf/model.py:119
@@ -211,19 +222,26 @@ def filter_step(
         (loss, ((qt, xt, xs, py, feat), metrics)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(state.params)
-        # clip_grad_value_(1.0) — vjf/model.py:210
-        grads = jax.tree.map(lambda g: jnp.clip(g, -cfg.clip, cfg.clip), grads)
         # The reference catches a RuntimeError from backward and skips the
         # step (vjf/model.py:212-214); branchless equivalent: skip when any
-        # gradient is non-finite.
+        # RAW gradient is non-finite. Checked BEFORE the value clip so an
+        # overflowed (inf) gradient skips rather than stepping with the
+        # clip bound — mirrored exactly by the fused kernel's grad_check
+        # gate (ops/pallas/fused_step.py:FusedSums).
         ok = jax.tree_util.tree_reduce(
             lambda a, g: jnp.logical_and(a, jnp.all(jnp.isfinite(g))),
             grads,
             jnp.asarray(True),
         )
+        # clip_grad_value_(1.0) — vjf/model.py:210
+        grads = jax.tree.map(lambda g: jnp.clip(g, -cfg.clip, cfg.clip), grads)
 
         def sgd(p, g):
-            return jax.tree.map(lambda pi, gi: pi - jnp.where(ok, lr, 0.0) * gi, p, g)
+            # select, don't scale: 0 * NaN = NaN would poison the params
+            # straight through the skip gate
+            return jax.tree.map(
+                lambda pi, gi: jnp.where(ok, pi - lr * gi, pi), p, g
+            )
 
         params = state.params
         new_params = Params(
@@ -241,12 +259,13 @@ def filter_step(
     dynamics = state.dynamics
     lik_n = state.lik_n_sample
     if flags.update:                                     # vjf/model.py:156-177
-        if cfg.likelihood == "gaussian":
+        if cfg.likelihood == "gaussian" and flags.update_likelihood:
             new_lik, lik_n = gaussian_lik_update(
                 new_params.likelihood, lik_n, py, y,
                 size_cap=cfg.obs_var_cap, logvar_clamp=cfg.logvar_clamp,
             )
             new_params = new_params._replace(likelihood=new_lik)
+    if flags.update and flags.update_transition:
         new_dynamics = _transition(cfg).update_from_features(
             cfg, dynamics, xt, xs, jax.lax.stop_gradient(feat), warm_up=flags.warm_up
         )
@@ -544,6 +563,22 @@ def fit(
             if _isclose(epoch_loss, running_loss, rtol):
                 logger.info("Converged at epoch %d.", epoch)
                 break
+            if cfg.dynamics == "sgp" and cfg.sgp_adapt_lr > 0:
+                # slow-timescale kernel hyperparameter step on the pooled
+                # posterior means (gp/sgp.py:adapt_hyperparams)
+                from ..gp.sgp import adapt_hyperparams
+
+                m = result.q_means
+                state = state._replace(
+                    dynamics=jax.jit(
+                        adapt_hyperparams, static_argnames=("cfg",)
+                    )(
+                        cfg, state.dynamics,
+                        m[1:].reshape(-1, cfg.xdim),
+                        m[:-1].reshape(-1, cfg.xdim),
+                        us[1:].reshape(-1, cfg.udim) if cfg.udim > 0 else None,
+                    )
+                )
 
         running_loss = (
             beta * running_loss + (1 - beta) * epoch_loss if epoch > 0 else epoch_loss
@@ -567,6 +602,11 @@ def forecast(
     noise: bool = False,
 ) -> Tuple[Array, Array]:
     """Rollout latents and decode — ``VJF.forecast`` (``vjf/model.py:321-324``)."""
+    if u is not None and u.shape[0] != n_step:
+        # vjf/model.py:352: 'u must have length of n_step if present'
+        raise ValueError(
+            f"u must have length n_step={n_step} if present, got {u.shape[0]}"
+        )
     x = _transition(cfg).forecast(
         state.dynamics, x0, key, n_step, u=u, noise=noise, leak=cfg.leak
     )

@@ -9,6 +9,7 @@ host IO and device compute overlap.
 from __future__ import annotations
 
 import ctypes
+import logging
 import os
 import subprocess
 import threading
@@ -17,26 +18,61 @@ from typing import Iterator, Optional
 
 import numpy as np
 
+logger = logging.getLogger(__name__)
+
 _NATIVE_DIR = os.path.dirname(os.path.abspath(__file__))
 _SO_PATH = os.path.join(_NATIVE_DIR, "libvjfstream.so")
+_FAIL_MARKER = os.path.join(_NATIVE_DIR, ".build_failed")
+_SRC_PATH = os.path.join(_NATIVE_DIR, "src", "stream_loader.cpp")
 _lib = None
 _lib_tried = False
 
 
+def _build_failed_cached() -> bool:
+    """A persisted failure marker (keyed to the source mtime) skips the
+    120s-bounded compiler subprocess on every later process in a
+    compiler-less environment (r1 advisor finding)."""
+    try:
+        return os.path.getmtime(_FAIL_MARKER) >= os.path.getmtime(_SRC_PATH)
+    except OSError:
+        return False
+
+
 def _load_native() -> Optional[ctypes.CDLL]:
-    """Build (once) and load the native library; None if unavailable."""
+    """Build (once per environment) and load the native library; None if
+    unavailable — with the failure cached on disk and logged once, so the
+    pure-Python fallback is observable, not silent."""
     global _lib, _lib_tried
     if _lib_tried:
         return _lib
     _lib_tried = True
     try:
         if not os.path.exists(_SO_PATH):
-            subprocess.run(
-                ["make", "-C", _NATIVE_DIR],
-                check=True,
-                capture_output=True,
-                timeout=120,
-            )
+            if _build_failed_cached():
+                logger.warning(
+                    "native stream loader unavailable (cached build failure "
+                    "at %s; delete it to retry) — using the Python fallback",
+                    _FAIL_MARKER,
+                )
+                return None
+            try:
+                subprocess.run(
+                    ["make", "-C", _NATIVE_DIR],
+                    check=True,
+                    capture_output=True,
+                    timeout=120,
+                )
+            except Exception as e:
+                try:
+                    with open(_FAIL_MARKER, "w") as f:
+                        f.write(f"{type(e).__name__}: {e}\n")
+                except OSError:
+                    pass
+                logger.warning(
+                    "native stream loader build failed (%s) — using the "
+                    "Python fallback; failure cached at %s", e, _FAIL_MARKER,
+                )
+                return None
         lib = ctypes.CDLL(_SO_PATH)
         lib.vjf_stream_open.argtypes = [ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64]
         lib.vjf_stream_open.restype = ctypes.c_int64

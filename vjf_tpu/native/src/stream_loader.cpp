@@ -14,10 +14,15 @@
 //
 // Build: make -C vjf_tpu/native  (g++ -O3 -shared -fPIC -pthread)
 
+#include <errno.h>
+#include <sys/stat.h>
+#include <fcntl.h>
+#include <poll.h>
+#include <unistd.h>
+
 #include <atomic>
 #include <condition_variable>
 #include <cstdint>
-#include <cstdio>
 #include <cstring>
 #include <map>
 #include <mutex>
@@ -38,30 +43,71 @@ struct RingStream {
   std::atomic<bool> eof{false};
   std::atomic<bool> closed{false};
   std::thread reader;
-  FILE* fp = nullptr;
+  // Nonblocking fd + poll() + self-pipe wakeup: a blocking fread() on an
+  // idle FIFO would make stop() (and Python __del__ / interpreter exit)
+  // join a thread that never returns (r1 advisor finding). stop() writes
+  // one byte to wake[1]; poll() wakes; the reader exits.
+  int fd = -1;
+  int wake[2] = {-1, -1};
 
   ~RingStream() { stop(); }
 
   void stop() {
     closed.store(true);
+    if (wake[1] >= 0) {
+      char c = 1;
+      ssize_t r = write(wake[1], &c, 1);
+      (void)r;
+    }
     cv_nonfull.notify_all();
     cv_nonempty.notify_all();
     if (reader.joinable()) reader.join();
-    if (fp) {
-      fclose(fp);
-      fp = nullptr;
+    if (fd >= 0) {
+      close(fd);
+      fd = -1;
+    }
+    for (int i = 0; i < 2; ++i) {
+      if (wake[i] >= 0) {
+        close(wake[i]);
+        wake[i] = -1;
+      }
     }
   }
 
   void reader_loop() {
     std::vector<uint8_t> step(step_bytes);
+    size_t filled = 0;
+    struct stat st;
+    const bool is_fifo = fstat(fd, &st) == 0 && S_ISFIFO(st.st_mode);
+    bool saw_data = false;
     while (!closed.load()) {
-      size_t got = fread(step.data(), 1, step_bytes, fp);
-      if (got < step_bytes) {  // EOF or short read: stop producing
-        eof.store(true);
+      struct pollfd pfds[2] = {{fd, POLLIN, 0}, {wake[0], POLLIN, 0}};
+      // a FIFO opened before any writer reports POLLHUP/read()==0, which is
+      // NOT EOF yet — wait on the wake pipe with a short timeout until a
+      // writer appears (or stop() fires)
+      const bool waiting_for_writer = is_fifo && !saw_data;
+      int pr = poll(pfds, 2, waiting_for_writer ? 20 : -1);
+      if (pr < 0) {
+        if (errno == EINTR) continue;
+        break;
+      }
+      if (pfds[1].revents != 0) return;  // stop() woke us
+      if ((pfds[0].revents & (POLLIN | POLLHUP | POLLERR)) == 0) continue;
+      ssize_t got = ::read(fd, step.data() + filled, step_bytes - filled);
+      if (got < 0) {
+        if (errno == EAGAIN || errno == EWOULDBLOCK || errno == EINTR) continue;
+        got = 0;  // treat hard errors as EOF
+      }
+      if (got == 0) {
+        if (waiting_for_writer) continue;  // no writer yet, not EOF
+        eof.store(true);                   // EOF / FIFO writer closed
         cv_nonempty.notify_all();
         return;
       }
+      saw_data = true;
+      filled += static_cast<size_t>(got);
+      if (filled < step_bytes) continue;  // partial step: keep accumulating
+      filled = 0;
       std::unique_lock<std::mutex> lk(mu);
       cv_nonfull.wait(lk, [&] { return closed.load() || head - tail < capacity; });
       if (closed.load()) return;
@@ -110,10 +156,18 @@ extern "C" {
 
 int64_t vjf_stream_open(const char* path, int64_t step_bytes,
                         int64_t capacity_steps) {
-  FILE* fp = fopen(path, "rb");
-  if (!fp) return -1;
+  // O_NONBLOCK is a no-op for regular files and lets a FIFO open without a
+  // writer; the reader poll()s, so a writer attaching later is picked up.
+  int fd = open(path, O_RDONLY | O_NONBLOCK | O_CLOEXEC);
+  if (fd < 0) return -1;
   auto* s = new RingStream();
-  s->fp = fp;
+  s->fd = fd;
+  if (pipe(s->wake) != 0) {
+    close(fd);
+    s->fd = -1;
+    delete s;
+    return -1;
+  }
   s->step_bytes = static_cast<size_t>(step_bytes);
   s->capacity = static_cast<size_t>(capacity_steps);
   s->buf.resize(s->step_bytes * s->capacity);

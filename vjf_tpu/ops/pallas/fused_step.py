@@ -151,6 +151,14 @@ class FusedSums(NamedTuple):
     dyn_batch: Array          # ()
     ent: Array                # ()
     sq_y: Array               # () gaussian squared residual sum
+    # sum over every gradient tensor: non-finite iff ANY gradient entry is
+    # (inf + finite = inf, inf - inf = nan), so isfinite(grad_check) is an
+    # exact-and-cheap per-leaf gradient gate — closing the r1 skip-gate
+    # deviation (a NaN gradient under a FINITE loss is constructible via a
+    # saturated tanh unit fed by an overflowing upstream gradient:
+    # inf * (1 - tanh^2 = 0) = nan; clip() passes NaN through, so an
+    # ungated step would cement it into the weights).
+    grad_check: Array         # ()
     # RLS raw sufficient statistics (inv_sv scaling applied in apply)
     ftf_raw: Array            # (nfp, nfp)
     fxd_raw: Array            # (nfp, xd)
@@ -340,7 +348,7 @@ def step_forward_sums(
 
     # ---------------- RLS raw statistics ----------------
     dx = xt - xs
-    if flags.update:
+    if flags.update and flags.update_transition:
         dx_sum = jnp.sum(dx)
         dx2_sum = jnp.sum(dx * dx)
         fvf_sum = jnp.sum(fvf)
@@ -351,6 +359,17 @@ def step_forward_sums(
         ftf_raw = jnp.zeros_like(carry.p_mat)
         fxd_raw = jnp.zeros_like(carry.w_dyn)
 
+    if flags.sgd:
+        grad_leaves = (
+            [g_w_in_y, g_w_in_m, g_w_in_lv, g_wm, g_wlv, g_blv, g_w_dec,
+             g_b_dec, g_lik_lv_batch]
+            + ([g_w_in_u] if has_u else [])
+            + list(g_w_hidden) + list(g_b_hidden)
+        )
+        grad_check = sum(jnp.sum(g) for g in grad_leaves)
+    else:
+        grad_check = zero
+
     sums = FusedSums(
         g_w_in_y=g_w_in_y, g_w_in_u=g_w_in_u, g_w_in_m=g_w_in_m,
         g_w_in_lv=g_w_in_lv,
@@ -358,6 +377,7 @@ def step_forward_sums(
         g_w_mean=g_wm, g_w_logvar=g_wlv, g_b_logvar=g_blv,
         g_w_dec=g_w_dec, g_b_dec=g_b_dec, g_lik_lv_batch=g_lik_lv_batch,
         recon_batch=recon_batch, dyn_batch=dyn_batch, ent=h_ent, sq_y=sq_y,
+        grad_check=grad_check,
         ftf_raw=ftf_raw, fxd_raw=fxd_raw, fvf_sum=fvf_sum,
         dx_sum=dx_sum, dx2_sum=dx2_sum,
     )
@@ -408,11 +428,13 @@ def step_apply(
     h_ent = sums.ent
 
     # the skip-step gate must see the RAW components: the zeroed loss is
-    # always finite, but non-finite components mean non-finite gradients
-    raw_ok = jnp.logical_and(
-        jnp.isfinite(l_recon),
-        jnp.logical_and(jnp.isfinite(l_dyn), jnp.isfinite(h_ent)),
-    )
+    # always finite, but non-finite components mean non-finite gradients.
+    # In warm-up the dynamics term is outside the loss (vjf/model.py:148),
+    # so its finiteness must not gate the step (matches the XLA gate, which
+    # sees only the gradients of included terms).
+    raw_ok = jnp.logical_and(jnp.isfinite(l_recon), jnp.isfinite(h_ent))
+    if not flags.warm_up:
+        raw_ok = jnp.logical_and(raw_ok, jnp.isfinite(l_dyn))
     l_recon = jnp.where(jnp.isfinite(l_recon), l_recon, 0.0)
     l_dyn = jnp.where(jnp.isfinite(l_dyn), l_dyn, 0.0)
     h_ent = jnp.where(jnp.isfinite(h_ent), h_ent, 0.0)
@@ -421,11 +443,15 @@ def step_apply(
     # ---------------- clipped SGD (vjf/model.py:206-214) ----------------
     new = carry
     if flags.sgd:
-        step_lr = jnp.where(raw_ok, lr, 0.0)
+        # per-leaf gradient gate (see FusedSums.grad_check): mirrors the
+        # XLA path's skip-on-non-finite-gradient, closing the r1 deviation
+        sgd_ok = jnp.logical_and(raw_ok, jnp.isfinite(sums.grad_check))
         clip = cfg.clip
 
         def upd(p, g):
-            return p - step_lr * jnp.clip(g, -clip, clip)
+            # select, don't scale: 0 * NaN = NaN would poison the params
+            # straight through the skip gate
+            return jnp.where(sgd_ok, p - lr * jnp.clip(g, -clip, clip), p)
 
         if cfg.likelihood == "poisson":
             lik_logvar_new = carry.lik_logvar
@@ -463,7 +489,7 @@ def step_apply(
     tau = jnp.zeros((), f32)
     g_vec = jnp.zeros_like(carry.w_dyn)
     if flags.update:
-        if cfg.likelihood == "gaussian":
+        if cfg.likelihood == "gaussian" and flags.update_likelihood:
             # running-var overwrite with the POST-SGD logvar (vjf ordering)
             lik_n = jnp.minimum(new.lik_n[0, 0], float(cfg.obs_var_cap))
             tot = lik_n + b
@@ -475,6 +501,7 @@ def step_apply(
                 lik_n=jnp.where(lik_ok, tot, new.lik_n[0, 0]).reshape(1, 1),
             )
 
+    if flags.update and flags.update_transition:
         dyn_ok = jnp.isfinite(sums.dx_sum)
         w_dyn_new = carry.w_dyn
         if not flags.warm_up:
@@ -1324,6 +1351,8 @@ def fused_enabled(cfg: VJFConfig, state) -> bool:
         return False
     if cfg.dynamics_update != "rls":
         return False  # the kernel implements the RLS learner only
+    if cfg.recognition_activation != "tanh":
+        return False  # hand-written backward assumes tanh
     if cfg.fused_step == "on":
         return True
     return cfg.dtype == "float32" and jax.default_backend() == "tpu"
@@ -1369,7 +1398,7 @@ def run_epoch_fused(cfg, flags, state, ys, us, key, lr, noise=None, q0=None,
         seed = jax.random.randint(key, (1, 1), 0, jnp.iinfo(jnp.int32).max, jnp.int32)
         carry0 = carry0._replace(rng_seed=seed)
     has_u = cfg.udim > 0
-    do_fallback = flags.update and not flags.warm_up
+    do_fallback = flags.update and flags.update_transition and not flags.warm_up
 
     if cfg.fused_epoch == "mega":
         prefix = min(cfg.ns_prefix, t_len) if do_fallback else 0

@@ -127,7 +127,7 @@ def run_epoch_fused_sharded(
     carry0 = F.pad_carry(cfg, state)
     inv_b = 1.0 / n_batch
     has_u = cfg.udim > 0
-    do_fallback = flags.update and not flags.warm_up
+    do_fallback = flags.update and flags.update_transition and not flags.warm_up
 
     def local_epoch(carry0, qm0, qlv0, ys_l, us_l, e1_l, e2_l, lr):
         def body(c, inp):
