@@ -1,0 +1,235 @@
+"""Measure ALL five BASELINE.json configs on the real chip.
+
+The driver's contract (ONE JSON line) belongs to ``bench.py`` (the flagship
+config #5); this script measures every config and prints one JSON line per
+config — results are recorded in docs/RESULTS.md. Quality metrics run in
+the PERF configuration (float32, nsv backend, fused/mega kernels) — i.e.
+they certify the deployed fast path, not just the f64 parity path that the
+test suite gates.
+
+Usage: python bench_all.py [config ...]   (default: all)
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _fit_throughput(cfg, y, key, max_iter, core, jnp, x_true=None, horizon=20):
+    """fit() wall-clock + steps/s + recovery metrics (perf mode)."""
+    import jax
+
+    from vjf_tpu.utils.evaluation import forecast_rmse, latent_r2
+
+    state = core.init_state(key, cfg)
+    t0 = time.perf_counter()
+    res = core.fit(cfg, state, y, key=key, max_iter=max_iter)
+    wall = time.perf_counter() - t0
+    steps = y.shape[0] * max_iter  # upper bound; fit may converge earlier
+    out = {
+        "wall_s": round(wall, 2),
+        "steps_per_s": round(steps / wall, 1),
+        "final_loss": round(res.loss, 4),
+    }
+    if x_true is not None:
+        out["latent_r2"] = round(latent_r2(np.asarray(res.mu[:, 0, :]), x_true), 4)
+        m_rmse, p_rmse = forecast_rmse(
+            cfg, res.state, res.mu[:, 0, :], y, key, horizon=horizon
+        )
+        out["forecast_rmse"] = round(m_rmse, 4)
+        out["persistence_rmse"] = round(p_rmse, 4)
+    return out
+
+
+def bench_vdp():
+    """Config #1: Van der Pol 2D latent, Gaussian observations."""
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, "tests")
+    from test_systems import van_der_pol
+
+    from vjf_tpu.config import VJFConfig
+    from vjf_tpu.models import vjf as core
+
+    x = van_der_pol(T=1200)
+    x = (x - x.mean(0)) / x.std(0)
+    rng = np.random.default_rng(1)
+    C = rng.normal(size=(2, 20))
+    y = x @ C + rng.normal(size=(20,)) + 0.1 * rng.normal(size=(1200, 20))
+    cfg = VJFConfig(ydim=20, xdim=2, udim=0, n_rbf=100, hidden_sizes=(20,),
+                    likelihood="gaussian", dtype="float32", rls_backend="nsv",
+                    lr=3e-3)
+    key = jax.random.PRNGKey(0)
+    return {"config": "van_der_pol_gaussian",
+            **_fit_throughput(cfg, y.astype(np.float32), key, 60, core, jnp,
+                              x_true=x)}
+
+
+def bench_lorenz():
+    """Config #2: Lorenz 3D latent, Poisson spike observations."""
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, "tests")
+    from test_systems import lorenz
+
+    from vjf_tpu.config import VJFConfig
+    from vjf_tpu.models import vjf as core
+
+    x = lorenz(T=1500)
+    x = (x - x.mean(0)) / x.std(0)
+    rng = np.random.default_rng(2)
+    C = rng.normal(size=(3, 50)) * 0.4
+    rate = np.exp(np.clip(x @ C + 0.5, -4, 3))
+    y = rng.poisson(rate).astype(np.float32)
+    cfg = VJFConfig(ydim=50, xdim=3, udim=0, n_rbf=100, hidden_sizes=(32,),
+                    likelihood="poisson", dtype="float32", rls_backend="nsv",
+                    lr=2e-3)
+    key = jax.random.PRNGKey(0)
+    return {"config": "lorenz_poisson",
+            **_fit_throughput(cfg, y, key, 60, core, jnp, x_true=x)}
+
+
+def bench_sgp_ring():
+    """Config #3: sparse-GP dynamics on ring-attractor data."""
+    import jax
+    import jax.numpy as jnp
+
+    from vjf_tpu.config import VJFConfig
+    from vjf_tpu.models import vjf as core
+
+    rng = np.random.default_rng(6)
+    T, dt = 1000, 0.1
+    x = np.zeros((T, 2))
+    x[0] = [1.5, 0.0]
+    for t in range(T - 1):
+        r = np.linalg.norm(x[t])
+        radial = (1.0 - r) * x[t] / max(r, 1e-6)
+        angular = 0.5 * np.array([-x[t, 1], x[t, 0]])
+        x[t + 1] = x[t] + dt * (radial + angular) + 0.02 * rng.normal(size=2)
+    C = rng.normal(size=(2, 20))
+    y = (x @ C + rng.normal(size=20) + 0.1 * rng.normal(size=(T, 20))).astype(np.float32)
+    cfg = VJFConfig(ydim=20, xdim=2, udim=0, dynamics="sgp", n_inducing=50,
+                    sgp_scale=1.0, sgp_lengthscale=1.0, likelihood="gaussian",
+                    dtype="float32", lr=1e-3, rtol=2e-3)  # hyper adaptation is an
+                    # f64-validated opt-in; at f32 the kernel-cholesky grads
+                    # are too hot (guarded against NaN, but can destabilize)
+    key = jax.random.PRNGKey(0)
+    return {"config": "sgp_ring_attractor",
+            **_fit_throughput(cfg, y, key, 60, core, jnp, x_true=x)}
+
+
+def bench_streaming():
+    """Config #4: neural population (200-ch Poisson, 10D) ONLINE STREAMING
+    through StreamingLoader -> device_prefetch -> filter_stream (host IO in
+    the loop, posterior carried across chunk boundaries)."""
+    import os
+    import tempfile
+
+    import jax
+    import jax.numpy as jnp
+
+    from vjf_tpu import VJF
+    from vjf_tpu.config import VJFConfig
+    from vjf_tpu.native import StreamingLoader
+
+    T, B, ydim = 20000, 16, 200
+    rng = np.random.default_rng(0)
+    data = rng.poisson(0.12, size=(T, B, ydim)).astype(np.float32)
+    path = os.path.join(tempfile.mkdtemp(), "stream.bin")
+    data.tofile(path)
+
+    cfg = VJFConfig(ydim=ydim, xdim=10, udim=0, n_rbf=100, hidden_sizes=(32,),
+                    likelihood="poisson", dtype="float32", rls_backend="nsv")
+    model = VJF(cfg)
+    loader = StreamingLoader(path, ydim=ydim, batch=B, chunk=2000)
+    was_native = loader.is_native            # close() clears the handle
+    # warm the compile on the first chunk shape
+    first = next(iter(StreamingLoader(path, ydim=ydim, batch=B, chunk=2000)))
+    list(model.filter_stream(iter([first])))
+
+    t0 = time.perf_counter()
+    n = 0
+    for res in model.filter_stream(loader, valid_fn=lambda: loader.last_valid):
+        n += res.q_means.shape[0]
+    wall = time.perf_counter() - t0
+    return {"config": "neural_population_streaming",
+            "steps": n, "wall_s": round(wall, 2),
+            "steps_per_s": round(n / wall, 1),
+            "native_loader": was_native,
+            "note": "host->device of 256 MB rides the env tunnel (~2.5 s of the wall)"}
+
+
+def bench_flagship():
+    """Config #5: batched multi-trial 256 x 10k (the official bench.py) +
+    the shard_map two-phase path on a 1-chip mesh."""
+    import subprocess
+
+    out = subprocess.run([sys.executable, "bench.py"], capture_output=True,
+                         text=True, timeout=900)
+    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    d = json.loads(line)
+    return {"config": "batched_256x10k_mega", **{k: d[k] for k in ("value", "unit", "vs_baseline")}}
+
+
+def bench_canonical():
+    """The reference's canonical workload (3,183 steps x 150 epochs,
+    script/example.py) end-to-end wall-clock on chip vs the measured
+    reference CPU throughput (BASELINE.md: ~399 steps/s)."""
+    import math
+
+    import jax
+    import jax.numpy as jnp
+
+    from vjf_tpu.config import VJFConfig
+    from vjf_tpu.models import vjf as core
+
+    t = np.arange(0, 100.0, 1e-2 * math.pi)
+    x = np.stack([np.sin(t), np.cos(t)], axis=-1)
+    rng = np.random.default_rng(0)
+    x = x + 0.1 * rng.normal(size=x.shape)
+    C = rng.normal(size=(2, 20))
+    y = (x @ C + rng.normal(size=20) + 0.1 * rng.normal(size=(x.shape[0], 20))).astype(np.float32)
+
+    cfg = VJFConfig(ydim=20, xdim=2, udim=0, n_rbf=100, hidden_sizes=(20,),
+                    likelihood="gaussian", dtype="float32", rls_backend="nsv",
+                    lr=1e-3, rtol=0.0)   # rtol=0: never converge early — run all 150
+    key = jax.random.PRNGKey(0)
+    state = core.init_state(key, cfg)
+    t0 = time.perf_counter()
+    res = core.fit(cfg, state, y, key=key, max_iter=150)
+    wall = time.perf_counter() - t0
+    steps = y.shape[0] * 150
+    ref_wall = steps / 399.0     # measured reference throughput, BASELINE.md
+    return {"config": "canonical_3183x150", "wall_s": round(wall, 2),
+            "steps_per_s": round(steps / wall, 1),
+            "reference_wall_s_est": round(ref_wall, 1),
+            "end_to_end_speedup": round(ref_wall / wall, 1),
+            "final_loss": round(res.loss, 4)}
+
+
+ALL = {
+    "vdp": bench_vdp,
+    "lorenz": bench_lorenz,
+    "sgp": bench_sgp_ring,
+    "streaming": bench_streaming,
+    "flagship": bench_flagship,
+    "canonical": bench_canonical,
+}
+
+
+def main():
+    names = sys.argv[1:] or list(ALL)
+    for name in names:
+        try:
+            print(json.dumps(ALL[name]()))
+        except Exception as e:  # keep going; record the failure
+            print(json.dumps({"config": name, "error": f"{type(e).__name__}: {e}"}))
+
+
+if __name__ == "__main__":
+    main()

@@ -41,7 +41,12 @@ def _r2(m, x_true):
 
 
 def test_van_der_pol_gaussian(key):
-    """BASELINE config #1: Van der Pol 2D latent, Gaussian observations."""
+    """BASELINE config #1: Van der Pol 2D latent, Gaussian observations.
+    Gates: affine-aligned latent R^2 AND forecast skill (k-step observation
+    RMSE below the persistence baseline — the paper-style metric; r1 VERDICT
+    item 9 asked for more than the loose recovery gate)."""
+    from vjf_tpu.utils.evaluation import forecast_rmse
+
     x = van_der_pol()
     x = (x - x.mean(0)) / x.std(0)
     rng = np.random.default_rng(1)
@@ -49,11 +54,17 @@ def test_van_der_pol_gaussian(key):
     y = x @ C + rng.normal(size=(20,)) + 0.1 * rng.normal(size=(x.shape[0], 20))
 
     cfg = VJFConfig(ydim=20, xdim=2, udim=0, n_rbf=50, hidden_sizes=(20,),
-                    likelihood="gaussian", dtype="float64", lr=3e-3)
+                    likelihood="gaussian", dtype="float64", lr=3e-3, rtol=2e-3)
     state = core.init_state(key, cfg)
     res = core.fit(cfg, state, y, key=key, max_iter=40)
+    assert not res.warm_up, "warm-up never ended; RLS dynamics never trained"
     r2 = _r2(np.asarray(res.mu[:, 0, :]), x)
-    assert r2 > 0.85, r2
+    assert r2 > 0.9, r2
+
+    # forecast skill: learned dynamics must beat persistence over 20 steps
+    m_rmse, p_rmse = forecast_rmse(cfg, res.state, res.mu[:, 0, :], y, key,
+                                   horizon=20)
+    assert m_rmse < p_rmse, (m_rmse, p_rmse)
 
     # forecast from a trained state stays bounded (limit cycle, not blowup)
     xf, _ = core.forecast(cfg, res.state, res.mu[-1, 0], key, n_step=300)
@@ -61,7 +72,11 @@ def test_van_der_pol_gaussian(key):
 
 
 def test_lorenz_poisson(key):
-    """BASELINE config #2: Lorenz 3D latent with Poisson spike observations."""
+    """BASELINE config #2: Lorenz 3D latent with Poisson spike observations.
+    r1 raised the bar: the 0.6 gate would pass a half-working model
+    (measured r2 ~0.9 on both f64/CPU and f32/TPU perf mode)."""
+    from vjf_tpu.utils.evaluation import forecast_rmse
+
     x = lorenz()
     x = (x - x.mean(0)) / x.std(0)
     rng = np.random.default_rng(2)
@@ -70,8 +85,13 @@ def test_lorenz_poisson(key):
     y = rng.poisson(rate).astype(np.float64)
 
     cfg = VJFConfig(ydim=50, xdim=3, udim=0, n_rbf=60, hidden_sizes=(32,),
-                    likelihood="poisson", dtype="float64", lr=2e-3)
+                    likelihood="poisson", dtype="float64", lr=2e-3, rtol=2e-3)
     state = core.init_state(key, cfg)
     res = core.fit(cfg, state, y, key=key, max_iter=40)
+    assert not res.warm_up, "warm-up never ended; RLS dynamics never trained"
     r2 = _r2(np.asarray(res.mu[:, 0, :]), x)
-    assert r2 > 0.6, r2
+    assert r2 > 0.8, r2
+
+    m_rmse, p_rmse = forecast_rmse(cfg, res.state, res.mu[:, 0, :], y, key,
+                                   horizon=20)
+    assert m_rmse < p_rmse, (m_rmse, p_rmse)

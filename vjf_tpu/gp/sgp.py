@@ -33,6 +33,12 @@ from .covfun import CovarianceFunction, SquaredExponential
 _JITTER = 1e-6
 
 
+def _jitter(dtype) -> float:
+    """PSD jitter for K(Z,Z) cholesky: f32 needs a bigger floor (the SE
+    kernel goes near-singular fast as the lengthscale grows)."""
+    return 1e-6 if jnp.dtype(dtype) == jnp.float64 else 1e-5
+
+
 class SGPDynamicsState(NamedTuple):
     inducing: Array       # Z, (m, xudim)
     kzz_chol: Array       # L_zz (lower), cached for whitening
@@ -65,7 +71,7 @@ def init_sgp_dynamics(
         minval=-cfg.centroid_init_range, maxval=cfg.centroid_init_range,
     )
     kzz = _covfun(cfg)(inducing, inducing)
-    kzz_chol = safe_cholesky(kzz + _JITTER * jnp.eye(m, dtype=dtype))
+    kzz_chol = safe_cholesky(kzz + _jitter(dtype) * jnp.eye(m, dtype=dtype))
     if backend == "covariance":
         blr = regression.init_covariance(m, cfg.xdim, dtype=dtype)
     elif backend == "nsv":
@@ -182,7 +188,7 @@ def dynamics_initialize(
     state = state._replace(inducing=inducing)
     kzz = _kernel(state, inducing, inducing)
     kzz_chol = safe_cholesky(
-        kzz + _JITTER * jnp.eye(kzz.shape[0], dtype=kzz.dtype)
+        kzz + _jitter(kzz.dtype) * jnp.eye(kzz.shape[0], dtype=kzz.dtype)
     )
     state = state._replace(kzz_chol=kzz_chol)
     feat = features(state, xs, u)
@@ -263,7 +269,7 @@ def hyperparam_nll(
     f_z = jax.lax.stop_gradient(state.kzz_chol @ state.blr.w_mean)
     sv = jax.lax.stop_gradient(jnp.exp(state.logvar))
 
-    kzz = _se_kernel(z, z, log_scale, log_ls) + _JITTER * jnp.eye(m, dtype=z.dtype)
+    kzz = _se_kernel(z, z, log_scale, log_ls) + _jitter(z.dtype) * jnp.eye(m, dtype=z.dtype)
     lzz = jnp.linalg.cholesky(kzz)
     kxz = _se_kernel(xu, z, log_scale, log_ls)
     alpha = cho_solve(lzz, f_z)                       # K^{-1} f(Z)
@@ -306,15 +312,25 @@ def adapt_hyperparams(
     grad_fn = jax.grad(lambda th: hyperparam_nll(state, th, xu, dx))
     for _ in range(max(0, n_steps)):
         g = grad_fn(theta)
+        # finite-gated, clipped, and box-bounded: the NLL's cholesky grad
+        # can overflow in f32 when the kernel drifts near-singular, and a
+        # single NaN here would poison kzz_chol -> P/V/w for good (observed
+        # on-chip). Non-finite steps are skipped; hypers stay in a sane box.
+        g_ok = jnp.logical_and(jnp.isfinite(g[0]), jnp.isfinite(g[1]))
         theta = tuple(
-            t - lr * jnp.clip(gi, -cfg.clip, cfg.clip) for t, gi in zip(theta, g)
+            jnp.where(g_ok, t - lr * jnp.clip(gi, -cfg.clip, cfg.clip), t)
+            for t, gi in zip(theta, g)
+        )
+        theta = (
+            jnp.clip(theta[0], -5.0, 5.0),       # scale in [e^-5, e^5]
+            jnp.clip(theta[1], -5.0, 5.0),
         )
     log_scale, log_ls = theta
 
     # re-whiten + reproject the posterior through A = L_new^{-1} L_old
     z = state.inducing
     m = z.shape[0]
-    kzz = _se_kernel(z, z, log_scale, log_ls) + _JITTER * jnp.eye(m, dtype=z.dtype)
+    kzz = _se_kernel(z, z, log_scale, log_ls) + _jitter(z.dtype) * jnp.eye(m, dtype=z.dtype)
     l_new = safe_cholesky(kzz)
     l_old = state.kzz_chol
     a = tril_solve(l_new, l_old)                       # A = L_new^{-1} L_old
@@ -335,8 +351,23 @@ def adapt_hyperparams(
         from ..ops.linalg import inv_tril_transpose
 
         blr = regression.PrecisionBLR(w_new, p_new, chol, inv_tril_transpose(chol))
-    return state._replace(
+    new_state = state._replace(
         log_scale=log_scale, log_lengthscale=log_ls, kzz_chol=l_new, blr=blr
+    )
+    # whole-update finite gate (house rule: closed-form updates never cement
+    # non-finite values — keep the old state instead)
+    ok = jax.tree_util.tree_reduce(
+        lambda acc, leaf: jnp.logical_and(
+            acc,
+            jnp.all(jnp.isfinite(leaf))
+            if jnp.issubdtype(leaf.dtype, jnp.floating)
+            else acc,
+        ),
+        new_state,
+        jnp.asarray(True),
+    )
+    return jax.tree.map(
+        lambda n, o: jnp.where(ok, n, o), new_state, state
     )
 
 
@@ -383,7 +414,7 @@ class SGP:
     def initialize(self) -> None:
         m = self.inducing.shape[0]
         kzz = self.covfun(self.inducing, self.inducing)
-        self.kzz_chol = safe_cholesky(kzz + _JITTER * jnp.eye(m, dtype=self.dtype))
+        self.kzz_chol = safe_cholesky(kzz + _jitter(self.dtype) * jnp.eye(m, dtype=self.dtype))
         self.blr = regression.init_precision(m, self.ydim, dtype=self.dtype)
 
     def _features(self, x: Array) -> Array:

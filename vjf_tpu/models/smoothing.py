@@ -46,13 +46,15 @@ def smooth(
 ) -> Tuple[pkalman.FilterResult, pkalman.SmoothResult]:
     """Parallel RTS smoothing of one observation sequence (T, ydim).
 
-    Gaussian likelihood only (the Poisson model is not an LGSSM; smooth a
-    Gaussian approximation or use the online filter). Controls are folded
-    into the linearization point's velocity; for strongly input-driven
-    systems linearize per-regime and stitch.
+    Gaussian likelihood (Poisson dispatches to :func:`smooth_poisson`, the
+    iterated-Laplace variant). Controls are folded into the linearization
+    point's velocity; for strongly input-driven systems linearize per-regime
+    and stitch.
     """
+    if cfg.likelihood == "poisson":
+        return smooth_poisson(cfg, state, ys, x_ref=x_ref)
     if cfg.likelihood != "gaussian":
-        raise NotImplementedError("parallel smoothing requires the Gaussian likelihood")
+        raise NotImplementedError(f"unknown likelihood {cfg.likelihood}")
     ys = jnp.asarray(ys, cfg.jdtype)
     if ys.ndim != 2:
         raise ValueError("smooth() takes one (T, ydim) sequence")
@@ -75,6 +77,75 @@ def _smooth_affine(cfg, state, ys, a, c):
     q, h, r, m0, p0 = _system_matrices(cfg, state)
     y_eff = ys - state.params.decoder.b
     return pkalman.parallel_smooth(a, q, h, r, m0, p0, y_eff, b=c)
+
+
+def smooth_poisson(
+    cfg: VJFConfig,
+    state: TrainState,
+    ys: Array,
+    n_iter: int = 8,
+    x_ref: Optional[Array] = None,
+    relinearize_dynamics: bool = True,
+) -> Tuple[pkalman.FilterResult, pkalman.SmoothResult]:
+    """Iterated Laplace (EKS-style) parallel smoothing for the POISSON
+    likelihood — the flagship observation model (r1 VERDICT item 5).
+
+    ``y_t ~ Poisson(exp(eta_t))`` with ``eta = C x + d`` is not an LGSSM,
+    but the Laplace approximation of the Poisson log-likelihood around the
+    current linearization point ``eta_hat`` is the Gaussian working
+    observation of the canonical log link:
+
+        y_tilde = eta_hat + (y - lambda_hat) / lambda_hat,
+        R_tilde = diag(1 / lambda_hat),       lambda_hat = exp(eta_hat)
+
+    Each iteration runs the O(log T)-depth parallel smoother on the working
+    observations (per-step R — :func:`vjf_tpu.ops.pkalman.parallel_smooth`),
+    then re-linearizes ``eta_hat = C m_smoothed + d`` (and, optionally, the
+    RBF/SGP dynamics along the smoothed trajectory, the iterated-EKS move of
+    :func:`smooth_iterated`). Converges in a handful of iterations — each
+    one is a fixed-point step of the Laplace/EM functional.
+    """
+    ys = jnp.asarray(ys, cfg.jdtype)
+    if ys.ndim != 2:
+        raise ValueError("smooth_poisson() takes one (T, ydim) sequence")
+    t_len = ys.shape[0]
+    c_mat = state.params.decoder.w                        # (ydim, xdim)
+    d_vec = state.params.decoder.b
+    q = jnp.exp(state.dynamics.logvar) * jnp.eye(cfg.xdim, dtype=cfg.jdtype)
+    m0 = state.params.prior.mean
+    p0 = jnp.diag(jnp.exp(state.params.prior.logvar))
+    tr = _transition(cfg)
+
+    def mean_fn(x):
+        g = tr.transition_gaussian(state.dynamics, x[None, :], None, cfg.leak)
+        return g.mean[0]
+
+    a0, c0 = linearize_dynamics(cfg, state, x_ref)
+    # working-response init: eta ~= log(y + 0.5) keeps lambda_hat sane for
+    # zero counts before the first smoothing pass
+    eta_hat = jnp.log(ys + 0.5)
+
+    filtered = smoothed = None
+    a_seq, c_seq = a0, c0
+    for it in range(n_iter):
+        lam = jnp.clip(
+            jnp.exp(jnp.minimum(eta_hat, cfg.poisson_clamp)), 1e-4, None
+        )
+        y_work = eta_hat + (ys - lam) / lam - d_vec        # obs of C x
+        r_seq = jax.vmap(jnp.diag)(1.0 / lam)              # (T, ydim, ydim)
+        filtered, smoothed = pkalman.parallel_smooth(
+            a_seq, q, c_mat, r_seq, m0, p0, y_work, b=c_seq
+        )
+        eta_hat = smoothed.means @ c_mat.T + d_vec
+        if relinearize_dynamics and it + 1 < n_iter:
+            pts = jnp.concatenate(
+                [state.params.prior.mean[None], smoothed.means[:-1]], axis=0
+            )
+            a_seq = jax.vmap(jax.jacfwd(mean_fn))(pts)
+            c_seq = jax.vmap(mean_fn)(pts) - jnp.einsum(
+                "tij,tj->ti", a_seq, pts
+            )
+    return filtered, smoothed
 
 
 def smooth_iterated(

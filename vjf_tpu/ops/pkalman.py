@@ -54,35 +54,52 @@ def _broadcast_b(b, t_len, xdim, dtype):
 
 def _filter_elements(a, q, h, r, m0, p0, ys, b=None):
     """Per-step associative elements (eqs. 10-12 of the paper); ``a`` may be
-    time-varying (a[t] maps x[t-1] -> x[t]) and the dynamics affine
-    (``x[t] = a[t] x[t-1] + b[t] + noise``)."""
+    time-varying (a[t] maps x[t-1] -> x[t]), the dynamics affine
+    (``x[t] = a[t] x[t-1] + b[t] + noise``), and the observation noise ``r``
+    per-step (``(T, ydim, ydim)`` — needed by the iterated Laplace/Poisson
+    smoother, whose working observations carry R_t = diag(1/lambda_t))."""
     t_len = ys.shape[0]
     xdim = q.shape[0]
     eye = jnp.eye(xdim, dtype=q.dtype)
     a_seq = _broadcast_a(a, t_len)
     b_seq = _broadcast_b(b, t_len, xdim, q.dtype)
 
-    # observation-side factors are time-invariant
-    s = h @ q @ h.T + r                                   # (ydim, ydim)
-    s_chol = jax.scipy.linalg.cho_factor(s)
-    k = jax.scipy.linalg.cho_solve(s_chol, h @ q).T       # K = Q H^T S^-1
-    i_kh = eye - k @ h
-    c_el = i_kh @ q
-    hs_inv_h = h.T @ jax.scipy.linalg.cho_solve(s_chol, h)
+    if r.ndim == 2:
+        # time-invariant observation side: factor once
+        s = h @ q @ h.T + r                               # (ydim, ydim)
+        s_chol = jax.scipy.linalg.cho_factor(s)
+        k = jax.scipy.linalg.cho_solve(s_chol, h @ q).T   # K = Q H^T S^-1
+        i_kh = eye - k @ h
+        c_el = i_kh @ q
+        hs_inv_h = h.T @ jax.scipy.linalg.cho_solve(s_chol, h)
 
-    def generic(a_t, b_t, y):
-        innov = y - h @ b_t
-        b_out = i_kh @ b_t + k @ y
-        eta = a_t.T @ h.T @ jax.scipy.linalg.cho_solve(s_chol, innov)
-        return i_kh @ a_t, b_out, c_el, eta, a_t.T @ hs_inv_h @ a_t
+        def generic(a_t, b_t, y):
+            innov = y - h @ b_t
+            b_out = i_kh @ b_t + k @ y
+            eta = a_t.T @ h.T @ jax.scipy.linalg.cho_solve(s_chol, innov)
+            return i_kh @ a_t, b_out, c_el, eta, a_t.T @ hs_inv_h @ a_t
 
-    a_g, b_g, c_g, eta_g, j_g = jax.vmap(generic)(a_seq, b_seq, ys)
+        a_g, b_g, c_g, eta_g, j_g = jax.vmap(generic)(a_seq, b_seq, ys)
+    else:
+
+        def generic_t(a_t, b_t, y, r_t):
+            s_t = jax.scipy.linalg.cho_factor(h @ q @ h.T + r_t)
+            k_t = jax.scipy.linalg.cho_solve(s_t, h @ q).T
+            i_kh_t = eye - k_t @ h
+            innov = y - h @ b_t
+            b_out = i_kh_t @ b_t + k_t @ y
+            eta = a_t.T @ h.T @ jax.scipy.linalg.cho_solve(s_t, innov)
+            j_t = a_t.T @ (h.T @ jax.scipy.linalg.cho_solve(s_t, h)) @ a_t
+            return i_kh_t @ a_t, b_out, i_kh_t @ q, eta, j_t
+
+        a_g, b_g, c_g, eta_g, j_g = jax.vmap(generic_t)(a_seq, b_seq, ys, r)
 
     # first element conditions on the prior
+    r0 = r if r.ndim == 2 else r[0]
     a0 = a_seq[0]
     m1m = a0 @ m0 + b_seq[0]
     p1m = a0 @ p0 @ a0.T + q
-    s1 = h @ p1m @ h.T + r
+    s1 = h @ p1m @ h.T + r0
     s1_chol = jax.scipy.linalg.cho_factor(s1)
     k1 = jax.scipy.linalg.cho_solve(s1_chol, h @ p1m).T
     a1 = jnp.zeros((xdim, xdim), q.dtype)
@@ -186,21 +203,23 @@ def parallel_smooth(
 
 def sequential_filter(a, q, h, r, m0, p0, ys, b=None) -> FilterResult:
     """O(T) reference implementation (lax.scan) for validation."""
-    a_seq = _broadcast_a(a, ys.shape[0])
-    b_seq = _broadcast_b(b, ys.shape[0], q.shape[0], q.dtype)
+    t_len = ys.shape[0]
+    a_seq = _broadcast_a(a, t_len)
+    b_seq = _broadcast_b(b, t_len, q.shape[0], q.dtype)
+    r_seq = jnp.broadcast_to(r, (t_len,) + r.shape) if r.ndim == 2 else r
 
     def step(carry, inp):
-        a_t, b_t, y = inp
+        a_t, b_t, y, r_t = inp
         m, p = carry
         mp = a_t @ m + b_t
         pp = a_t @ p @ a_t.T + q
-        s = h @ pp @ h.T + r
+        s = h @ pp @ h.T + r_t
         k = jnp.linalg.solve(s, h @ pp).T
         m_new = mp + k @ (y - h @ mp)
         p_new = (jnp.eye(q.shape[0], dtype=q.dtype) - k @ h) @ pp
         return (m_new, p_new), (m_new, p_new)
 
-    _, (ms, ps) = jax.lax.scan(step, (m0, p0), (a_seq, b_seq, ys))
+    _, (ms, ps) = jax.lax.scan(step, (m0, p0), (a_seq, b_seq, ys, r_seq))
     return FilterResult(means=ms, covs=ps)
 
 
