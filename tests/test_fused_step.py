@@ -228,6 +228,77 @@ def test_fused_epoch_nonaligned_nrbf(key):
     assert np.all(np.isfinite(np.asarray(got.state.dynamics.blr.w_mean)))
 
 
+def test_sgp_step_math_matches_xla_step(key):
+    """SGP dynamics through the fused kernel math: the whitened-feature
+    matmul (w_white = scale^2 L^{-T}) + DTC variance correction must
+    reproduce the XLA SGP step (gp/sgp.py features/predict/update)."""
+    cfg = VJFConfig(ydim=20, xdim=3, udim=0, dynamics="sgp", n_inducing=30,
+                    sgp_scale=1.2, sgp_lengthscale=0.8, hidden_sizes=(16,),
+                    likelihood="gaussian", dtype="float32", rls_backend="nsv",
+                    fused_step="off", matmul_dtype="float32")
+    state = core.init_state(key, cfg)
+    B = 8
+    y = jax.random.normal(key, (B, cfg.ydim), jnp.float32)
+    eps = jax.random.normal(key, (2, B, cfg.xdim), jnp.float32)
+    qs = core.prior(state.params, B)
+    lr = jnp.asarray(1e-3, jnp.float32)
+    flags = StepFlags()
+
+    st_ref, qt_ref, m_ref = core.filter_step(
+        cfg, flags, state, qs, y, None, eps[0], eps[1], lr
+    )
+
+    carry = F.pad_carry(cfg, state)
+    assert carry.w_white is not None and carry.scale2 is not None
+    out = F.step_math(cfg, flags, carry, qs.mean, qs.logvar, y, None,
+                      eps[0], eps[1], lr)
+    out = F.exact_v_fallback(cfg, out, carry, None)
+    st = F.unpad_carry(cfg, out.carry, state)
+
+    def close(a, b, tol=2e-4):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=tol, atol=tol)
+
+    close(out.scal.loss[0, 0], m_ref.loss)
+    close(out.qt_mean, qt_ref.mean)
+    close(st.dynamics.blr.w_mean, st_ref.dynamics.blr.w_mean)
+    close(st.dynamics.blr.cov, st_ref.dynamics.blr.cov, tol=5e-4)
+    close(st.dynamics.logvar, st_ref.dynamics.logvar)
+    # SGP-static fields pass through untouched
+    np.testing.assert_array_equal(np.asarray(st.dynamics.inducing),
+                                  np.asarray(state.dynamics.inducing))
+    np.testing.assert_array_equal(np.asarray(st.dynamics.whiten),
+                                  np.asarray(state.dynamics.whiten))
+
+
+def test_sgp_mega_epoch_matches_xla_epoch(key):
+    """Full SGP epoch through the fused runner (prefix + mega, interpret)
+    == the XLA SGP epoch."""
+    cfg = VJFConfig(ydim=16, xdim=2, udim=0, dynamics="sgp", n_inducing=20,
+                    sgp_scale=1.0, sgp_lengthscale=1.0, hidden_sizes=(12,),
+                    likelihood="gaussian", dtype="float32", rls_backend="nsv",
+                    fused_step="off", matmul_dtype="float32", ns_prefix=40)
+    state = core.init_state(key, cfg)
+    T, B = 90, 8
+    ys = jax.random.normal(key, (T, B, cfg.ydim), jnp.float32)
+    us = jnp.zeros((T, B, 0), jnp.float32)
+    eps = jax.random.normal(key, (2, T, B, cfg.xdim), jnp.float32)
+    lr = jnp.asarray(1e-3, jnp.float32)
+    flags = StepFlags()
+
+    ref = core.run_epoch(cfg, flags, state, ys, us, key, lr, noise=(eps[0], eps[1]))
+    got = F.run_epoch_fused(cfg, flags, state, ys, us, key, lr,
+                            noise=(eps[0], eps[1]), interpret=True)
+
+    np.testing.assert_allclose(np.asarray(got.metrics.loss),
+                               np.asarray(ref.metrics.loss), rtol=5e-4, atol=5e-4)
+    np.testing.assert_allclose(np.asarray(got.q_means), np.asarray(ref.q_means),
+                               rtol=2e-3, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(got.state.dynamics.blr.w_mean),
+                               np.asarray(ref.state.dynamics.blr.w_mean),
+                               rtol=2e-3, atol=2e-4)
+    assert int(got.state.dynamics.n_sample) == int(ref.state.dynamics.n_sample)
+
+
 def test_api_forward_surface(key):
     """VJF.forward mirrors the reference's forward tuple (vjf/model.py:97-122)."""
     from vjf_tpu import VJF

@@ -135,7 +135,7 @@ def test_sgp_hyperparam_adaptation_improves_nll(key):
 def test_sgp_adapt_reprojection_preserves_posterior(key):
     """With zero adaptation steps the re-whitening reprojection is the
     identity; with a hyper CHANGE, the posterior mean AT THE INDUCING POINTS
-    must be preserved exactly (f(Z) = L v is basis-free)."""
+    must be preserved exactly (f(Z) = W^{-1} v is basis-free)."""
     cfg = VJFConfig(ydim=8, xdim=2, udim=0, dynamics="sgp", n_inducing=12,
                     sgp_lengthscale=0.8, dtype="float64", sgp_adapt_lr=0.05,
                     sgp_adapt_steps=3)
@@ -150,8 +150,8 @@ def test_sgp_adapt_reprojection_preserves_posterior(key):
                                np.asarray(state.blr.w_mean), rtol=1e-9)
 
     new = sgp_mod.adapt_hyperparams(cfg, state, xt, xs)
-    f_z_old = np.asarray(state.kzz_chol @ state.blr.w_mean)
-    f_z_new = np.asarray(new.kzz_chol @ new.blr.w_mean)
+    f_z_old = np.asarray(state.whiten_inv @ state.blr.w_mean)
+    f_z_new = np.asarray(new.whiten_inv @ new.blr.w_mean)
     np.testing.assert_allclose(f_z_new, f_z_old, rtol=1e-8, atol=1e-10)
     # the precision factorization stays consistent: P' (U' U'^T) ~= I
     u = np.asarray(new.blr.prec_chol_inv_t)

@@ -161,6 +161,39 @@ def test_sharded_fused_epoch_matches_single_device_fused(key, mesh8):
                                np.asarray(ref.state.dynamics.logvar), rtol=1e-4)
 
 
+def test_sharded_fused_sgp_epoch_matches_single_device(key, mesh8):
+    """SGP dynamics through the shard_map-fused path: the whitened features
+    are device-local, only the FusedSums psum crosses devices."""
+    from vjf_tpu.ops.pallas import fused_step as F
+    from vjf_tpu.parallel.sharded import run_epoch_fused_sharded
+
+    cfg = VJFConfig(ydim=12, xdim=2, udim=0, dynamics="sgp", n_inducing=16,
+                    sgp_scale=1.0, sgp_lengthscale=1.0, hidden_sizes=(10,),
+                    likelihood="gaussian", dtype="float32", rls_backend="nsv",
+                    fused_step="on", matmul_dtype="float32")
+    state = core.init_state(key, cfg)
+    T, B = 24, 16
+    ys = jax.random.normal(key, (T, B, cfg.ydim), jnp.float32)
+    us = jnp.zeros((T, B, 0), jnp.float32)
+    eps = jax.random.normal(key, (2, T, B, cfg.xdim), jnp.float32)
+    lr = jnp.asarray(1e-3, jnp.float32)
+    flags = StepFlags()
+
+    dp_mesh = make_mesh(8, axis_names=("dp",))
+    got = run_epoch_fused_sharded(cfg, flags, state, ys, us, key, lr, dp_mesh,
+                                  noise=(eps[0], eps[1]), interpret=True)
+    ref = F.run_epoch_fused(cfg.replace(fused_epoch="stepwise"), flags, state,
+                            ys, us, key, lr, noise=(eps[0], eps[1]),
+                            interpret=True)
+    np.testing.assert_allclose(np.asarray(got.metrics.loss),
+                               np.asarray(ref.metrics.loss), rtol=5e-4, atol=5e-4)
+    np.testing.assert_allclose(np.asarray(got.state.dynamics.blr.w_mean),
+                               np.asarray(ref.state.dynamics.blr.w_mean),
+                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(got.state.dynamics.inducing),
+                                  np.asarray(state.dynamics.inducing))
+
+
 def test_make_sharded_epoch_routes_to_fused(key, mesh8):
     """make_sharded_epoch must take the shard_map-fused path when the
     kernel is eligible, and produce finite results end-to-end."""

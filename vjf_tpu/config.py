@@ -105,6 +105,11 @@ class VJFConfig:
     # the re-whitened basis. 0 disables (hypers frozen at the cfg values).
     sgp_adapt_lr: float = 0.0
     sgp_adapt_steps: int = 5
+    # below this per-step trial count the SGP fused path is skipped under
+    # 'auto' (measured: tiny-batch SGP keeps the NSV trace bound hot
+    # forever, so the mega layout only demotes after a wasted compile —
+    # ops/pallas/fused_step.py:fused_enabled). fused_step='on' overrides.
+    sgp_fused_min_batch: int = 8
 
     @property
     def jdtype(self):

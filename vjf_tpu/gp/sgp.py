@@ -7,13 +7,31 @@ is rebuilt from that test (SURVEY.md §2.3).
 
 Design: in the *whitened* inducing-point parametrization, a sparse
 variational GP over inducing points Z is exactly a Bayesian linear
-regression — ``f(x) = phi(x) v`` with features ``phi(x) = k(x, Z) L_zz^-T``
-(``L_zz = chol(K_zz)``) and prior ``v ~ N(0, I)``. RBF features at fixed
-centroids are the fixed-width special case, so the SGP dynamics reuses the
-whole RLS/NSV machinery from :mod:`vjf_tpu.models.regression` and plugs
-into the same transition interface as :mod:`vjf_tpu.models.dynamics`. The
-predictive variance carries the DTC correction ``k(x,x) - |phi(x)|^2`` on
-top of the parametric term ``diag(phi V phi^T)``.
+regression — ``f(x) = phi(x) v`` with features ``phi(x) = k(x, Z) W``
+(``W`` a whitening matrix with ``W W^T ~= K_zz^{-1}``) and prior
+``v ~ N(0, I)``. RBF features at fixed centroids are the fixed-width
+special case, so the SGP dynamics reuses the whole RLS/NSV machinery from
+:mod:`vjf_tpu.models.regression` and plugs into the same transition
+interface as :mod:`vjf_tpu.models.dynamics`. The predictive variance
+carries the DTC correction ``k(x,x) - |phi(x)|^2`` on top of the
+parametric term ``diag(phi V phi^T)``.
+
+Whitening choice (TPU-native, load-bearing): ``W`` is the SYMMETRIC
+(ZCA) whitener ``U diag(max(lam, floor))^{-1/2} U^T`` from one eigh of
+``K_zz`` per epoch boundary — NOT the textbook ``L_zz^{-T}``. SE Gram
+matrices are numerically low-rank (eigenvalues decay exponentially), so
+in f32 the explicit triangular inverse has exponentially amplified
+entries and ``k @ L^{-T}`` cancels catastrophically (measured on-chip:
+whitened features oscillating between ~1e-15 and inf, NaN-ing the RLS
+recursion within one epoch), while a per-step ``tril_solve`` is a
+sequential-substitution op that cannot live inside a Pallas kernel. The
+floored symmetric whitener keeps the mathematical bound
+``|phi(x)|^2 <= k(x,x)`` (each spectral term only shrinks), has bounded
+operator norm ``floor^{-1/2}``, and turns whitening into ONE stable MXU
+matmul shared verbatim by the XLA path and the fused kernel
+(``ops/pallas/fused_step.py:pad_carry``). Directions floored away are
+exactly the DTC-truncated ones — their variance reappears in the
+``k(x,x) - |phi|^2`` correction instead of exploding the basis.
 """
 from __future__ import annotations
 
@@ -41,12 +59,38 @@ def _jitter(dtype) -> float:
 
 class SGPDynamicsState(NamedTuple):
     inducing: Array       # Z, (m, xudim)
-    kzz_chol: Array       # L_zz (lower), cached for whitening
+    whiten: Array         # W = U max(lam, floor)^{-1/2} U^T (see module doc)
+    whiten_inv: Array     # W^{-1} = U max(lam, floor)^{1/2} U^T — the floored
+    #                       sqrtm(K_zz); f(Z) = whiten_inv @ v is basis-free
     log_scale: Array      # kernel output scale (carried in state so the
     log_lengthscale: Array  # transition interface needs no cfg plumbing)
     blr: regression.BLRState
     logvar: Array         # scalar state noise (mirrors RBFDS, vjf/model.py:331)
     n_sample: Array
+
+
+def whiten_matrices(kzz: Array) -> tuple:
+    """(W, W^{-1}) by one eigh with relative eigenvalue flooring.
+
+    The floor bounds ``|W|_2`` by ``(floor)^{-1/2}`` — the property the f32
+    fused path needs. The floor must sit WELL ABOVE the dtype's eigen-noise
+    level ``eps * lam_max``: computed eigenvectors of clustered tiny
+    eigenvalues mix with the large-eigenvalue subspace at relative error
+    ``eps * lam_max / gap``, and a floored direction contaminated by a
+    fraction ``c`` of a big direction contributes a spurious
+    ``(c |k|)^2 / floor`` to ``|phi|^2`` — measured as a 277x violation of
+    the mathematical bound ``|phi(x)|^2 <= k(x,x)`` at rel=1e-6 in f32.
+    rel = 1e-4 (f32) / 1e-8 (f64) keeps the mixing ratio ~1e-3, restoring
+    the bound to within rounding; the discarded sub-floor directions carry
+    < 1e-4 of the kernel's variance and reappear in the DTC correction.
+    """
+    lam, u = jnp.linalg.eigh(kzz)
+    rel = 1e-8 if kzz.dtype == jnp.float64 else 1e-4
+    floor = rel * jnp.maximum(lam[-1], 1e-30)
+    lam_f = jnp.maximum(lam, floor)
+    w = (u * (lam_f ** -0.5)) @ u.T
+    w_inv = (u * (lam_f ** 0.5)) @ u.T
+    return w, w_inv
 
 
 # ---------------------------------------------------------------------------
@@ -71,7 +115,7 @@ def init_sgp_dynamics(
         minval=-cfg.centroid_init_range, maxval=cfg.centroid_init_range,
     )
     kzz = _covfun(cfg)(inducing, inducing)
-    kzz_chol = safe_cholesky(kzz + _jitter(dtype) * jnp.eye(m, dtype=dtype))
+    w, w_inv = whiten_matrices(kzz + _jitter(dtype) * jnp.eye(m, dtype=dtype))
     if backend == "covariance":
         blr = regression.init_covariance(m, cfg.xdim, dtype=dtype)
     elif backend == "nsv":
@@ -80,7 +124,8 @@ def init_sgp_dynamics(
         blr = regression.init_precision(m, cfg.xdim, dtype=dtype)
     return SGPDynamicsState(
         inducing=inducing,
-        kzz_chol=kzz_chol,
+        whiten=w,
+        whiten_inv=w_inv,
         log_scale=jnp.log(jnp.asarray(cfg.sgp_scale, dtype)),
         log_lengthscale=jnp.log(jnp.asarray(cfg.sgp_lengthscale, dtype)),
         blr=blr,
@@ -97,10 +142,11 @@ def _kernel(state: SGPDynamicsState, x1: Array, x2: Array) -> Array:
 
 
 def features(state: SGPDynamicsState, x: Array, u: Optional[Array] = None) -> Array:
-    """Whitened kernel features ``phi(x) = k(xu, Z) L_zz^-T``."""
+    """Whitened kernel features ``phi(x) = k(xu, Z) W`` — one MXU matmul
+    (shared verbatim with the fused kernel; see module docstring)."""
     xu = nonecat(x, u)
     kxz = _kernel(state, xu, state.inducing)
-    return tril_solve(state.kzz_chol, kxz.T).T
+    return jnp.matmul(kxz, state.whiten, precision=jax.lax.Precision.HIGHEST)
 
 
 def predict_from_features(
@@ -187,10 +233,10 @@ def dynamics_initialize(
     )
     state = state._replace(inducing=inducing)
     kzz = _kernel(state, inducing, inducing)
-    kzz_chol = safe_cholesky(
+    w, w_inv = whiten_matrices(
         kzz + _jitter(kzz.dtype) * jnp.eye(kzz.shape[0], dtype=kzz.dtype)
     )
-    state = state._replace(kzz_chol=kzz_chol)
+    state = state._replace(whiten=w, whiten_inv=w_inv)
     feat = features(state, xs, u)
     blr = regression.rls(
         state.blr, feat, dx, mse0, shrink=cfg.rls_shrink, jitter=cfg.chol_jitter
@@ -258,15 +304,15 @@ def hyperparam_nll(
 ) -> Array:
     """One-step predictive NLL of the velocity targets under hypers
     ``theta = (log_scale, log_lengthscale)``, holding the POSTERIOR MEAN AT
-    THE INDUCING POINTS fixed (``f(Z) = L_zz v`` — a basis-free quantity, so
-    the objective is differentiable in theta without re-deriving the
+    THE INDUCING POINTS fixed (``f(Z) = W^{-1} v`` — a basis-free quantity,
+    so the objective is differentiable in theta without re-deriving the
     whitened weights): ``f(x; theta) = k_theta(x,Z) K_theta(Z,Z)^{-1} f(Z)``
     with the DTC variance correction in the noise term.
     """
     log_scale, log_ls = theta
     z = state.inducing
     m = z.shape[0]
-    f_z = jax.lax.stop_gradient(state.kzz_chol @ state.blr.w_mean)
+    f_z = jax.lax.stop_gradient(state.whiten_inv @ state.blr.w_mean)
     sv = jax.lax.stop_gradient(jnp.exp(state.logvar))
 
     kzz = _se_kernel(z, z, log_scale, log_ls) + _jitter(z.dtype) * jnp.eye(m, dtype=z.dtype)
@@ -314,7 +360,7 @@ def adapt_hyperparams(
         g = grad_fn(theta)
         # finite-gated, clipped, and box-bounded: the NLL's cholesky grad
         # can overflow in f32 when the kernel drifts near-singular, and a
-        # single NaN here would poison kzz_chol -> P/V/w for good (observed
+        # single NaN here would poison the whitener -> P/V/w for good (observed
         # on-chip). Non-finite steps are skipped; hypers stay in a sane box.
         g_ok = jnp.logical_and(jnp.isfinite(g[0]), jnp.isfinite(g[1]))
         theta = tuple(
@@ -327,32 +373,33 @@ def adapt_hyperparams(
         )
     log_scale, log_ls = theta
 
-    # re-whiten + reproject the posterior through A = L_new^{-1} L_old
+    # re-whiten + reproject the posterior through A = W_new W_old^{-1}
+    # (preserves the floored-basis posterior mean at Z, f(Z) = W^{-1} v,
+    # exactly: W_new^{-1} (A v) = W_old^{-1} v)
     z = state.inducing
     m = z.shape[0]
     kzz = _se_kernel(z, z, log_scale, log_ls) + _jitter(z.dtype) * jnp.eye(m, dtype=z.dtype)
-    l_new = safe_cholesky(kzz)
-    l_old = state.kzz_chol
-    a = tril_solve(l_new, l_old)                       # A = L_new^{-1} L_old
+    w_whiten, w_inv = whiten_matrices(kzz)
+    a = w_whiten @ state.whiten_inv                    # A = W_new W_old^{-1}
+    a_inv = state.whiten @ w_inv                       # A^{-1} = W_old W_new^{-1}
     blr = state.blr
     w_new = a @ blr.w_mean
     if isinstance(blr, regression.NSVBLR):
-        b_inv = tril_solve(l_old, l_new)               # A^{-1} = L_old^{-1} L_new
-        p_new = b_inv.T @ blr.precision @ b_inv
+        p_new = a_inv.T @ blr.precision @ a_inv
         v_new = a @ blr.cov @ a.T
         blr = regression.NSVBLR(w_new, p_new, v_new)
     elif isinstance(blr, regression.CovarianceBLR):
         blr = regression.CovarianceBLR(w_new, a @ blr.cov @ a.T)
     else:                                              # PrecisionBLR
-        b_inv = tril_solve(l_old, l_new)
-        p_new = b_inv.T @ blr.precision @ b_inv
+        p_new = a_inv.T @ blr.precision @ a_inv
         p_new = 0.5 * (p_new + p_new.T)
         chol = safe_cholesky(p_new)
         from ..ops.linalg import inv_tril_transpose
 
         blr = regression.PrecisionBLR(w_new, p_new, chol, inv_tril_transpose(chol))
     new_state = state._replace(
-        log_scale=log_scale, log_lengthscale=log_ls, kzz_chol=l_new, blr=blr
+        log_scale=log_scale, log_lengthscale=log_ls,
+        whiten=w_whiten, whiten_inv=w_inv, blr=blr,
     )
     # whole-update finite gate (house rule: closed-form updates never cement
     # non-finite values — keep the old state instead)

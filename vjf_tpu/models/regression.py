@@ -37,6 +37,7 @@ from ..ops.kalman import joseph_update as _joseph_update
 from ..ops.kalman import predict as _kalman_predict
 from ..ops.linalg import (
     cho_solve,
+    cholesky_f32,
     inv_tril_transpose,
     safe_cholesky,
     tri_inv_newton,
@@ -226,9 +227,12 @@ def rls(
             del v0
             # plain cholesky: P is PD by construction here, and the eigh
             # repair inside safe_cholesky is catastrophic inside a TPU cond
-            chol = jnp.linalg.cholesky(p_new)
+            chol = cholesky_f32(p_new)
             x = tri_inv_newton(chol)                   # X = inv(L), exact, MXU-only
-            return x.T @ x                             # P^{-1} = L^-T L^-1
+            # the final multiply MUST be full f32: at cond(P) ~ 1e4 the
+            # default bf16-pass product leaves |P V - I| ~ 2 (measured) —
+            # an "exact" inverse too wrong for Newton-Schulz to even polish
+            return jnp.matmul(x.T, x, precision=hp)    # P^{-1} = L^-T L^-1
 
         v_new = jax.lax.cond(tau < NS_TAU_THRESHOLD, ns_path, exact_path, v_old)
         w_new = jnp.matmul(v_new, g, precision=hp)

@@ -325,7 +325,7 @@ def run_epoch(
     """
     from ..ops.pallas import fused_step as _fused
 
-    if _fused.fused_enabled(cfg, state):
+    if _fused.fused_enabled(cfg, state, n_batch=ys.shape[1]):
         return _fused.run_epoch_fused(
             cfg, flags, state, ys, us, key, lr, noise=noise, q0=q0
         )
@@ -515,31 +515,54 @@ def fit(
     running_loss = float("nan")
     epoch_loss = float("nan")
     result: Optional[EpochResult] = None
+    # Hot-tau auto-demotion: the cond-free mega segment skips NSV samples
+    # whose trace bound exceeds the escalation ceiling (a sound but lossy
+    # in-kernel action). A regime where that fires past the exact prefix —
+    # e.g. B=1 SGP, where per-step updates stay large relative to P — needs
+    # the per-step exact-inverse fallback instead, so the epoch is RE-RUN
+    # from its pre-epoch state on the XLA path (fused_step='off' — its
+    # per-step lax.cond exact fallback is both sound and, unlike a
+    # per-step pallas scan with a cholesky-bearing cond, fast: TPU conds
+    # bill heavy untaken branches, CLAUDE.md trap #5) and the demotion
+    # sticks for the rest of fit. A state backup is kept only while
+    # demotion is still possible (state is donated to epoch_fn).
+    cfg_run = cfg
+    mega_guard = cfg.fused_epoch == "mega"
 
     for epoch in range(max_iter):
         key, k_epoch = jax.random.split(key)
         flags = StepFlags(sgd=True, update=True, warm_up=warm_up, train_decoder=warm_up)
         noise = noise_hook(epoch) if noise_hook is not None else None
+        backup = (
+            jax.tree.map(jnp.copy, state) if (mega_guard and not warm_up) else None
+        )
         result = epoch_fn(
-            cfg, flags, state, y, us, k_epoch, jnp.asarray(lr, cfg.jdtype),
+            cfg_run, flags, state, y, us, k_epoch, jnp.asarray(lr, cfg.jdtype),
             noise=noise,
         )
-        state = result.state
-        epoch_loss = float(jnp.mean(result.metrics.loss))
-        if result.metrics.tau is not None and not warm_up:
-            # cond-free mega segment: tau >= NS_TAU_MAX means a skipped
-            # NSV update (never observed past the exact prefix; see
-            # ops/pallas/fused_step.py). Warn so a mis-sized ns_prefix on a
-            # novel regime is visible rather than silent.
-            max_tau = float(jnp.max(result.metrics.tau[cfg.ns_prefix:])) if (
-                result.metrics.tau.shape[0] > cfg.ns_prefix
-            ) else 0.0
+        if (
+            mega_guard
+            and not warm_up
+            and result.metrics.tau is not None
+            and result.metrics.tau.shape[0] > cfg.ns_prefix
+        ):
+            max_tau = float(jnp.max(result.metrics.tau[cfg.ns_prefix:]))
             if max_tau >= 0.7:
                 logger.warning(
                     "Newton-Schulz residual bound tau=%.3f exceeded the "
-                    "in-kernel escalation ceiling past the exact prefix; "
-                    "increase cfg.ns_prefix (epoch %d).", max_tau, epoch,
+                    "in-kernel escalation ceiling past the exact prefix "
+                    "(epoch %d): demoting to the XLA epoch with the "
+                    "per-step exact-inverse fallback and re-running the "
+                    "epoch.", max_tau, epoch,
                 )
+                cfg_run = cfg_run.replace(fused_step="off")
+                mega_guard = False
+                result = epoch_fn(
+                    cfg_run, flags, backup, y, us, k_epoch,
+                    jnp.asarray(lr, cfg.jdtype), noise=noise,
+                )
+        state = result.state
+        epoch_loss = float(jnp.mean(result.metrics.loss))
 
         if callback is not None:
             callback(epoch, epoch_loss, result)

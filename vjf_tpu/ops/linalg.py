@@ -35,6 +35,20 @@ def positivize(a: Array, eps: float = 1e-3) -> Array:
     return sqrt @ sqrt.swapaxes(-1, -2)
 
 
+def cholesky_f32(a: Array) -> Array:
+    """Cholesky with any internal matmuls pinned to full f32.
+
+    Insurance, cheap: on v5e the small-matrix Cholesky was measured
+    bit-identical with and without the pin, but XLA's blocked algorithm may
+    lower to dots at other shapes/versions and TPU's default f32 matmul
+    runs bf16 passes. (The measured |P V - I| ~ 2 exact-inverse failure was
+    the UNPINNED ``x.T @ x`` product after the triangular inverse — see
+    ``regression.rls``'s exact_path — not the factorization itself.)
+    """
+    with jax.default_matmul_precision("float32"):
+        return jnp.linalg.cholesky(a)
+
+
 def safe_cholesky(a: Array, eps: float = 1e-3) -> Array:
     """Cholesky with branchless PSD repair.
 
@@ -43,10 +57,10 @@ def safe_cholesky(a: Array, eps: float = 1e-3) -> Array:
     repair branch costs an eigh but runs behind ``lax.cond`` so the happy
     path stays one factorization.
     """
-    chol = jnp.linalg.cholesky(a)
+    chol = cholesky_f32(a)
 
     def repair(_):
-        return jnp.linalg.cholesky(positivize(a, eps))
+        return cholesky_f32(positivize(a, eps))
 
     def keep(_):
         return chol

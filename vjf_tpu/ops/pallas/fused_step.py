@@ -89,6 +89,14 @@ class FusedCarry(NamedTuple):
     cent_u: Optional[Array]       # (nfp, ud) or None
     c2: Array                     # (1, nfp) — sum of squared centroid coords
     inv_w2: Array                 # (1, nfp) — exp(-2 logwidth)
+    # SGP dynamics only (None for rbf): whitened-feature transform. The SE
+    # kernel row k(x, Z) is the unit-width RBF response scaled by scale^2,
+    # so phi(x) = k(x, Z) L_zz^{-T} (gp/sgp.py:features) becomes one extra
+    # MXU matmul by w_white = scale^2 * L_zz^{-T}, computed once per epoch
+    # in pad_carry. scale2 feeds the DTC variance correction
+    # k(x,x) - |phi|^2 (gp/sgp.py:predict_from_features).
+    w_white: Optional[Array]      # (nfp, nfp), zero-padded, or None
+    scale2: Optional[Array]       # (1, 1) exp(2 log_scale), or None
     p_mat: Array                  # (nfp, nfp) precision, identity pad block
     v_mat: Array                  # (nfp, nfp) NS-tracked inverse
     w_dyn: Array                  # (nfp, xd), zero pad rows
@@ -228,11 +236,23 @@ def step_forward_sums(
         cross = cross + u @ carry.cent_u.T
     d2 = jnp.maximum(x2 + carry.c2 - 2.0 * cross, 0.0)
     feat = jnp.exp(-0.5 * d2 * carry.inv_w2)                  # (B, nfp); pad cols 0
+    if carry.w_white is not None:
+        # SGP whitening: full f32 — these features feed the RLS recursion
+        # (P/V/w feedback chain), where bf16 error compounds (CLAUDE.md #8)
+        feat = jnp.dot(feat, carry.w_white, preferred_element_type=f32)
 
     z = mm(feat, carry.v_mat)                                 # (B, nfp), fvf only
     fvf = jnp.sum(z * feat, axis=-1, keepdims=True)           # (B, 1)
     fvf = jnp.maximum(fvf, 1e-30)
-    pt_lv = jnp.log(fvf)                                      # (B, 1), broadcast xd
+    if carry.w_white is not None:
+        # DTC correction on the predictive variance (gp/sgp.py:110-115)
+        dtc = jnp.maximum(
+            carry.scale2[0, 0] - jnp.sum(feat * feat, axis=-1, keepdims=True),
+            0.0,
+        )
+        pt_lv = jnp.log(fvf + dtc + 1e-30)                    # (B, 1)
+    else:
+        pt_lv = jnp.log(fvf)                                  # (B, 1), broadcast xd
     pt_m = (1.0 - cfg.leak) * xs + mm(feat, carry.w_dyn)
 
     a0 = mm(y, carry.w_in_y.T) + mm(qs_m, carry.w_in_m.T) + mm(
@@ -545,8 +565,23 @@ def step_apply(
             w_dyn_new = jnp.where(
                 jnp.logical_and(dyn_ok, ns_ok), w_dyn_new, carry.w_dyn
             )
+            if ns_tau_max is not None:
+                # cond-free segment (mega): a skipped V update MUST also
+                # skip P — P advancing while V stays makes the pair
+                # inconsistent, tau's trace bound stops bounding the true
+                # NS residual, and the next near-threshold step's escalated
+                # iterations can diverge to finite garbage (measured: state
+                # noise pinned at the +clamp within one hot epoch). Skipping
+                # both drops the sample but keeps every later step sound;
+                # fit() demotes the epoch layout when it sees tau >= the
+                # ceiling past the prefix.
+                p_keep = jnp.logical_and(dyn_ok, ns_ok)
+            else:
+                # per-step segment: the exact fallback right after this
+                # call recomputes V from p_new, so P must always advance
+                p_keep = dyn_ok
             new = new._replace(
-                p_mat=jnp.where(dyn_ok, p_new, carry.p_mat),
+                p_mat=jnp.where(p_keep, p_new, carry.p_mat),
                 v_mat=jnp.where(jnp.logical_and(dyn_ok, ns_ok), v_new, carry.v_mat),
                 w_dyn=w_dyn_new,
             )
@@ -812,9 +847,27 @@ def pad_carry(cfg: VJFConfig, state) -> FusedCarry:
     dtype = blr.w_mean.dtype
     xd, ud, yd = cfg.xdim, cfg.udim, cfg.ydim
 
-    rbf = state.dynamics.rbf
-    cent_full = jnp.full((nfp, xd + ud), 1e6, dtype).at[:nf].set(rbf.centroid)
-    inv_w2 = jnp.ones((1, nfp), dtype).at[0, :nf].set(jnp.exp(-2.0 * rbf.logwidth))
+    if cfg.dynamics == "sgp":
+        dyn = state.dynamics                           # SGPDynamicsState
+        cent_full = jnp.full((nfp, xd + ud), 1e6, dtype).at[:nf].set(dyn.inducing)
+        # uniform SE lengthscale; pad columns still underflow to exact 0
+        # (d2 ~ 1e12 at the +1e6 pad centroids)
+        inv_w2 = jnp.full((1, nfp), jnp.exp(-2.0 * dyn.log_lengthscale), dtype)
+        scale2_val = jnp.exp(2.0 * dyn.log_scale)
+        # w_white = scale^2 * W (the floored symmetric whitener,
+        # gp/sgp.py:whiten_matrices — bounded operator norm, so the f32
+        # kernel matmul is stable; the hypers and inducing points only
+        # move between epochs)
+        w_white = (
+            jnp.zeros((nfp, nfp), dtype).at[:nf, :nf].set(scale2_val * dyn.whiten)
+        )
+        scale2 = scale2_val.reshape(1, 1)
+    else:
+        rbf = state.dynamics.rbf
+        cent_full = jnp.full((nfp, xd + ud), 1e6, dtype).at[:nf].set(rbf.centroid)
+        inv_w2 = jnp.ones((1, nfp), dtype).at[0, :nf].set(jnp.exp(-2.0 * rbf.logwidth))
+        w_white = None
+        scale2 = None
     c2 = jnp.sum(cent_full * cent_full, axis=-1).reshape(1, nfp)
 
     pad_eye = jnp.eye(nfp, dtype=dtype).at[:nf, :nf].set(0.0)
@@ -842,6 +895,8 @@ def pad_carry(cfg: VJFConfig, state) -> FusedCarry:
         cent_u=cent_full[:, xd:] if ud > 0 else None,
         c2=c2,
         inv_w2=inv_w2,
+        w_white=w_white,
+        scale2=scale2,
         p_mat=p_mat,
         v_mat=v_mat,
         w_dyn=w_dyn,
@@ -889,18 +944,30 @@ def unpad_carry(cfg: VJFConfig, carry: FusedCarry, state_template):
         likelihood=lik,
         prior=tmpl_p.prior,
     )
-    cent_segs = [carry.cent_x] + ([carry.cent_u] if carry.cent_u is not None else [])
-    centroid = jnp.concatenate(cent_segs, axis=1)[:nf]
-    dynamics = DynamicsState(
-        rbf=RBFParams(centroid, state_template.dynamics.rbf.logwidth),
-        blr=NSVBLR(
-            w_mean=carry.w_dyn[:nf],
-            precision=carry.p_mat[:nf, :nf],
-            cov=carry.v_mat[:nf, :nf],
-        ),
-        logvar=carry.state_logvar.reshape(()),
-        n_sample=carry.dyn_n.reshape(()).astype(jnp.int32),
+    blr_new = NSVBLR(
+        w_mean=carry.w_dyn[:nf],
+        precision=carry.p_mat[:nf, :nf],
+        cov=carry.v_mat[:nf, :nf],
     )
+    if cfg.dynamics == "sgp":
+        # inducing points / hypers / whitening only move between epochs —
+        # restore them from the template
+        dynamics = state_template.dynamics._replace(
+            blr=blr_new,
+            logvar=carry.state_logvar.reshape(()),
+            n_sample=carry.dyn_n.reshape(()).astype(jnp.int32),
+        )
+    else:
+        cent_segs = [carry.cent_x] + (
+            [carry.cent_u] if carry.cent_u is not None else []
+        )
+        centroid = jnp.concatenate(cent_segs, axis=1)[:nf]
+        dynamics = DynamicsState(
+            rbf=RBFParams(centroid, state_template.dynamics.rbf.logwidth),
+            blr=blr_new,
+            logvar=carry.state_logvar.reshape(()),
+            n_sample=carry.dyn_n.reshape(()).astype(jnp.int32),
+        )
     return TrainState(
         params=params,
         dynamics=dynamics,
@@ -924,16 +991,19 @@ def exact_v_fallback(
     this cond measured ~1 ms/step on v5e (TPU conditionals do not reliably
     skip an eigh-heavy untaken branch).
     """
-    from ...ops.linalg import tri_inv_newton
+    from ...ops.linalg import cholesky_f32, tri_inv_newton
 
     c = out.carry
     b = out.xt.shape[0]
 
     def exact(_):
-        chol = jnp.linalg.cholesky(c.p_mat)
+        hp = jax.lax.Precision.HIGHEST
+        chol = cholesky_f32(c.p_mat)
         x = tri_inv_newton(chol)
-        v_new = x.T @ x
-        w_new = v_new @ out.g_vec
+        # full f32 on the inverse product: the default bf16-pass multiply
+        # leaves |P V - I| ~ 2 at cond(P) ~ 1e4 (see regression.exact_path)
+        v_new = jnp.matmul(x.T, x, precision=hp)
+        w_new = jnp.matmul(v_new, out.g_vec, precision=hp)
         # recompute features of xs (rare branch only)
         x2 = jnp.sum(out.xs * out.xs, axis=-1, keepdims=True)
         cross = out.xs @ c.cent_x.T
@@ -942,6 +1012,8 @@ def exact_v_fallback(
             cross = cross + u @ c.cent_u.T
         d2 = jnp.maximum(x2 + c.c2 - 2.0 * cross, 0.0)
         feat = jnp.exp(-0.5 * d2 * c.inv_w2)
+        if c.w_white is not None:
+            feat = feat @ c.w_white                    # SGP whitening
         resid = (out.xt - out.xs) - feat @ w_new
         mse = jnp.mean(resid * resid)
         dyn_n = jnp.minimum(prev_carry.dyn_n[0, 0], float(cfg.state_var_cap))
@@ -950,7 +1022,17 @@ def exact_v_fallback(
             b / tot
         ) * mse
         slv = jnp.clip(jnp.log(var), -cfg.logvar_clamp, cfg.logvar_clamp)
-        return v_new, w_new, slv.reshape(1, 1), tot.reshape(1, 1)
+        # house rule: a closed-form update never cements non-finite values —
+        # an f32-defeating P (cond > ~1e7) can NaN the plain cholesky here
+        ok = jnp.logical_and(
+            jnp.isfinite(jnp.sum(v_new) + jnp.sum(w_new)), jnp.isfinite(slv)
+        )
+        return (
+            jnp.where(ok, v_new, c.v_mat),
+            jnp.where(ok, w_new, c.w_dyn),
+            jnp.where(ok, slv, c.state_logvar[0, 0]).reshape(1, 1),
+            jnp.where(ok, tot, c.dyn_n[0, 0]).reshape(1, 1),
+        )
 
     def keep(_):
         return c.v_mat, c.w_dyn, c.state_logvar, c.dyn_n
@@ -1081,7 +1163,7 @@ def exact_v_fallback_sums(
     semantics to :func:`exact_v_fallback`, but the post-update residual MSE
     comes from the all-reduced statistics (the per-trial features never
     leave their device)."""
-    from ...ops.linalg import tri_inv_newton
+    from ...ops.linalg import cholesky_f32, tri_inv_newton
 
     c = carry_new
     b = b_total
@@ -1089,9 +1171,10 @@ def exact_v_fallback_sums(
     hp = jax.lax.Precision.HIGHEST
 
     def exact(_):
-        chol = jnp.linalg.cholesky(c.p_mat)
+        chol = cholesky_f32(c.p_mat)
         x = tri_inv_newton(chol)
-        v_new = x.T @ x
+        # full f32 — see regression.exact_path / exact_v_fallback
+        v_new = jnp.matmul(x.T, x, precision=hp)
         w_new = jnp.matmul(v_new, g_vec, precision=hp)
         quad = jnp.sum(w_new * jnp.matmul(sums.ftf_raw, w_new, precision=hp))
         mse = (
@@ -1103,7 +1186,16 @@ def exact_v_fallback_sums(
             b / tot
         ) * mse
         slv = jnp.clip(jnp.log(var), -cfg.logvar_clamp, cfg.logvar_clamp)
-        return v_new, w_new, slv.reshape(1, 1), tot.reshape(1, 1)
+        # never cement a non-finite exact-inverse result (see exact_v_fallback)
+        ok = jnp.logical_and(
+            jnp.isfinite(jnp.sum(v_new) + jnp.sum(w_new)), jnp.isfinite(slv)
+        )
+        return (
+            jnp.where(ok, v_new, c.v_mat),
+            jnp.where(ok, w_new, c.w_dyn),
+            jnp.where(ok, slv, c.state_logvar[0, 0]).reshape(1, 1),
+            jnp.where(ok, tot, c.dyn_n[0, 0]).reshape(1, 1),
+        )
 
     def keep(_):
         return c.v_mat, c.w_dyn, c.state_logvar, c.dyn_n
@@ -1342,12 +1434,24 @@ def mega_epoch_call(
 # ---------------------------------------------------------------------------
 
 
-def fused_enabled(cfg: VJFConfig, state) -> bool:
+def fused_enabled(cfg: VJFConfig, state, n_batch: Optional[int] = None) -> bool:
     from ...models.regression import NSVBLR
 
     if cfg.fused_step == "off":
         return False
-    if cfg.dynamics != "rbf" or not isinstance(state.dynamics.blr, NSVBLR):
+    if cfg.dynamics not in ("rbf", "sgp") or not isinstance(state.dynamics.blr, NSVBLR):
+        return False
+    if (
+        cfg.dynamics == "sgp"
+        and cfg.fused_step != "on"
+        and n_batch is not None
+        and n_batch < cfg.sgp_fused_min_batch
+    ):
+        # measured on-chip: tiny-batch SGP keeps the per-step NSV trace
+        # bound hot (tau >= threshold indefinitely — each whitened-feature
+        # rank-B update stays large relative to P), so the mega layout
+        # would only demote after a wasted compile; route straight to the
+        # XLA epoch with its per-step exact-inverse fallback instead.
         return False
     if cfg.dynamics_update != "rls":
         return False  # the kernel implements the RLS learner only

@@ -195,7 +195,8 @@ def make_sharded_epoch(cfg: VJFConfig, flags: StepFlags, mesh: Mesh, donate: boo
     update — the JAX equivalent of the shared dynamics posterior noted at
     SURVEY.md §2.4).
 
-    When the fused kernel is eligible (nsv backend, rbf/rls dynamics, f32)
+    When the fused kernel is eligible (nsv backend, rbf or sgp dynamics
+    with the rls learner, f32)
     the epoch runs :func:`run_epoch_fused_sharded` — the per-step pallas
     kernel inside ``shard_map`` with one explicit psum of the sufficient
     statistics. Otherwise the XLA step runs under GSPMD annotations (whose
@@ -245,7 +246,7 @@ def make_sharded_epoch(cfg: VJFConfig, flags: StepFlags, mesh: Mesh, donate: boo
     def call(state, ys, us, key, lr):
         from ..ops.pallas import fused_step as F
 
-        if F.fused_enabled(cfg, state):
+        if F.fused_enabled(cfg, state, n_batch=ys.shape[1]):
             if "fused" not in cache:
                 cache["fused"] = build_fused()
             return cache["fused"](state, ys, us, key, lr)
