@@ -199,3 +199,40 @@ def test_sgp_ring_attractor_recovery(key):
                                                jnp.asarray(probe), None).mean) - probe
     radial = np.sum(s * probe, axis=-1)          # <x, dx>: negative = inward
     assert np.mean(radial) < 0, radial
+
+
+def test_fit_demotes_mega_on_hot_tau(key, caplog):
+    """Hot-tau auto-demotion (models/vjf.py:fit): small-batch SGP keeps the
+    NSV trace bound above the mega kernel's escalation ceiling, so fit must
+    detect the reported tau, demote to the XLA epoch, re-run from the
+    pre-epoch state, and finish finite. fused_step='on' forces the fused
+    path past the small-batch routing so the demotion machinery itself is
+    exercised (interpret mode on CPU)."""
+    import logging
+
+    rng = np.random.default_rng(6)
+    T, dt = 80, 0.1
+    x = np.zeros((T, 2))
+    x[0] = [1.5, 0.0]
+    for t in range(T - 1):
+        r = np.linalg.norm(x[t])
+        radial = (1.0 - r) * x[t] / max(r, 1e-6)
+        angular = 0.5 * np.array([-x[t, 1], x[t, 0]])
+        x[t + 1] = x[t] + dt * (radial + angular) + 0.02 * rng.normal(size=2)
+    C = rng.normal(size=(2, 10))
+    y = (x @ C + 0.1 * rng.normal(size=(T, 10))).astype(np.float32)
+
+    cfg = VJFConfig(ydim=10, xdim=2, udim=0, dynamics="sgp", n_inducing=16,
+                    sgp_scale=1.0, sgp_lengthscale=1.0, likelihood="gaussian",
+                    dtype="float32", rls_backend="nsv", fused_step="on",
+                    matmul_dtype="float32", ns_prefix=8, lr=1e-3, rtol=0.5)
+    state = core.init_state(key, cfg)
+    with caplog.at_level(logging.WARNING, logger="vjf_tpu"):
+        result = core.fit(cfg, state, y, key=key, max_iter=8, donate=False)
+    assert not result.warm_up, "warm-up never ended; the mega path never ran"
+    assert np.isfinite(result.loss)
+    assert np.all(np.isfinite(np.asarray(result.state.dynamics.blr.precision)))
+    assert any("demoting" in r.message for r in caplog.records), (
+        "expected the hot-tau demotion to fire for B=1 SGP; tau regime "
+        "may have drifted — check ns_prefix/threshold assumptions"
+    )

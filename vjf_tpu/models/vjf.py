@@ -22,6 +22,7 @@ from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import Array
 
 from ..config import StepFlags, VJFConfig
@@ -501,6 +502,13 @@ def fit(
     t_len, n_batch, _ = y.shape
     us = _promote_u(u, t_len, n_batch, cfg.jdtype)
 
+    # Donation is skipped while hot-tau demotion is possible (mega layout):
+    # the demote-retry path re-runs an epoch from its pre-epoch state, and
+    # with donation that state's buffers would already be invalidated — a
+    # per-epoch defensive tree-copy costs ~0.5 s of dispatch latency
+    # through the remote-chip tunnel, vs ~1 MB of extra memory for simply
+    # keeping the input buffers alive.
+    donate = donate and cfg.fused_epoch != "mega"
     epoch_fn = jax.jit(
         run_epoch,
         static_argnames=("cfg", "flags"),
@@ -524,8 +532,8 @@ def fit(
     # per-step lax.cond exact fallback is both sound and, unlike a
     # per-step pallas scan with a cholesky-bearing cond, fast: TPU conds
     # bill heavy untaken branches, CLAUDE.md trap #5) and the demotion
-    # sticks for the rest of fit. A state backup is kept only while
-    # demotion is still possible (state is donated to epoch_fn).
+    # sticks for the rest of fit. The pre-epoch state stays valid because
+    # donation is disabled under the mega layout (above).
     cfg_run = cfg
     mega_guard = cfg.fused_epoch == "mega"
 
@@ -533,9 +541,7 @@ def fit(
         key, k_epoch = jax.random.split(key)
         flags = StepFlags(sgd=True, update=True, warm_up=warm_up, train_decoder=warm_up)
         noise = noise_hook(epoch) if noise_hook is not None else None
-        backup = (
-            jax.tree.map(jnp.copy, state) if (mega_guard and not warm_up) else None
-        )
+        backup = state if (mega_guard and not warm_up) else None
         result = epoch_fn(
             cfg_run, flags, state, y, us, k_epoch, jnp.asarray(lr, cfg.jdtype),
             noise=noise,
@@ -546,14 +552,28 @@ def fit(
             and result.metrics.tau is not None
             and result.metrics.tau.shape[0] > cfg.ns_prefix
         ):
-            max_tau = float(jnp.max(result.metrics.tau[cfg.ns_prefix:]))
-            if max_tau >= 0.7:
+            # one host transfer for loss + tau stats (each scalar fetch
+            # costs a full tunnel round-trip)
+            tau_seg = result.metrics.tau[cfg.ns_prefix:]
+            vals = np.asarray(jnp.stack([
+                jnp.mean(result.metrics.loss),
+                jnp.max(tau_seg),
+                jnp.mean((tau_seg >= 0.7).astype(result.metrics.loss.dtype)),
+            ]))
+            epoch_loss, max_tau, hot_frac = map(float, vals)
+            # A RARE ceiling hit is harmless since the in-kernel skip keeps
+            # P and V consistent (it just drops that sample); demote only
+            # when hot steps are PERVASIVE — the regime where the mega
+            # layout would systematically drop the most informative
+            # samples (measured: B=1 SGP runs ~97% hot; a Van der Pol fit
+            # trips a handful of transient steps and is fine on mega).
+            if hot_frac > 0.01:
                 logger.warning(
-                    "Newton-Schulz residual bound tau=%.3f exceeded the "
-                    "in-kernel escalation ceiling past the exact prefix "
-                    "(epoch %d): demoting to the XLA epoch with the "
-                    "per-step exact-inverse fallback and re-running the "
-                    "epoch.", max_tau, epoch,
+                    "Newton-Schulz residual bound exceeded the in-kernel "
+                    "escalation ceiling on %.1f%% of post-prefix steps "
+                    "(max tau=%.3f, epoch %d): demoting to the XLA epoch "
+                    "with the per-step exact-inverse fallback and "
+                    "re-running the epoch.", 100 * hot_frac, max_tau, epoch,
                 )
                 cfg_run = cfg_run.replace(fused_step="off")
                 mega_guard = False
@@ -561,8 +581,17 @@ def fit(
                     cfg_run, flags, backup, y, us, k_epoch,
                     jnp.asarray(lr, cfg.jdtype), noise=noise,
                 )
+                epoch_loss = float(jnp.mean(result.metrics.loss))
+            elif max_tau >= 0.7:
+                logger.info(
+                    "Rare Newton-Schulz ceiling hits (%.2f%% of steps, "
+                    "max tau=%.3f, epoch %d): samples dropped consistently "
+                    "in-kernel; staying on the mega layout.",
+                    100 * hot_frac, max_tau, epoch,
+                )
+        else:
+            epoch_loss = float(jnp.mean(result.metrics.loss))
         state = result.state
-        epoch_loss = float(jnp.mean(result.metrics.loss))
 
         if callback is not None:
             callback(epoch, epoch_loss, result)
