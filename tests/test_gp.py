@@ -236,3 +236,26 @@ def test_fit_demotes_mega_on_hot_tau(key, caplog):
         "expected the hot-tau demotion to fire for B=1 SGP; tau regime "
         "may have drifted — check ns_prefix/threshold assumptions"
     )
+
+
+def test_whiten_matrices_properties(key):
+    """The floored symmetric whitener must satisfy the properties the f32
+    fused path depends on: bounded |phi(x)|^2 <= k(x,x) (the DTC
+    inequality — violated 277x by the unfloored f32 eigh, CLAUDE.md #11),
+    W W^{-1} = I on the floored spectrum, and symmetry."""
+    rng = np.random.default_rng(0)
+    for dtype, tol in ((jnp.float64, 1e-8), (jnp.float32, 2e-2)):
+        z = jnp.asarray(rng.uniform(-2, 2, size=(50, 2)), dtype)
+        cf = covfun.SquaredExponential(1.0, 1.0)
+        kzz = cf(z, z).astype(dtype)
+        w, w_inv = sgp_mod.whiten_matrices(kzz)
+        asym_tol = (1e-12 if dtype == jnp.float64 else 1e-5) * float(jnp.abs(w).max())
+        np.testing.assert_allclose(np.asarray(w), np.asarray(w.T), atol=asym_tol)
+        np.testing.assert_allclose(np.asarray(w @ w_inv), np.eye(50),
+                                   atol=max(tol, 1e-5))
+        x = jnp.asarray(rng.uniform(-3, 3, size=(200, 2)), dtype)
+        kxz = cf(x, z).astype(dtype)
+        phi = kxz @ w
+        phi2 = np.asarray(jnp.sum(phi * phi, axis=-1))
+        kxx = 1.0  # SE scale = 1
+        assert phi2.max() <= kxx * (1 + tol), (dtype, phi2.max())
