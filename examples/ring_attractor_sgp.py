@@ -87,9 +87,11 @@ def main():
     on_ring = sgp_mod.transition_gaussian(state, traj)
     far = sgp_mod.transition_gaussian(state, 20.0 * traj)
     print(
-        "mean predictive logvar along trajectory vs far off-manifold:",
-        f"{float(np.asarray(on_ring.logvar).mean()):.3f} <",
-        f"{float(np.asarray(far.logvar).mean()):.3f}",
+        "predictive logvar: mean along trajectory "
+        f"{float(np.asarray(on_ring.logvar).mean()):.3f} "
+        "(coverage-dependent via the DTC correction); far off-manifold "
+        f"{float(np.asarray(far.logvar).mean()):.3f} "
+        "(= the GP prior, 2 log scale)"
     )
 
     xf, yf = model.forecast(x0=mu[len(m) // 2, 0], n_step=500)

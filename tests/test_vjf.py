@@ -205,3 +205,22 @@ def test_run_epochs_matches_sequential_run_epoch(key):
     for a, b in zip(jax.tree_util.tree_leaves(multi.state),
                     jax.tree_util.tree_leaves(st)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+
+
+def test_oo_api_smooth_facade(key):
+    """VJF.smooth: the post-hoc parallel RTS smoother is reachable from the
+    OO facade for both likelihoods and returns finite (T, xdim) means."""
+    N, ydim, xdim = 50, 8, 2
+    rng = np.random.default_rng(0)
+    for lik in ("gaussian", "poisson"):
+        if lik == "gaussian":
+            y = rng.normal(size=(N, ydim))
+        else:
+            y = rng.poisson(1.0, size=(N, ydim)).astype(np.float64)
+        model = VJF.make_model(ydim, xdim, 0, n_rbf=10, hidden_sizes=[5],
+                               likelihood=lik, dtype="float64")
+        model.fit(y, max_iter=2)
+        filtered, smoothed = model.smooth(y)
+        assert smoothed.means.shape == (N, xdim)
+        assert np.all(np.isfinite(np.asarray(smoothed.means)))
+        assert np.all(np.isfinite(np.asarray(smoothed.covs)))

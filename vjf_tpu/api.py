@@ -307,6 +307,23 @@ class VJF:
             self.cfg, self.state, x0, k, n_step=n_step, u=u, noise=noise
         )
 
+    # -- post-hoc smoothing (capability beyond the reference) -------------
+    def smooth(self, y: Array, x_ref: Optional[Array] = None):
+        """Parallel-in-time RTS smoothing of one (T, ydim) sequence under
+        the trained model — O(log T) depth via the associative-scan Kalman
+        core (``models/smoothing.py``). Gaussian likelihoods use the
+        linearized dynamics directly; Poisson dispatches to the
+        iterated-Laplace variant. Returns ``(filtered, smoothed)`` result
+        pytrees with per-step means/covariances. Pass ``x_ref`` (T, xdim)
+        to override the linearization trajectory (defaults to the filter's
+        posterior means).
+        """
+        from .models import smoothing
+
+        return smoothing.smooth(
+            self.cfg, self.state, jnp.asarray(y, self.cfg.jdtype), x_ref=x_ref
+        )
+
     # -- velocity field (used by the example's streamplot) ----------------
     def velocity(self, x: Array) -> Array:
         """Mean velocity field at query points — the example script's

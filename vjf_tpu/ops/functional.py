@@ -169,6 +169,15 @@ def flat2d(a: Optional[Array]) -> Optional[Array]:
     return a.reshape(-1, a.shape[-1])
 
 
+def prod(a) -> int:
+    """Product of an iterable — ``vjf/util.py:79-80`` (dead code there,
+    reachable only through ``flat2d``'s empty-last-axis branch; kept for
+    full API-surface parity)."""
+    import math
+
+    return math.prod(a)
+
+
 def finite_or_zero(x: Array) -> Array:
     """Replace a non-finite scalar loss term with 0.
 
