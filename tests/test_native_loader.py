@@ -110,6 +110,49 @@ def test_streaming_filter_partial_tail(tmp_path):
     assert np.all(np.isfinite(losses))
 
 
+def test_streaming_demotes_mega_on_hot_tau(caplog):
+    """filter_stream applies fit()'s hot-tau demotion policy (api.py): a
+    pervasively hot NSV regime (B=1 SGP keeps the trace bound above the mega
+    kernel's escalation ceiling, so the kernel soundly DROPS the updates)
+    must demote the stream to the XLA epoch, re-run the offending chunk,
+    and keep yielding one finite EpochResult per chunk."""
+    import logging
+
+    import jax.numpy as jnp
+
+    from vjf_tpu import VJF
+    from vjf_tpu.config import VJFConfig
+
+    rng = np.random.default_rng(6)
+    T, dt = 80, 0.1
+    x = np.zeros((T, 2))
+    x[0] = [1.5, 0.0]
+    for t in range(T - 1):
+        r = np.linalg.norm(x[t])
+        radial = (1.0 - r) * x[t] / max(r, 1e-6)
+        angular = 0.5 * np.array([-x[t, 1], x[t, 0]])
+        x[t + 1] = x[t] + dt * (radial + angular) + 0.02 * rng.normal(size=2)
+    C = rng.normal(size=(2, 10))
+    y = (x @ C + 0.1 * rng.normal(size=(T, 10))).astype(np.float32)
+    y = y[:, None, :]                                  # (T, B=1, ydim)
+
+    cfg = VJFConfig(ydim=10, xdim=2, udim=0, dynamics="sgp", n_inducing=16,
+                    sgp_scale=1.0, sgp_lengthscale=1.0, likelihood="gaussian",
+                    dtype="float32", rls_backend="nsv", fused_step="on",
+                    matmul_dtype="float32", ns_prefix=8, lr=1e-3)
+    model = VJF(cfg)
+    chunks = [y[:40], y[40:]]
+    with caplog.at_level(logging.WARNING, logger="vjf_tpu"):
+        results = list(model.filter_stream(iter(chunks)))
+    assert len(results) == 2
+    for r in results:
+        assert np.all(np.isfinite(np.asarray(r.metrics.loss)))
+    assert np.all(np.isfinite(np.asarray(model.state.dynamics.blr.precision)))
+    assert any("demoting" in r.message for r in caplog.records), (
+        "expected the streaming hot-tau demotion to fire for B=1 SGP"
+    )
+
+
 def test_native_fifo_no_hang(tmp_path):
     """Closing a loader whose FIFO has no writer must not hang (the r1
     advisor finding: fread blocked forever in the reader thread). Also:

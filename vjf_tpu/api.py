@@ -9,6 +9,7 @@ RNG key.
 """
 from __future__ import annotations
 
+import logging
 from typing import Optional, Sequence, Tuple
 
 import jax
@@ -18,6 +19,8 @@ from jax import Array
 from .config import StepFlags, VJFConfig
 from .models import vjf as core
 from .types import Gaussian
+
+logger = logging.getLogger("vjf_tpu.api")
 
 
 class VJF:
@@ -212,6 +215,13 @@ class VJF:
         )
         run = jax.jit(core.run_epoch, static_argnames=("cfg", "flags"))
         q = None
+        # hot-tau demotion for streams (same policy as fit(): the mega
+        # kernel soundly DROPS samples whose NSV trace bound exceeds the
+        # escalation ceiling, so a pervasively hot stream regime — measured
+        # on a 30k-step drifting-Poisson soak: ~83% of steps dropped —
+        # must fall back to the XLA epoch or the dynamics silently stop
+        # learning from most of the data)
+        mega_guard = cfg.fused_epoch == "mega"
         for chunk in chunks:
             chunk = jnp.asarray(chunk, dtype=cfg.jdtype)
             t_len, n_batch = chunk.shape[0], chunk.shape[1]
@@ -247,6 +257,28 @@ class VJF:
                 cfg, flags, self.state, chunk, us, k,
                 jnp.asarray(self._lr, cfg.jdtype), q0=q,
             )
+            if (
+                mega_guard
+                and not warm_up
+                and result.metrics.tau is not None
+                and result.metrics.tau.shape[0] > cfg.ns_prefix
+            ):
+                tau_seg = result.metrics.tau[cfg.ns_prefix:]
+                hot_frac = float(jnp.mean((tau_seg >= 0.7).astype(jnp.float32)))
+                if hot_frac > 0.01:
+                    logger.warning(
+                        "streaming filter: %.1f%% of this chunk's steps "
+                        "exceeded the Newton-Schulz escalation ceiling "
+                        "(samples dropped); demoting subsequent chunks to "
+                        "the XLA epoch and re-running this chunk.",
+                        100 * hot_frac,
+                    )
+                    cfg = cfg.replace(fused_step="off")
+                    mega_guard = False
+                    result = run(
+                        cfg, flags, self.state, chunk, us, k,
+                        jnp.asarray(self._lr, cfg.jdtype), q0=q,
+                    )
             self.state = result.state
             q = Gaussian(result.q_means[-1], result.q_logvars[-1])
             yield result
