@@ -49,10 +49,8 @@ def bench_vdp():
     import jax
     import jax.numpy as jnp
 
-    sys.path.insert(0, "tests")
-    from test_systems import van_der_pol
-
     from vjf_tpu.config import VJFConfig
+    from vjf_tpu.datasets import van_der_pol
     from vjf_tpu.models import vjf as core
 
     x = van_der_pol(T=1200)
@@ -74,10 +72,8 @@ def bench_lorenz():
     import jax
     import jax.numpy as jnp
 
-    sys.path.insert(0, "tests")
-    from test_systems import lorenz
-
     from vjf_tpu.config import VJFConfig
+    from vjf_tpu.datasets import lorenz
     from vjf_tpu.models import vjf as core
 
     x = lorenz(T=1500)
@@ -102,17 +98,12 @@ def bench_sgp_ring():
     from vjf_tpu.config import VJFConfig
     from vjf_tpu.models import vjf as core
 
-    rng = np.random.default_rng(6)
-    T, dt = 1000, 0.1
-    x = np.zeros((T, 2))
-    x[0] = [1.5, 0.0]
-    for t in range(T - 1):
-        r = np.linalg.norm(x[t])
-        radial = (1.0 - r) * x[t] / max(r, 1e-6)
-        angular = 0.5 * np.array([-x[t, 1], x[t, 0]])
-        x[t + 1] = x[t] + dt * (radial + angular) + 0.02 * rng.normal(size=2)
-    C = rng.normal(size=(2, 20))
-    y = (x @ C + rng.normal(size=20) + 0.1 * rng.normal(size=(T, 20))).astype(np.float32)
+    from vjf_tpu.datasets import linear_gaussian_observations, ring_attractor
+
+    T = 1000
+    x = ring_attractor(T=T)
+    y, _, _ = linear_gaussian_observations(x, 20, obs_noise=0.1, seed=7)
+    y = y.astype(np.float32)
     cfg = VJFConfig(ydim=20, xdim=2, udim=0, dynamics="sgp", n_inducing=50,
                     sgp_scale=1.0, sgp_lengthscale=1.0, likelihood="gaussian",
                     dtype="float32", lr=1e-3, rtol=2e-3)  # hyper adaptation is an
@@ -148,9 +139,14 @@ def bench_streaming():
     model = VJF(cfg)
     loader = StreamingLoader(path, ydim=ydim, batch=B, chunk=2000)
     was_native = loader.is_native            # close() clears the handle
-    # warm the compile on the first chunk shape
+    # warm the compile on the first chunk shape, then restore the model so
+    # the timed stream starts cold (the warmup pass trains: without the
+    # snapshot the first 2000 steps would be seen twice from a pre-warmed
+    # state)
     first = next(iter(StreamingLoader(path, ydim=ydim, batch=B, chunk=2000)))
+    state0, key0 = model.state, model.key
     list(model.filter_stream(iter([first])))
+    model.state, model.key = state0, key0
 
     t0 = time.perf_counter()
     n = 0

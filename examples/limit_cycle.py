@@ -59,11 +59,11 @@ def main():
     steps = y.shape[0] * args.max_iter
     print(f"\nfit: loss={loss:.4f}, {steps / (time.time() - t0):.0f} steps/s")
 
+    from vjf_tpu.utils.evaluation import latent_r2
+
     m = np.asarray(mu[:, 0, :])
     # latent recovery quality (up to affine map)
-    X = np.concatenate([m, np.ones((m.shape[0], 1))], axis=1)
-    A, *_ = np.linalg.lstsq(X, x_true, rcond=None)
-    r2 = 1 - np.sum((X @ A - x_true) ** 2) / np.sum((x_true - x_true.mean(0)) ** 2)
+    r2 = latent_r2(m, x_true)
     print(f"latent recovery R^2 = {r2:.3f}")
 
     # forecast from step 10 (example.py:79)

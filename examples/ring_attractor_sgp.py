@@ -24,19 +24,15 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
 
-def generate_data(seed=6, T=1500, dt=0.1, ydim=20, obs_noise=0.1):
-    """Noisy ring attractor: radial pull to |x| = 1, constant rotation."""
-    rng = np.random.default_rng(seed)
-    x = np.zeros((T, 2))
-    x[0] = [1.5, 0.0]
-    for t in range(T - 1):
-        r = np.linalg.norm(x[t])
-        radial = (1.0 - r) * x[t] / max(r, 1e-6)
-        angular = 0.5 * np.array([-x[t, 1], x[t, 0]])
-        x[t + 1] = x[t] + dt * (radial + angular) + 0.02 * rng.normal(size=2)
-    C = rng.normal(size=(2, ydim))
-    d = rng.normal(size=ydim)
-    y = x @ C + d + obs_noise * rng.normal(size=(T, ydim))
+def generate_data(T=1500, ydim=20, obs_noise=0.1):
+    """Noisy ring attractor (radial pull to |x| = 1, constant rotation)
+    through a linear-Gaussian readout — the shared generators of
+    :mod:`vjf_tpu.datasets` (same system as the quality gate and
+    ``bench_all.py``)."""
+    from vjf_tpu.datasets import linear_gaussian_observations, ring_attractor
+
+    x = ring_attractor(T=T)
+    y, _, _ = linear_gaussian_observations(x, ydim, obs_noise=obs_noise, seed=7)
     return x, y.astype(np.float32)
 
 
@@ -69,10 +65,10 @@ def main():
     steps = y.shape[0] * args.max_iter
     print(f"\nfit: loss={loss:.4f}, {steps / (time.time() - t0):.0f} steps/s")
 
+    from vjf_tpu.utils.evaluation import latent_r2
+
     m = np.asarray(mu[:, 0, :])
-    X = np.concatenate([m, np.ones((m.shape[0], 1))], axis=1)
-    A, *_ = np.linalg.lstsq(X, x_true, rcond=None)
-    r2 = 1 - np.sum((X @ A - x_true) ** 2) / np.sum((x_true - x_true.mean(0)) ** 2)
+    r2 = latent_r2(m, x_true)
     print(f"latent recovery R^2 = {r2:.3f}")
 
     # the DTC correction in action: predictive variance is reduced where

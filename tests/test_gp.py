@@ -7,6 +7,7 @@ import numpy as np
 import pytest
 
 from vjf_tpu.config import StepFlags, VJFConfig
+from vjf_tpu.datasets import linear_gaussian_observations, ring_attractor
 from vjf_tpu.gp import SGP, covfun
 from vjf_tpu.gp import sgp as sgp_mod
 from vjf_tpu.models import vjf as core
@@ -163,18 +164,9 @@ def test_sgp_ring_attractor_recovery(key):
     """BASELINE config #3 with a quality gate: VJF + SGP dynamics on a ring
     attractor must recover the latent trajectory (affine-aligned R^2) and
     the learned velocity field must point inward outside the ring."""
-    rng = np.random.default_rng(6)
-    T, dt = 600, 0.1
-    x = np.zeros((T, 2))
-    x[0] = [1.5, 0.0]
-    for t in range(T - 1):
-        r = np.linalg.norm(x[t])
-        radial = (1.0 - r) * x[t] / max(r, 1e-6)
-        angular = 0.5 * np.array([-x[t, 1], x[t, 0]])
-        x[t + 1] = x[t] + dt * (radial + angular) + 0.02 * rng.normal(size=2)
-    C = rng.normal(size=(2, 12))
-    d = rng.normal(size=12)
-    y = x @ C + d + 0.1 * rng.normal(size=(T, 12))
+    T = 600
+    x = ring_attractor(T=T)
+    y, _, _ = linear_gaussian_observations(x, 12, obs_noise=0.1, seed=7)
 
     cfg = VJFConfig(ydim=12, xdim=2, udim=0, dynamics="sgp", n_inducing=30,
                     sgp_scale=1.0, sgp_lengthscale=1.0, likelihood="gaussian",
@@ -210,17 +202,10 @@ def test_fit_demotes_mega_on_hot_tau(key, caplog):
     exercised (interpret mode on CPU)."""
     import logging
 
-    rng = np.random.default_rng(6)
-    T, dt = 80, 0.1
-    x = np.zeros((T, 2))
-    x[0] = [1.5, 0.0]
-    for t in range(T - 1):
-        r = np.linalg.norm(x[t])
-        radial = (1.0 - r) * x[t] / max(r, 1e-6)
-        angular = 0.5 * np.array([-x[t, 1], x[t, 0]])
-        x[t + 1] = x[t] + dt * (radial + angular) + 0.02 * rng.normal(size=2)
-    C = rng.normal(size=(2, 10))
-    y = (x @ C + 0.1 * rng.normal(size=(T, 10))).astype(np.float32)
+    x = ring_attractor(T=80)
+    y, _, _ = linear_gaussian_observations(x, 10, obs_noise=0.1,
+                                           intercept=False, seed=7)
+    y = y.astype(np.float32)
 
     cfg = VJFConfig(ydim=10, xdim=2, udim=0, dynamics="sgp", n_inducing=16,
                     sgp_scale=1.0, sgp_lengthscale=1.0, likelihood="gaussian",

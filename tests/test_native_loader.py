@@ -123,18 +123,12 @@ def test_streaming_demotes_mega_on_hot_tau(caplog):
     from vjf_tpu import VJF
     from vjf_tpu.config import VJFConfig
 
-    rng = np.random.default_rng(6)
-    T, dt = 80, 0.1
-    x = np.zeros((T, 2))
-    x[0] = [1.5, 0.0]
-    for t in range(T - 1):
-        r = np.linalg.norm(x[t])
-        radial = (1.0 - r) * x[t] / max(r, 1e-6)
-        angular = 0.5 * np.array([-x[t, 1], x[t, 0]])
-        x[t + 1] = x[t] + dt * (radial + angular) + 0.02 * rng.normal(size=2)
-    C = rng.normal(size=(2, 10))
-    y = (x @ C + 0.1 * rng.normal(size=(T, 10))).astype(np.float32)
-    y = y[:, None, :]                                  # (T, B=1, ydim)
+    from vjf_tpu.datasets import linear_gaussian_observations, ring_attractor
+
+    x = ring_attractor(T=80)
+    y, _, _ = linear_gaussian_observations(x, 10, obs_noise=0.1,
+                                           intercept=False, seed=7)
+    y = y.astype(np.float32)[:, None, :]               # (T, B=1, ydim)
 
     cfg = VJFConfig(ydim=10, xdim=2, udim=0, dynamics="sgp", n_inducing=16,
                     sgp_scale=1.0, sgp_lengthscale=1.0, likelihood="gaussian",

@@ -104,6 +104,27 @@ def test_vjf_posthoc_smoothing(key):
 
     assert r2(smoothed.means) > 0.8
 
+    # x_ref as a (T, xdim) reference trajectory (advertised in the API
+    # docstring; r2 review finding — used to crash): per-step linearization
+    # at x_ref[t-1], exactly the smooth_iterated convention, so passing the
+    # first pass's smoothed means must reproduce iteration 2 of
+    # smooth_iterated.
+    _, smoothed_traj = smoothing.smooth(cfg, res.state, y,
+                                        x_ref=smoothed.means)
+    assert smoothed_traj.means.shape == (t.shape[0], 2)
+    assert bool(jnp.all(jnp.isfinite(smoothed_traj.means)))
+    _, smoothed_it2 = smoothing.smooth_iterated(cfg, res.state, y, n_iter=2)
+    np.testing.assert_allclose(np.asarray(smoothed_traj.means),
+                               np.asarray(smoothed_it2.means),
+                               rtol=1e-8, atol=1e-10)
+
+    # a single (xdim,) linearization point still works
+    _, smoothed_pt = smoothing.smooth(
+        cfg, res.state, y, x_ref=jnp.zeros((2,), jnp.float64)
+    )
+    np.testing.assert_allclose(np.asarray(smoothed_pt.means),
+                               np.asarray(smoothed.means), rtol=1e-12)
+
 
 def test_time_varying_affine_matches_sequential(key):
     """Per-step (A_t, b_t) dynamics: parallel == sequential recursions."""

@@ -7,37 +7,9 @@ import numpy as np
 import pytest
 
 from vjf_tpu.config import VJFConfig
+from vjf_tpu.datasets import lorenz, van_der_pol
 from vjf_tpu.models import vjf as core
-
-
-def van_der_pol(T=1200, dt=0.05, mu=1.0, x0=(1.0, 0.0), noise=0.02, seed=0):
-    rng = np.random.default_rng(seed)
-    x = np.zeros((T, 2))
-    x[0] = x0
-    for t in range(1, T):
-        p, v = x[t - 1]
-        dp = v
-        dv = mu * (1 - p * p) * v - p
-        x[t] = x[t - 1] + dt * np.array([dp, dv]) + noise * rng.normal(size=2)
-    return x
-
-
-def lorenz(T=1500, dt=0.01, seed=0, noise=0.0):
-    rng = np.random.default_rng(seed)
-    x = np.zeros((T, 3))
-    x[0] = (1.0, 1.0, 25.0)
-    for t in range(1, T):
-        a, b, c = x[t - 1]
-        d = np.array([10 * (b - a), a * (28 - c) - b, a * b - 8 / 3 * c])
-        x[t] = x[t - 1] + dt * d + noise * rng.normal(size=3)
-    return x
-
-
-def _r2(m, x_true):
-    X = np.concatenate([m, np.ones((m.shape[0], 1))], axis=1)
-    A, *_ = np.linalg.lstsq(X, x_true, rcond=None)
-    pred = X @ A
-    return 1 - np.sum((pred - x_true) ** 2) / np.sum((x_true - x_true.mean(0)) ** 2)
+from vjf_tpu.utils.evaluation import latent_r2 as _r2
 
 
 def test_van_der_pol_gaussian(key):

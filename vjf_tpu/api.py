@@ -18,6 +18,7 @@ from jax import Array
 
 from .config import StepFlags, VJFConfig
 from .models import vjf as core
+from .ops.pallas.fused_step import NS_TAU_MAX
 from .types import Gaussian
 
 logger = logging.getLogger("vjf_tpu.api")
@@ -264,7 +265,9 @@ class VJF:
                 and result.metrics.tau.shape[0] > cfg.ns_prefix
             ):
                 tau_seg = result.metrics.tau[cfg.ns_prefix:]
-                hot_frac = float(jnp.mean((tau_seg >= 0.7).astype(jnp.float32)))
+                hot_frac = float(
+                    jnp.mean((tau_seg >= NS_TAU_MAX).astype(jnp.float32))
+                )
                 if hot_frac > 0.01:
                     logger.warning(
                         "streaming filter: %.1f%% of this chunk's steps "
@@ -346,9 +349,11 @@ class VJF:
         core (``models/smoothing.py``). Gaussian likelihoods use the
         linearized dynamics directly; Poisson dispatches to the
         iterated-Laplace variant. Returns ``(filtered, smoothed)`` result
-        pytrees with per-step means/covariances. Pass ``x_ref`` (T, xdim)
-        to override the linearization trajectory (defaults to the filter's
-        posterior means).
+        pytrees with per-step means/covariances. ``x_ref`` sets the
+        dynamics linearization: a single ``(xdim,)`` point (default:
+        origin) or a ``(T, xdim)`` reference trajectory such as the
+        filter's posterior means (per-step affine dynamics, transition
+        into step t linearized at ``x_ref[t-1]``).
         """
         from .models import smoothing
 

@@ -134,11 +134,18 @@ def init_sgp_dynamics(
     )
 
 
-def _kernel(state: SGPDynamicsState, x1: Array, x2: Array) -> Array:
+def _se_kernel(x1: Array, x2: Array, log_scale: Array, log_lengthscale: Array) -> Array:
+    """Squared-exponential Gram matrix from explicit log-hypers (the single
+    shared implementation — used with the state's hypers by :func:`_kernel`
+    and with free ``theta`` by the hyperparameter-adaptation objective)."""
     a = jnp.sum(x1 * x1, axis=-1, keepdims=True)
     b = jnp.sum(x2 * x2, axis=-1)
     d2 = jnp.maximum(a + b - 2.0 * (x1 @ x2.T), 0.0)
-    return jnp.exp(2.0 * state.log_scale - 0.5 * d2 * jnp.exp(-2.0 * state.log_lengthscale))
+    return jnp.exp(2.0 * log_scale - 0.5 * d2 * jnp.exp(-2.0 * log_lengthscale))
+
+
+def _kernel(state: SGPDynamicsState, x1: Array, x2: Array) -> Array:
+    return _se_kernel(x1, x2, state.log_scale, state.log_lengthscale)
 
 
 def features(state: SGPDynamicsState, x: Array, u: Optional[Array] = None) -> Array:
@@ -290,13 +297,6 @@ def forecast(
 # ---------------------------------------------------------------------------
 # Kernel hyperparameter adaptation (epoch-granular)
 # ---------------------------------------------------------------------------
-
-
-def _se_kernel(x1: Array, x2: Array, log_scale: Array, log_lengthscale: Array) -> Array:
-    a = jnp.sum(x1 * x1, axis=-1, keepdims=True)
-    b = jnp.sum(x2 * x2, axis=-1)
-    d2 = jnp.maximum(a + b - 2.0 * (x1 @ x2.T), 0.0)
-    return jnp.exp(2.0 * log_scale - 0.5 * d2 * jnp.exp(-2.0 * log_lengthscale))
 
 
 def hyperparam_nll(

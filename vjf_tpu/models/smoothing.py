@@ -24,18 +24,51 @@ def linearize_dynamics(
     cfg: VJFConfig, state: TrainState, x_ref: Optional[Array] = None
 ) -> Tuple[Array, Array]:
     """First-order model ``x[t] ~= A x[t-1] + c`` of the learned transition
-    mean around ``x_ref`` (default: origin)."""
+    mean around ``x_ref``.
+
+    ``x_ref`` is a single ``(xdim,)`` point (default: origin) or a
+    ``(T, xdim)`` batch of points — the latter returns per-point
+    ``(T, xdim, xdim)`` / ``(T, xdim)`` affine models (no time shift is
+    applied here; see :func:`_linearize_for_sequence`).
+    """
     tr = _transition(cfg)
     if x_ref is None:
         x_ref = jnp.zeros((cfg.xdim,), cfg.jdtype)
+    x_ref = jnp.asarray(x_ref, cfg.jdtype)
 
     def mean_fn(x):
         g = tr.transition_gaussian(state.dynamics, x[None, :], None, cfg.leak)
         return g.mean[0]
 
+    if x_ref.ndim == 2:
+        a = jax.vmap(jax.jacfwd(mean_fn))(x_ref)
+        c = jax.vmap(mean_fn)(x_ref) - jnp.einsum("tij,tj->ti", a, x_ref)
+        return a, c
     a = jax.jacfwd(mean_fn)(x_ref)
     c = mean_fn(x_ref) - a @ x_ref
     return a, c
+
+
+def _linearize_for_sequence(
+    cfg: VJFConfig, state: TrainState, x_ref: Optional[Array], t_len: int
+) -> Tuple[Array, Array]:
+    """Per-sequence linearization: a ``(T, xdim)`` reference trajectory
+    (e.g. the filter's posterior means) linearizes the transition INTO step
+    ``t`` at ``x_ref[t-1]`` (prior mean for t=0 — the same convention as
+    :func:`smooth_iterated`); a single point or ``None`` falls back to the
+    global affine model."""
+    if x_ref is None:
+        return linearize_dynamics(cfg, state, None)
+    x_ref = jnp.asarray(x_ref, cfg.jdtype)
+    if x_ref.ndim == 1:
+        return linearize_dynamics(cfg, state, x_ref)
+    if x_ref.shape != (t_len, cfg.xdim):
+        raise ValueError(
+            f"x_ref must be (xdim,) or (T, xdim)=({t_len}, {cfg.xdim}); "
+            f"got {x_ref.shape}"
+        )
+    pts = jnp.concatenate([state.params.prior.mean[None], x_ref[:-1]], axis=0)
+    return linearize_dynamics(cfg, state, pts)
 
 
 def smooth(
@@ -47,9 +80,11 @@ def smooth(
     """Parallel RTS smoothing of one observation sequence (T, ydim).
 
     Gaussian likelihood (Poisson dispatches to :func:`smooth_poisson`, the
-    iterated-Laplace variant). Controls are folded into the linearization
-    point's velocity; for strongly input-driven systems linearize per-regime
-    and stitch.
+    iterated-Laplace variant). ``x_ref`` sets the linearization: a single
+    ``(xdim,)`` point (default origin) or a ``(T, xdim)`` reference
+    trajectory — e.g. the filter's posterior means — for per-step affine
+    dynamics. Controls are folded into the linearization point's velocity;
+    for strongly input-driven systems linearize per-regime and stitch.
     """
     if cfg.likelihood == "poisson":
         return smooth_poisson(cfg, state, ys, x_ref=x_ref)
@@ -59,7 +94,7 @@ def smooth(
     if ys.ndim != 2:
         raise ValueError("smooth() takes one (T, ydim) sequence")
 
-    a, c = linearize_dynamics(cfg, state, x_ref)
+    a, c = _linearize_for_sequence(cfg, state, x_ref, ys.shape[0])
     return _smooth_affine(cfg, state, ys, a, c)
 
 
@@ -120,7 +155,7 @@ def smooth_poisson(
         g = tr.transition_gaussian(state.dynamics, x[None, :], None, cfg.leak)
         return g.mean[0]
 
-    a0, c0 = linearize_dynamics(cfg, state, x_ref)
+    a0, c0 = _linearize_for_sequence(cfg, state, x_ref, t_len)
     # working-response init: eta ~= log(y + 0.5) keeps lambda_hat sane for
     # zero counts before the first smoothing pass
     eta_hat = jnp.log(ys + 0.5)

@@ -502,13 +502,21 @@ def fit(
     t_len, n_batch, _ = y.shape
     us = _promote_u(u, t_len, n_batch, cfg.jdtype)
 
-    # Donation is skipped while hot-tau demotion is possible (mega layout):
-    # the demote-retry path re-runs an epoch from its pre-epoch state, and
+    # Donation is skipped while hot-tau demotion is possible (mega layout
+    # AND the fused path actually eligible for this cfg/state/batch): the
+    # demote-retry path re-runs an epoch from its pre-epoch state, and
     # with donation that state's buffers would already be invalidated — a
     # per-epoch defensive tree-copy costs ~0.5 s of dispatch latency
     # through the remote-chip tunnel, vs ~1 MB of extra memory for simply
-    # keeping the input buffers alive.
-    donate = donate and cfg.fused_epoch != "mega"
+    # keeping the input buffers alive. Runs that can never take the mega
+    # path (f64 parity, fused_step='off', small-batch SGP routing, CPU)
+    # keep donating.
+    from ..ops.pallas import fused_step as _fused
+
+    mega_possible = cfg.fused_epoch == "mega" and _fused.fused_enabled(
+        cfg, state, n_batch=n_batch
+    )
+    donate = donate and not mega_possible
     epoch_fn = jax.jit(
         run_epoch,
         static_argnames=("cfg", "flags"),
@@ -535,7 +543,7 @@ def fit(
     # sticks for the rest of fit. The pre-epoch state stays valid because
     # donation is disabled under the mega layout (above).
     cfg_run = cfg
-    mega_guard = cfg.fused_epoch == "mega"
+    mega_guard = mega_possible
 
     for epoch in range(max_iter):
         key, k_epoch = jax.random.split(key)
@@ -558,7 +566,11 @@ def fit(
             vals = np.asarray(jnp.stack([
                 jnp.mean(result.metrics.loss),
                 jnp.max(tau_seg),
-                jnp.mean((tau_seg >= 0.7).astype(result.metrics.loss.dtype)),
+                jnp.mean(
+                    (tau_seg >= _fused.NS_TAU_MAX).astype(
+                        result.metrics.loss.dtype
+                    )
+                ),
             ]))
             epoch_loss, max_tau, hot_frac = map(float, vals)
             # A RARE ceiling hit is harmless since the in-kernel skip keeps
@@ -582,7 +594,7 @@ def fit(
                     jnp.asarray(lr, cfg.jdtype), noise=noise,
                 )
                 epoch_loss = float(jnp.mean(result.metrics.loss))
-            elif max_tau >= 0.7:
+            elif max_tau >= _fused.NS_TAU_MAX:
                 logger.info(
                     "Rare Newton-Schulz ceiling hits (%.2f%% of steps, "
                     "max tau=%.3f, epoch %d): samples dropped consistently "

@@ -435,6 +435,10 @@ def step_apply(
     mm = _mm_fn(cfg, f32)
     ydim = carry.w_dec.shape[0]
     xd = carry.w_dyn.shape[-1]
+    # single full-precision binding for every feedback-critical matmul in
+    # this function (one unpinned site among pinned ones is the CLAUDE.md
+    # #10 failure class)
+    hi = jax.lax.Precision.HIGHEST
 
     # ---------------- ELBO components with their constants -----------------
     if cfg.likelihood == "poisson":
@@ -528,9 +532,14 @@ def step_apply(
             inv_sv_u = jnp.exp(-slogvar)
             ftf = sums.ftf_raw * inv_sv_u
             # P w stays f32: bf16 error here would compound through the
-            # g -> w -> g recursion across the whole stream.
+            # g -> w -> g recursion across the whole stream. precision=
+            # HIGHEST is what pins it on the XLA path (sharded.py calls
+            # this function OUTSIDE Mosaic, where preferred_element_type
+            # alone does NOT prevent bf16 multiply passes — CLAUDE.md #8);
+            # inside Mosaic it is a no-op (already full f32).
             g_vec = (
-                jnp.dot(carry.p_mat, carry.w_dyn, preferred_element_type=f32)
+                jnp.dot(carry.p_mat, carry.w_dyn,
+                        preferred_element_type=f32, precision=hi)
                 + sums.fxd_raw * inv_sv_u
             )
             p_new = carry.p_mat + ftf
@@ -544,13 +553,15 @@ def step_apply(
             for _ in range(ns_iters):
                 x_ns = jnp.dot(
                     x_ns,
-                    eye2 - jnp.dot(p_new, x_ns, preferred_element_type=f32),
-                    preferred_element_type=f32,
+                    eye2 - jnp.dot(p_new, x_ns,
+                                   preferred_element_type=f32, precision=hi),
+                    preferred_element_type=f32, precision=hi,
                 )
             if ns_extra is not None:
                 x_ns = ns_extra(x_ns, p_new, eye2, tau)
             v_new = 0.5 * (x_ns + x_ns.T)
-            w_dyn_new = jnp.dot(v_new, g_vec, preferred_element_type=f32)
+            w_dyn_new = jnp.dot(v_new, g_vec,
+                                preferred_element_type=f32, precision=hi)
             # Two distinct failure modes, two distinct actions:
             #  * non-finite INPUTS (dx): skip the whole update (tau -> 0 so
             #    the fallback doesn't fire on garbage) — the reference
@@ -593,10 +604,9 @@ def step_apply(
             resid = dx - mm(feat, w_dyn_new)                   # vjf/model.py:372
             mse_dyn = jnp.mean(resid * resid)
         else:
-            hp = jax.lax.Precision.HIGHEST
             quad = jnp.sum(
                 w_dyn_new
-                * jnp.matmul(sums.ftf_raw, w_dyn_new, precision=hp)
+                * jnp.matmul(sums.ftf_raw, w_dyn_new, precision=hi)
             )
             mse_dyn = (
                 sums.dx2_sum - 2.0 * jnp.sum(w_dyn_new * sums.fxd_raw) + quad
