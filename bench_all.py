@@ -26,7 +26,10 @@ def _fit_throughput(cfg, y, key, max_iter, core, jnp, x_true=None, horizon=20):
 
     state = core.init_state(key, cfg)
     t0 = time.perf_counter()
-    res = core.fit(cfg, state, y, key=key, max_iter=max_iter)
+    # production mode: 5 epochs per device dispatch (run_epochs block) —
+    # small-batch fits are dispatch-latency-bound through the tunnel
+    res = core.fit(cfg, state, y, key=key, max_iter=max_iter,
+                   epochs_per_dispatch=5)
     wall = time.perf_counter() - t0
     steps = y.shape[0] * max_iter  # upper bound; fit may converge earlier
     out = {
@@ -58,9 +61,18 @@ def bench_vdp():
     rng = np.random.default_rng(1)
     C = rng.normal(size=(2, 20))
     y = x @ C + rng.normal(size=(20,)) + 0.1 * rng.normal(size=(1200, 20))
+    # rtol matches tests/test_systems.py: at the 1e-4 default the warm-up
+    # plateau never fires within 60 epochs on this system, so the RLS
+    # dynamics would never train and the forecast numbers would be the
+    # untrained-transition baseline.
+    # rls_shrink + jitter: the f32 conditioning guard — without it cond(P)
+    # grows unboundedly over 72k RLS steps, the inverse turns to noise and
+    # the learned velocity field explodes off-manifold (forecast RMSE inf;
+    # true f64 tolerates it, f32 does not). lam=0.999 bounds the memory at
+    # ~1000 samples and the steady jitter ridge anchors the prior.
     cfg = VJFConfig(ydim=20, xdim=2, udim=0, n_rbf=100, hidden_sizes=(20,),
                     likelihood="gaussian", dtype="float32", rls_backend="nsv",
-                    lr=3e-3)
+                    lr=3e-3, rtol=2e-3, rls_shrink=0.999, chol_jitter=1e-3)
     key = jax.random.PRNGKey(0)
     return {"config": "van_der_pol_gaussian",
             **_fit_throughput(cfg, y.astype(np.float32), key, 60, core, jnp,
@@ -84,7 +96,8 @@ def bench_lorenz():
     y = rng.poisson(rate).astype(np.float32)
     cfg = VJFConfig(ydim=50, xdim=3, udim=0, n_rbf=100, hidden_sizes=(32,),
                     likelihood="poisson", dtype="float32", rls_backend="nsv",
-                    lr=2e-3)
+                    lr=2e-3, rtol=2e-3,  # rtol + forgetting: see bench_vdp
+                    rls_shrink=0.999, chol_jitter=1e-3)
     key = jax.random.PRNGKey(0)
     return {"config": "lorenz_poisson",
             **_fit_throughput(cfg, y, key, 60, core, jnp, x_true=x)}
@@ -102,16 +115,23 @@ def bench_sgp_ring():
 
     T = 1000
     x = ring_attractor(T=T)
-    y, _, _ = linear_gaussian_observations(x, 20, obs_noise=0.1, seed=7)
-    y = y.astype(np.float32)
     cfg = VJFConfig(ydim=20, xdim=2, udim=0, dynamics="sgp", n_inducing=50,
                     sgp_scale=1.0, sgp_lengthscale=1.0, likelihood="gaussian",
                     dtype="float32", lr=1e-3, rtol=2e-3)  # hyper adaptation is an
                     # f64-validated opt-in; at f32 the kernel-cholesky grads
                     # are too hot (guarded against NaN, but can destabilize)
     key = jax.random.PRNGKey(0)
-    return {"config": "sgp_ring_attractor",
-            **_fit_throughput(cfg, y, key, 60, core, jnp, x_true=x)}
+    # forecast skill varies strongly with the observation draw (measured:
+    # seed 1 fits to loss -30 / forecast 0.17 << persistence, seed 7 only
+    # to loss -1.3 / forecast ~ persistence), so the benchmark reports two
+    # draws instead of one cherry-picked instance.
+    out = {"config": "sgp_ring_attractor"}
+    for seed in (1, 7):
+        y, _, _ = linear_gaussian_observations(x, 20, obs_noise=0.1, seed=seed)
+        out[f"obs_seed_{seed}"] = _fit_throughput(
+            cfg, y.astype(np.float32), key, 60, core, jnp, x_true=x
+        )
+    return out
 
 
 def bench_streaming():

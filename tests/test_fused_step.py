@@ -95,6 +95,51 @@ def test_fused_epoch_matches_xla_epoch(key):
     assert int(got.state.dynamics.n_sample) == int(ref.state.dynamics.n_sample)
 
 
+def test_fused_epoch_matches_xla_with_forgetting(key):
+    """RLS forgetting factor (cfg.rls_shrink, the reference's `shrink` at
+    vjf/module.py:80-96) + per-step jitter ridge on the FUSED path: the
+    kernels must implement the same lam/jitter recursion as regression.rls
+    (the fused path used to silently ignore both). Exercises both the
+    per-step layout and the mega layout's cond-free segment."""
+    cfg = VJFConfig(ydim=14, xdim=2, udim=0, n_rbf=16, hidden_sizes=(10,),
+                    likelihood="gaussian", dtype="float32", rls_backend="nsv",
+                    fused_step="off", matmul_dtype="float32", ns_prefix=20,
+                    rls_shrink=0.99, chol_jitter=1e-3)
+    state = core.init_state(key, cfg)
+    T, B = 60, 8
+    ys = jax.random.normal(key, (T, B, cfg.ydim), jnp.float32)
+    us = jnp.zeros((T, B, 0), jnp.float32)
+    eps = jax.random.normal(key, (2, T, B, cfg.xdim), jnp.float32)
+    lr = jnp.asarray(1e-3, jnp.float32)
+    flags = StepFlags()
+
+    ref = core.run_epoch(cfg, flags, state, ys, us, key, lr, noise=(eps[0], eps[1]))
+    for layout in ("stepwise", "mega"):
+        got = F.run_epoch_fused(cfg.replace(fused_epoch=layout), flags, state,
+                                ys, us, key, lr, noise=(eps[0], eps[1]),
+                                interpret=True)
+        np.testing.assert_allclose(np.asarray(got.metrics.loss),
+                                   np.asarray(ref.metrics.loss),
+                                   rtol=5e-4, atol=5e-4, err_msg=layout)
+        # steady-state tau sits at ~0.2-0.29 by construction (with
+        # forgetting tau does NOT decay: memory ~ 1/(1-lam)), so steps just
+        # above NS_TAU_THRESHOLD take the exact-Cholesky cond on the
+        # stepwise/XLA paths but the escalated-NS branch on mega — the
+        # small bounded difference between those algorithms sets the atol
+        # (measured |P V - I| stays ~5e-4 on both layouts).
+        np.testing.assert_allclose(np.asarray(got.state.dynamics.blr.w_mean),
+                                   np.asarray(ref.state.dynamics.blr.w_mean),
+                                   rtol=2e-3, atol=2e-3, err_msg=layout)
+        np.testing.assert_allclose(np.asarray(got.state.dynamics.blr.precision),
+                                   np.asarray(ref.state.dynamics.blr.precision),
+                                   rtol=2e-3, atol=2e-3, err_msg=layout)
+        # the padded identity block must survive the forgetting recursion
+        # bit-clean (pure shrink would decay it; its V inverse would blow up)
+        np.testing.assert_allclose(np.asarray(got.state.dynamics.blr.cov),
+                                   np.asarray(ref.state.dynamics.blr.cov),
+                                   rtol=5e-3, atol=5e-3, err_msg=layout)
+
+
 def test_mega_epoch_matches_stepwise_and_xla(key):
     """The grid-over-time mega kernel (prefix + cond-free steady state) must
     reproduce the per-step cond path and the XLA epoch. The regime is sized

@@ -146,6 +146,70 @@ def test_fit_poisson_smoke(key):
     assert np.isfinite(result.loss)
 
 
+def test_fit_blocked_matches_quality(key):
+    """Block-dispatch production fit (epochs_per_dispatch=K via run_epochs):
+    K epochs per device round-trip with block-granular phase transitions
+    must recover the limit cycle as well as the per-epoch loop (the control
+    flow deviates — plateau applied at block boundaries — so the gate is
+    quality equivalence, not bit parity)."""
+    kd, km = jax.random.split(key)
+    x_true, y = limit_cycle_data(kd, T=600)
+    cfg = VJFConfig(ydim=20, xdim=2, udim=0, n_rbf=40, hidden_sizes=(16,),
+                    likelihood="gaussian", dtype="float64", lr=3e-3)
+    state = core.init_state(km, cfg)
+
+    seen = []
+    blocked = core.fit(
+        cfg, state, y, key=km, max_iter=42, epochs_per_dispatch=6,
+        callback=lambda e, loss, res: seen.append((e, loss)),
+    )
+    assert not blocked.warm_up, "warm-up never ended in blocked mode"
+    assert np.isfinite(blocked.loss)
+    # the callback saw every epoch exactly once, in order, with finite losses
+    assert [e for e, _ in seen] == list(range(len(seen)))
+    assert all(np.isfinite(l) for _, l in seen)
+
+    m = np.asarray(blocked.mu[:, 0, :])
+    xt = np.asarray(x_true)
+    X = np.concatenate([m, np.ones((m.shape[0], 1))], axis=1)
+    A, *_ = np.linalg.lstsq(X, xt, rcond=None)
+    r2 = 1 - np.sum((X @ A - xt) ** 2) / np.sum((xt - xt.mean(0)) ** 2)
+    assert r2 > 0.85, f"blocked-fit latent recovery R^2 too low: {r2}"
+
+    # parity mode rejects block dispatch
+    with pytest.raises(ValueError):
+        core.fit(cfg, state, y, key=km, max_iter=4, epochs_per_dispatch=2,
+                 noise_hook=lambda e: None)
+
+
+def test_fit_blocked_demotes_on_hot_tau(key, caplog):
+    """The block path must carry fit()'s hot-tau demotion: B=1 SGP keeps
+    the NSV trace bound above the mega kernel's skip ceiling, so the block
+    driver must detect the per-epoch hot fraction, demote to the XLA epoch,
+    and re-run the block from its pre-block state."""
+    import logging
+
+    from vjf_tpu.datasets import linear_gaussian_observations, ring_attractor
+
+    x = ring_attractor(T=80)
+    y, _, _ = linear_gaussian_observations(x, 10, obs_noise=0.1,
+                                           intercept=False, seed=7)
+    y = y.astype(np.float32)
+
+    cfg = VJFConfig(ydim=10, xdim=2, udim=0, dynamics="sgp", n_inducing=16,
+                    sgp_scale=1.0, sgp_lengthscale=1.0, likelihood="gaussian",
+                    dtype="float32", rls_backend="nsv", fused_step="on",
+                    matmul_dtype="float32", ns_prefix=8, lr=1e-3, rtol=0.5)
+    state = core.init_state(key, cfg)
+    with caplog.at_level(logging.WARNING, logger="vjf_tpu"):
+        result = core.fit(cfg, state, y, key=key, max_iter=8,
+                          epochs_per_dispatch=4)
+    assert not result.warm_up, "warm-up never ended; the mega path never ran"
+    assert np.isfinite(result.loss)
+    assert np.all(np.isfinite(np.asarray(result.state.dynamics.blr.precision)))
+    assert any("demoting" in r.message for r in caplog.records)
+
+
 def test_oo_api_mirrors_reference(key):
     """The reference's test_VJF flow: make_model → fit → forecast
     (test_model.py:32-44), including control inputs."""

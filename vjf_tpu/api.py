@@ -297,8 +297,13 @@ class VJF:
         rtol: float = 1e-4,
         verbose: bool = False,
         callback=None,
+        epochs_per_dispatch: int = 1,
     ) -> Tuple[Array, Array, float]:
         """Epoch training with warm-up — ``VJF.fit`` (``vjf/model.py:223-307``).
+
+        ``epochs_per_dispatch > 1`` enables the block-dispatch production
+        mode: K epochs per device round-trip (dispatch-latency-amortized;
+        phase transitions at block granularity — see ``models/vjf.py``).
 
         :return: (posterior means (T, B, xdim), log-variances, final loss)
         """
@@ -317,6 +322,7 @@ class VJF:
             beta=beta,
             rtol=rtol,
             callback=callback,
+            epochs_per_dispatch=epochs_per_dispatch,
         )
         self.state = result.state
         if not result.warm_up:

@@ -27,6 +27,7 @@ from jax import Array
 
 from ..config import StepFlags, VJFConfig
 from ..ops.functional import finite_or_zero, gaussian_entropy, reparametrize
+from ..ops.pallas import fused_step as _fused
 from ..types import Gaussian
 from . import dynamics as dyn
 from .decoder import decode, init_decoder
@@ -324,8 +325,6 @@ def run_epoch(
     :param q0: posterior carried in from a previous chunk (streaming);
         defaults to the prior (``vjf/model.py:252``: ``q = None``)
     """
-    from ..ops.pallas import fused_step as _fused
-
     if _fused.fused_enabled(cfg, state, n_batch=ys.shape[1]):
         return _fused.run_epoch_fused(
             cfg, flags, state, ys, us, key, lr, noise=noise, q0=q0
@@ -361,6 +360,9 @@ class EpochsResult(NamedTuple):
     epoch_loss: Array     # (n_epochs,) mean loss per epoch
     epoch_metrics: Metrics  # each (n_epochs,) epoch means
     max_tau: Array        # (n_epochs,) fused path only; zeros otherwise
+    hot_frac: Array       # (n_epochs,) fraction of post-prefix steps at or
+    #                       above the Newton-Schulz skip ceiling (the mega
+    #                       layout's demotion signal); zeros on other paths
 
 
 def run_epochs(
@@ -401,14 +403,17 @@ def run_epochs(
         # fallback repairs it there. Only the cond-free segment's tau is a
         # health signal.
         if res.metrics.tau is not None and t_len > cfg.ns_prefix:
-            max_tau = jnp.max(res.metrics.tau[cfg.ns_prefix:])
+            tau_seg = res.metrics.tau[cfg.ns_prefix:]
+            max_tau = jnp.max(tau_seg)
+            hot = jnp.mean((tau_seg >= _fused.NS_TAU_MAX).astype(ys.dtype))
         else:
             max_tau = jnp.zeros((), ys.dtype)
-        return (res.state, res.q_means, res.q_logvars), (mean_m, max_tau)
+            hot = jnp.zeros((), ys.dtype)
+        return (res.state, res.q_means, res.q_logvars), (mean_m, max_tau, hot)
 
     q_shape = (t_len, n_batch, cfg.xdim)
     init = (state, jnp.zeros(q_shape, ys.dtype), jnp.zeros(q_shape, ys.dtype))
-    (state, q_means, q_logvars), (mean_metrics, max_tau) = jax.lax.scan(
+    (state, q_means, q_logvars), (mean_metrics, max_tau, hot_frac) = jax.lax.scan(
         body, init, (keys, lrs)
     )
     return EpochsResult(
@@ -418,6 +423,7 @@ def run_epochs(
         epoch_loss=mean_metrics.loss,
         epoch_metrics=mean_metrics,
         max_tau=max_tau,
+        hot_frac=hot_frac,
     )
 
 
@@ -483,6 +489,7 @@ def fit(
     callback=None,
     donate: bool = True,
     noise_hook=None,
+    epochs_per_dispatch: int = 1,
 ) -> FitResult:
     """Epoch training loop with warm-up — ``VJF.fit`` (``vjf/model.py:223-307``).
 
@@ -494,9 +501,27 @@ def fit(
 
     ``noise_hook(epoch) -> (eps_s, eps_t)`` optionally injects the per-step
     sampling noise of each epoch (golden-parity harness).
+
+    ``epochs_per_dispatch > 1`` switches to the block-dispatch production
+    mode (:func:`_fit_blocked`): K epochs per device dispatch through
+    :func:`run_epochs`, the plateau state machine replayed on the host per
+    block. Amortizes dispatch latency (the dominant cost of small-batch
+    fits over a high-latency link) at the documented cost of block-granular
+    phase transitions — NOT for parity runs (K=1 reproduces the reference's
+    per-epoch control flow exactly).
     """
     beta = cfg.beta if beta is None else beta
     rtol = cfg.rtol if rtol is None else rtol
+    if epochs_per_dispatch > 1:
+        if noise_hook is not None:
+            raise ValueError(
+                "epochs_per_dispatch > 1 is a production mode; the "
+                "golden-parity noise_hook requires epochs_per_dispatch=1"
+            )
+        return _fit_blocked(
+            cfg, state, y, u, key=key, max_iter=max_iter, beta=beta,
+            rtol=rtol, callback=callback, k_block=int(epochs_per_dispatch),
+        )
 
     y = _promote_y(jnp.asarray(y, dtype=cfg.jdtype))
     t_len, n_batch, _ = y.shape
@@ -511,8 +536,6 @@ def fit(
     # keeping the input buffers alive. Runs that can never take the mega
     # path (f64 parity, fused_step='off', small-batch SGP routing, CPU)
     # keep donating.
-    from ..ops.pallas import fused_step as _fused
-
     mega_possible = cfg.fused_epoch == "mega" and _fused.fused_enabled(
         cfg, state, n_batch=n_batch
     )
@@ -652,6 +675,151 @@ def fit(
     assert result is not None
     return FitResult(
         mu=result.q_means, logvar=result.q_logvars, loss=epoch_loss, state=state,
+        warm_up=warm_up,
+    )
+
+
+def _fit_blocked(
+    cfg: VJFConfig,
+    state: TrainState,
+    y: Array,
+    u: Optional[Array] = None,
+    *,
+    key: jax.Array,
+    max_iter: int,
+    beta: float,
+    rtol: float,
+    callback=None,
+    k_block: int,
+) -> FitResult:
+    """Block-dispatch fit: K epochs per device round-trip via
+    :func:`run_epochs`, with ``fit``'s plateau state machine replayed on the
+    host over the block's per-epoch mean losses.
+
+    Deviations from the per-epoch loop (all block-granular, documented in
+    docs/ARCHITECTURE.md):
+    - phase transitions (warm-up end + dynamics bootstrap, convergence,
+      hot-tau demotion, SGP hyperparameter steps) apply at block
+      boundaries — epochs after an in-block plateau simply extend the
+      current phase, which trains strictly more, never less;
+    - the demotion re-run restarts the whole block from its pre-block
+      state (same soundness argument as fit's per-epoch re-run);
+    - ``callback`` receives the block's :class:`EpochsResult` for every
+      epoch in the block (per-epoch losses are exact; per-step metric
+      sequences are the block's last epoch).
+    """
+    y = _promote_y(jnp.asarray(y, dtype=cfg.jdtype))
+    t_len, n_batch, _ = y.shape
+    us = _promote_u(u, t_len, n_batch, cfg.jdtype)
+
+    mega_possible = cfg.fused_epoch == "mega" and _fused.fused_enabled(
+        cfg, state, n_batch=n_batch
+    )
+    epochs_fn = jax.jit(run_epochs, static_argnames=("cfg", "flags"))
+    init_fn = jax.jit(
+        _transition(cfg).dynamics_initialize, static_argnames=("cfg",)
+    )
+
+    warm_up = True
+    lr = cfg.lr
+    running_loss = float("nan")
+    epoch_loss = float("nan")
+    res: Optional[EpochsResult] = None
+    cfg_run = cfg
+    mega_guard = mega_possible
+    epoch = 0
+
+    while epoch < max_iter:
+        k = min(k_block, max_iter - epoch)
+        key, k_sub = jax.random.split(key)
+        ekeys = jax.random.split(k_sub, k)
+        lrs = jnp.asarray(
+            lr * cfg.lr_decay ** np.arange(k), cfg.jdtype
+        )
+        flags = StepFlags(
+            sgd=True, update=True, warm_up=warm_up, train_decoder=warm_up
+        )
+        backup = state if (mega_guard and not warm_up) else None
+        res = epochs_fn(cfg_run, flags, state, y, us, ekeys, lrs)
+        # ONE host transfer per block for the control signals
+        vals = np.asarray(
+            jnp.concatenate([res.epoch_loss, res.max_tau, res.hot_frac])
+        )
+        losses, max_taus, hot_fracs = vals[:k], vals[k:2 * k], vals[2 * k:]
+
+        if mega_guard and not warm_up and float(hot_fracs.max()) > 0.01:
+            j = int(hot_fracs.argmax())
+            logger.warning(
+                "Newton-Schulz residual bound exceeded the in-kernel "
+                "escalation ceiling on %.1f%% of post-prefix steps (max "
+                "tau=%.3f, epoch %d): demoting to the XLA epoch and "
+                "re-running the block from its pre-block state.",
+                100 * float(hot_fracs[j]), float(max_taus[j]), epoch + j,
+            )
+            cfg_run = cfg_run.replace(fused_step="off")
+            mega_guard = False
+            res = epochs_fn(cfg_run, flags, backup, y, us, ekeys, lrs)
+            losses = np.asarray(res.epoch_loss)
+        state = res.state
+
+        warmup_plateau = False
+        converged = False
+        for j in range(k):
+            epoch_loss = float(losses[j])
+            if callback is not None:
+                callback(epoch + j, epoch_loss, res)
+            if _isclose(epoch_loss, running_loss, rtol):
+                if warm_up:
+                    if not warmup_plateau:
+                        warmup_plateau = True
+                        logger.info(
+                            "Warm up stopped at epoch %d (applied at the "
+                            "block boundary).", epoch + j,
+                        )
+                elif not converged:
+                    converged = True
+                    logger.info("Converged at epoch %d.", epoch + j)
+            running_loss = (
+                beta * running_loss + (1 - beta) * epoch_loss
+                if epoch + j > 0 else epoch_loss
+            )
+        epoch += k
+        lr *= cfg.lr_decay ** k
+
+        if warm_up and warmup_plateau:
+            # phase transition at the block boundary: freeze the decoder and
+            # bootstrap the dynamics from the block's final posterior means
+            warm_up = False
+            running_loss = epoch_loss
+            m = res.q_means
+            xt = m[1:].reshape(-1, cfg.xdim)
+            xs = m[:-1].reshape(-1, cfg.xdim)
+            u_init = us[1:].reshape(-1, cfg.udim) if cfg.udim > 0 else None
+            key, k_init = jax.random.split(key)
+            state = state._replace(
+                dynamics=init_fn(cfg, k_init, state.dynamics, xt, xs, u_init)
+            )
+        elif not warm_up:
+            if converged:
+                break
+            if cfg.dynamics == "sgp" and cfg.sgp_adapt_lr > 0:
+                from ..gp.sgp import adapt_hyperparams
+
+                m = res.q_means
+                state = state._replace(
+                    dynamics=jax.jit(
+                        adapt_hyperparams, static_argnames=("cfg",)
+                    )(
+                        cfg, state.dynamics,
+                        m[1:].reshape(-1, cfg.xdim),
+                        m[:-1].reshape(-1, cfg.xdim),
+                        us[1:].reshape(-1, cfg.udim) if cfg.udim > 0 else None,
+                    )
+                )
+
+    assert res is not None
+    return FitResult(
+        mu=res.q_means, logvar=res.q_logvars, loss=epoch_loss, state=state,
         warm_up=warm_up,
     )
 

@@ -529,6 +529,11 @@ def step_apply(
         dyn_ok = jnp.isfinite(sums.dx_sum)
         w_dyn_new = carry.w_dyn
         if not flags.warm_up:
+            # forgetting factor + per-step jitter (vjf/module.py:80-96
+            # `shrink`; regression.rls mirrors both) — statics from cfg, so
+            # the default lam=1/jit=0 compiles to the plain recursion.
+            lam = float(cfg.rls_shrink)
+            jit_c = float(cfg.chol_jitter)
             inv_sv_u = jnp.exp(-slogvar)
             ftf = sums.ftf_raw * inv_sv_u
             # P w stays f32: bf16 error here would compound through the
@@ -538,17 +543,33 @@ def step_apply(
             # alone does NOT prevent bf16 multiply passes — CLAUDE.md #8);
             # inside Mosaic it is a no-op (already full f32).
             g_vec = (
-                jnp.dot(carry.p_mat, carry.w_dyn,
-                        preferred_element_type=f32, precision=hi)
+                lam
+                * jnp.dot(carry.p_mat, carry.w_dyn,
+                          preferred_element_type=f32, precision=hi)
                 + sums.fxd_raw * inv_sv_u
             )
-            p_new = carry.p_mat + ftf
-            tau = sums.fvf_sum * inv_sv_u
+            p_new = lam * carry.p_mat + ftf
+            if lam != 1.0 or jit_c != 0.0:
+                # the identity pad block must stay EXACTLY identity (pure
+                # shrink would decay it to 0 and 1/lam^t inflate its V);
+                # the real block gets the per-step jitter ridge, matching
+                # regression.rls's `jitter * eye(nf)`.
+                nfp = carry.p_mat.shape[0]
+                nf = cfg.feature_dim
+                diag = jnp.eye(nfp, dtype=f32)
+                rows = jax.lax.broadcasted_iota(jnp.int32, (nfp, nfp), 0)
+                pad_diag = diag * (rows >= nf).astype(f32)
+                p_new = (
+                    p_new
+                    + (1.0 - lam) * pad_diag
+                    + jit_c * (diag - pad_diag)
+                )
+            tau = sums.fvf_sum * inv_sv_u / lam
             # Newton-Schulz in full f32: the residual floor scales with
             # eps * cond(P), and P's condition grows with the data stream —
             # bf16 iterations stall at ~0.01*cond and poison the w feedback
             # loop (measured: training quality loss within 2k steps).
-            x_ns = carry.v_mat
+            x_ns = carry.v_mat / lam if lam != 1.0 else carry.v_mat
             eye2 = 2.0 * jnp.eye(p_new.shape[0], dtype=f32)
             for _ in range(ns_iters):
                 x_ns = jnp.dot(
