@@ -67,3 +67,51 @@ def test_lorenz_poisson(key):
     m_rmse, p_rmse = forecast_rmse(cfg, res.state, res.mu[:, 0, :], y, key,
                                    horizon=20)
     assert m_rmse < p_rmse, (m_rmse, p_rmse)
+
+
+def test_forgetting_adapts_to_regime_switch(key):
+    """RLS forgetting (cfg.rls_shrink + chol_jitter) is the production
+    answer for nonstationary streams AND long f32 fits: on a ring attractor
+    whose rotation reverses mid-stream, the forgetting filter's dynamics
+    re-adapt (finite, small one-step prediction error after the switch)
+    while the pure-accumulation f32 recursion goes unstable (measured inf).
+    Also the regression gate for the fused-path rls_shrink support."""
+    rng = np.random.default_rng(3)
+    T, dt = 1200, 0.1
+    x = np.zeros((T, 2))
+    x[0] = [1.0, 0.3]
+    for t in range(T - 1):
+        om = 0.6 if t < T // 2 else -0.6
+        r = np.linalg.norm(x[t])
+        radial = (1.0 - r) * x[t] / max(r, 1e-6)
+        ang = om * np.array([-x[t, 1], x[t, 0]])
+        x[t + 1] = x[t] + dt * (radial + ang) + 0.02 * rng.normal(size=2)
+    C = rng.normal(size=(2, 16))
+    d = rng.normal(size=16)
+    y = (x @ C + d + 0.1 * rng.normal(size=(T, 16))).astype(np.float32)[:, None, :]
+
+    def post_switch_mse(lam, jit):
+        cfg = VJFConfig(ydim=16, xdim=2, udim=0, n_rbf=40, hidden_sizes=(16,),
+                        likelihood="gaussian", dtype="float32",
+                        rls_backend="nsv", lr=3e-3, rtol=2e-3,
+                        rls_shrink=lam, chol_jitter=jit)
+        state = core.init_state(key, cfg)
+        res = core.fit(cfg, state, y[:T // 2], key=key, max_iter=30)
+        assert not res.warm_up
+        us = jnp.zeros((T, 1, 0), jnp.float32)
+        from vjf_tpu.config import StepFlags
+
+        out = core.run_epoch(cfg, StepFlags(), res.state, jnp.asarray(y), us,
+                             key, jnp.float32(cfg.lr))
+        m = np.asarray(out.q_means[:, 0, :])
+        pred = np.asarray(core._transition(cfg).transition_gaussian(
+            out.state.dynamics, jnp.asarray(m[3 * T // 4:-1]), None,
+            cfg.leak).mean)
+        return float(np.mean(np.sum((pred - m[3 * T // 4 + 1:]) ** 2, -1)))
+
+    err_forget = post_switch_mse(0.995, 5e-3)
+    err_frozen = post_switch_mse(1.0, 0.0)
+    assert err_forget < 0.5, err_forget
+    assert not np.isfinite(err_frozen) or err_frozen > 2 * err_forget, (
+        err_frozen, err_forget,
+    )

@@ -161,13 +161,21 @@ def test_fit_blocked_matches_quality(key):
     seen = []
     blocked = core.fit(
         cfg, state, y, key=km, max_iter=42, epochs_per_dispatch=6,
-        callback=lambda e, loss, res: seen.append((e, loss)),
+        # result must honor fit()'s callback contract (result.metrics with
+        # indexable leaves — progress_callback does metrics.recon[-1];
+        # r2 review finding: the raw EpochsResult crashed it)
+        callback=lambda e, loss, res: seen.append(
+            (e, loss, float(np.asarray(res.metrics.loss[-1])),
+             float(np.asarray(res.metrics.recon[-1])))
+        ),
     )
     assert not blocked.warm_up, "warm-up never ended in blocked mode"
     assert np.isfinite(blocked.loss)
-    # the callback saw every epoch exactly once, in order, with finite losses
-    assert [e for e, _ in seen] == list(range(len(seen)))
-    assert all(np.isfinite(l) for _, l in seen)
+    # the callback saw every epoch exactly once, in order, with finite
+    # losses, and the metrics view's last entry IS that epoch's mean loss
+    assert [e for e, *_ in seen] == list(range(len(seen)))
+    assert all(np.isfinite(l) for _, l, *_ in seen)
+    assert all(abs(l - ml) < 1e-6 for _, l, ml, _ in seen)
 
     m = np.asarray(blocked.mu[:, 0, :])
     xt = np.asarray(x_true)

@@ -44,7 +44,15 @@ def resolve_backend(cfg: VJFConfig, batch_hint: Optional[int] = None) -> str:
         return cfg.rls_backend
     if cfg.dtype == "float64":
         return "precision"
-    if batch_hint is not None and batch_hint * 2 < cfg.feature_dim:
+    if (
+        batch_hint is not None
+        and batch_hint * 2 < cfg.feature_dim
+        and cfg.chol_jitter == 0.0
+    ):
+        # the covariance (Woodbury) form cannot apply the per-step jitter
+        # ridge (a full-rank precision shift is not a rank-B update), so a
+        # jittered config routes to the nsv form instead of silently
+        # dropping the ridge
         return "covariance"
     return "nsv"
 

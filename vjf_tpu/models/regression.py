@@ -238,6 +238,15 @@ def rls(
         w_new = jnp.matmul(v_new, g, precision=hp)
         return NSVBLR(w_new, p_new, v_new)
 
+    if jitter:
+        # a full-rank precision shift is not expressible as a rank-B
+        # Woodbury update; failing loudly beats silently dropping the
+        # ridge the caller asked for (resolve_backend('auto') already
+        # routes jittered configs away from this backend)
+        raise ValueError(
+            "the covariance RLS backend does not support chol_jitter; "
+            "use the 'nsv' or 'precision' backend"
+        )
     v1 = state.cov / shrink
     b = feat.shape[0]
     s_mat = v * jnp.eye(b, dtype=feat.dtype) + feat @ v1 @ feat.T

@@ -636,36 +636,15 @@ def fit(
                 warm_up = False
                 running_loss = epoch_loss
                 logger.info("Warm up stopped at epoch %d.", epoch)
-                m = result.q_means                         # (T, B, xdim)
-                xt = m[1:].reshape(-1, cfg.xdim)
-                xs = m[:-1].reshape(-1, cfg.xdim)
-                u_init = (
-                    us[1:].reshape(-1, cfg.udim) if cfg.udim > 0 else None
-                )
                 key, k_init = jax.random.split(key)
-                state = state._replace(
-                    dynamics=init_fn(cfg, k_init, state.dynamics, xt, xs, u_init)
-                )
+                state = _bootstrap_dynamics(cfg, state, init_fn,
+                                            result.q_means, us, k_init)
         else:
             if _isclose(epoch_loss, running_loss, rtol):
                 logger.info("Converged at epoch %d.", epoch)
                 break
             if cfg.dynamics == "sgp" and cfg.sgp_adapt_lr > 0:
-                # slow-timescale kernel hyperparameter step on the pooled
-                # posterior means (gp/sgp.py:adapt_hyperparams)
-                from ..gp.sgp import adapt_hyperparams
-
-                m = result.q_means
-                state = state._replace(
-                    dynamics=jax.jit(
-                        adapt_hyperparams, static_argnames=("cfg",)
-                    )(
-                        cfg, state.dynamics,
-                        m[1:].reshape(-1, cfg.xdim),
-                        m[:-1].reshape(-1, cfg.xdim),
-                        us[1:].reshape(-1, cfg.udim) if cfg.udim > 0 else None,
-                    )
-                )
+                state = _sgp_adapt_step(cfg, state, result.q_means, us)
 
         running_loss = (
             beta * running_loss + (1 - beta) * epoch_loss if epoch > 0 else epoch_loss
@@ -676,6 +655,33 @@ def fit(
     return FitResult(
         mu=result.q_means, logvar=result.q_logvars, loss=epoch_loss, state=state,
         warm_up=warm_up,
+    )
+
+
+def _bootstrap_dynamics(cfg, state, init_fn, q_means, us, key):
+    """Warm-up-end phase transition (``vjf/model.py:283-291``): re-init the
+    dynamics from the pooled posterior means — shared by the per-epoch and
+    block-dispatch fit loops."""
+    xt = q_means[1:].reshape(-1, cfg.xdim)
+    xs = q_means[:-1].reshape(-1, cfg.xdim)
+    u_init = us[1:].reshape(-1, cfg.udim) if cfg.udim > 0 else None
+    return state._replace(
+        dynamics=init_fn(cfg, key, state.dynamics, xt, xs, u_init)
+    )
+
+
+def _sgp_adapt_step(cfg, state, q_means, us):
+    """Slow-timescale SGP kernel-hyperparameter step on the pooled posterior
+    means (``gp/sgp.py:adapt_hyperparams``) — shared by both fit loops."""
+    from ..gp.sgp import adapt_hyperparams
+
+    return state._replace(
+        dynamics=jax.jit(adapt_hyperparams, static_argnames=("cfg",))(
+            cfg, state.dynamics,
+            q_means[1:].reshape(-1, cfg.xdim),
+            q_means[:-1].reshape(-1, cfg.xdim),
+            us[1:].reshape(-1, cfg.udim) if cfg.udim > 0 else None,
+        )
     )
 
 
@@ -704,9 +710,13 @@ def _fit_blocked(
       current phase, which trains strictly more, never less;
     - the demotion re-run restarts the whole block from its pre-block
       state (same soundness argument as fit's per-epoch re-run);
-    - ``callback`` receives the block's :class:`EpochsResult` for every
-      epoch in the block (per-epoch losses are exact; per-step metric
-      sequences are the block's last epoch).
+    - ``callback`` receives an :class:`EpochResult` view per epoch whose
+      ``metrics`` leaves are PER-EPOCH MEANS up to that epoch (one scalar
+      per epoch — ``metrics.loss[-1]`` is this epoch's mean loss), not
+      fit()'s per-step arrays; posteriors are the block's last epoch;
+    - a final partial block (``max_iter % K != 0``) compiles one extra
+      remainder-shaped graph — choose ``max_iter`` divisible by
+      ``epochs_per_dispatch`` to avoid paying a compile for a few epochs.
     """
     y = _promote_y(jnp.asarray(y, dtype=cfg.jdtype))
     t_len, n_batch, _ = y.shape
@@ -731,6 +741,12 @@ def _fit_blocked(
 
     while epoch < max_iter:
         k = min(k_block, max_iter - epoch)
+        if k != k_block:
+            logger.info(
+                "partial final block (%d of %d epochs): compiling one extra "
+                "remainder-shaped graph — choose max_iter divisible by "
+                "epochs_per_dispatch to avoid it.", k, k_block,
+            )
         key, k_sub = jax.random.split(key)
         ekeys = jax.random.split(k_sub, k)
         lrs = jnp.asarray(
@@ -767,7 +783,18 @@ def _fit_blocked(
         for j in range(k):
             epoch_loss = float(losses[j])
             if callback is not None:
-                callback(epoch + j, epoch_loss, res)
+                # EpochResult-shaped view honoring fit()'s callback
+                # contract (result.metrics.<leaf>[-1] = this epoch's
+                # value); leaves are per-epoch means, see docstring
+                view = EpochResult(
+                    state=res.state,
+                    q_means=res.q_means,
+                    q_logvars=res.q_logvars,
+                    metrics=jax.tree.map(
+                        lambda a: a[:j + 1], res.epoch_metrics
+                    ),
+                )
+                callback(epoch + j, epoch_loss, view)
             if _isclose(epoch_loss, running_loss, rtol):
                 if warm_up:
                     if not warmup_plateau:
@@ -791,31 +818,14 @@ def _fit_blocked(
             # bootstrap the dynamics from the block's final posterior means
             warm_up = False
             running_loss = epoch_loss
-            m = res.q_means
-            xt = m[1:].reshape(-1, cfg.xdim)
-            xs = m[:-1].reshape(-1, cfg.xdim)
-            u_init = us[1:].reshape(-1, cfg.udim) if cfg.udim > 0 else None
             key, k_init = jax.random.split(key)
-            state = state._replace(
-                dynamics=init_fn(cfg, k_init, state.dynamics, xt, xs, u_init)
-            )
+            state = _bootstrap_dynamics(cfg, state, init_fn, res.q_means,
+                                        us, k_init)
         elif not warm_up:
             if converged:
                 break
             if cfg.dynamics == "sgp" and cfg.sgp_adapt_lr > 0:
-                from ..gp.sgp import adapt_hyperparams
-
-                m = res.q_means
-                state = state._replace(
-                    dynamics=jax.jit(
-                        adapt_hyperparams, static_argnames=("cfg",)
-                    )(
-                        cfg, state.dynamics,
-                        m[1:].reshape(-1, cfg.xdim),
-                        m[:-1].reshape(-1, cfg.xdim),
-                        us[1:].reshape(-1, cfg.udim) if cfg.udim > 0 else None,
-                    )
-                )
+                state = _sgp_adapt_step(cfg, state, res.q_means, us)
 
     assert res is not None
     return FitResult(
