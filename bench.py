@@ -48,7 +48,7 @@ def main() -> None:
     n_batch = int(sys.argv[1]) if len(sys.argv) > 1 else 256
     t_chunk = int(sys.argv[2]) if len(sys.argv) > 2 else 10000
     n_epochs = int(sys.argv[3]) if len(sys.argv) > 3 else 5
-    reps = int(sys.argv[4]) if len(sys.argv) > 4 else 4
+    reps = int(sys.argv[4]) if len(sys.argv) > 4 else 8
 
     cfg = VJFConfig(
         ydim=200,
