@@ -185,8 +185,10 @@ def bench_flagship():
     the shard_map two-phase path on a 1-chip mesh."""
     import subprocess
 
+    # cold-compile days push a fresh bench.py process past 10 min through
+    # the remote-chip tunnel; the measurement itself is ~10 s
     out = subprocess.run([sys.executable, "bench.py"], capture_output=True,
-                         text=True, timeout=900)
+                         text=True, timeout=1800)
     line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
     d = json.loads(line)
     return {"config": "batched_256x10k_mega", **{k: d[k] for k in ("value", "unit", "vs_baseline")}}
