@@ -1,0 +1,179 @@
+"""Ragged-trial (mask) support — beyond the reference, which trains only
+lockstep batches (``vjf/model.py:183,253``). Contracts under test:
+
+* padding invariance: a padded+masked run computes exactly the same
+  training trajectory as the unpadded run, with the posterior carry frozen
+  over the pad — even when the padding is NaN (inputs are sanitized);
+* a fully-masked trial is equivalent to not batching it at all (zero
+  feature rows contribute nothing to the RLS statistics; weighted means
+  renormalize over the valid count);
+* end-to-end: fit() on two unequal-length trials recovers both latents,
+  with the warm-up bootstrap excluding frozen-carry pairs.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vjf_tpu.config import StepFlags, VJFConfig
+from vjf_tpu.models import vjf as core
+from vjf_tpu.utils.evaluation import latent_r2
+
+
+@pytest.fixture
+def key():
+    return jax.random.PRNGKey(11)
+
+
+def _tree_allclose(a, b, rtol=1e-6, atol=1e-7):
+    ok = jax.tree_util.tree_map(
+        lambda x, y: np.allclose(np.asarray(x), np.asarray(y), rtol=rtol, atol=atol)
+        if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating) else
+        np.array_equal(np.asarray(x), np.asarray(y)),
+        a, b,
+    )
+    return all(jax.tree_util.tree_leaves(ok))
+
+
+def _cfg(**kw):
+    base = dict(ydim=8, xdim=2, udim=0, n_rbf=12, hidden_sizes=(8,),
+                likelihood="gaussian", dtype="float32", rls_backend="nsv",
+                fused_step="off")
+    base.update(kw)
+    return VJFConfig(**base)
+
+
+@pytest.mark.parametrize("pad_value", [0.0, np.nan])
+def test_padding_invariance_b1(key, pad_value):
+    """Padded-and-masked == unpadded, bit-for-bit on the valid prefix,
+    frozen carry + zero metrics on the pad — NaN padding included."""
+    cfg = _cfg()
+    t0, t_pad = 40, 60
+    k1, k2 = jax.random.split(key)
+    y_valid = jax.random.normal(k1, (t0, 1, cfg.ydim), jnp.float32)
+    y_pad = jnp.full((t_pad - t0, 1, cfg.ydim), pad_value, jnp.float32)
+    ys = jnp.concatenate([y_valid, y_pad])
+    us_p = jnp.zeros((t_pad, 1, 0), jnp.float32)
+    eps = jax.random.normal(k2, (t_pad, 2, 1, cfg.xdim), jnp.float32)
+    mask = jnp.concatenate([jnp.ones((t0, 1)), jnp.zeros((t_pad - t0, 1))])
+
+    state = core.init_state(key, cfg)
+    flags = StepFlags()
+    ref = core.run_epoch(cfg, flags, state, y_valid, us_p[:t0], key,
+                         jnp.float32(cfg.lr), noise=(eps[:t0, 0], eps[:t0, 1]))
+    got = core.run_epoch(cfg, flags, state, ys, us_p, key,
+                         jnp.float32(cfg.lr), noise=(eps[:, 0], eps[:, 1]),
+                         mask=mask)
+
+    assert _tree_allclose(ref.state, got.state)
+    assert np.allclose(np.asarray(ref.metrics.loss),
+                       np.asarray(got.metrics.loss[:t0]), rtol=1e-6)
+    # pad region: zero loss, frozen posterior carry
+    assert np.all(np.asarray(got.metrics.loss[t0:]) == 0.0)
+    last = np.asarray(got.q_means[t0 - 1])
+    for t in range(t0, t_pad):
+        assert np.array_equal(np.asarray(got.q_means[t]), last)
+    assert np.all(np.isfinite(np.asarray(got.q_means)))
+
+
+@pytest.mark.parametrize("backend", ["nsv", "precision"])
+def test_fully_masked_trial_equals_smaller_batch(key, backend):
+    """B=2 with one trial masked out for the whole epoch == B=1 with only
+    the valid trial: weighted reductions renormalize and the masked trial's
+    zeroed feature rows add nothing to the RLS statistics."""
+    cfg = _cfg(rls_backend=backend)
+    t_len = 50
+    k1, k2 = jax.random.split(key)
+    ys2 = jax.random.normal(k1, (t_len, 2, cfg.ydim), jnp.float32)
+    us2 = jnp.zeros((t_len, 2, 0), jnp.float32)
+    eps2 = jax.random.normal(k2, (t_len, 2, 2, cfg.xdim), jnp.float32)
+    mask = jnp.stack([jnp.ones(t_len), jnp.zeros(t_len)], axis=1)
+
+    state = core.init_state(key, cfg)
+    flags = StepFlags()
+    ref = core.run_epoch(cfg, flags, state, ys2[:, :1], us2[:, :1], key,
+                         jnp.float32(cfg.lr),
+                         noise=(eps2[:, 0, :1], eps2[:, 1, :1]))
+    got = core.run_epoch(cfg, flags, state, ys2, us2, key,
+                         jnp.float32(cfg.lr),
+                         noise=(eps2[:, 0], eps2[:, 1]), mask=mask)
+
+    assert _tree_allclose(ref.state, got.state, rtol=2e-5, atol=1e-6)
+    assert np.allclose(np.asarray(ref.metrics.loss),
+                       np.asarray(got.metrics.loss), rtol=2e-5, atol=1e-6)
+    assert np.allclose(np.asarray(ref.q_means[:, 0]),
+                       np.asarray(got.q_means[:, 0]), rtol=2e-5, atol=1e-6)
+
+
+def test_mask_forces_xla_on_fused_config(key):
+    """A fused-eligible config with a mask routes to the XLA path (the
+    kernels assume lockstep batches) and still trains sanely."""
+    cfg = _cfg(fused_step="auto", n_rbf=16)
+    t_len, n_batch = 30, 8
+    ys = jax.random.normal(key, (t_len, n_batch, cfg.ydim), jnp.float32)
+    us = jnp.zeros((t_len, n_batch, 0), jnp.float32)
+    mask = jnp.ones((t_len, n_batch)).at[20:, 4:].set(0.0)
+    state = core.init_state(key, cfg)
+    res = core.run_epoch(cfg, StepFlags(), state, ys, us, key,
+                         jnp.float32(cfg.lr), mask=mask)
+    assert np.all(np.isfinite(np.asarray(res.metrics.loss)))
+    assert np.all(np.isfinite(np.asarray(res.q_means)))
+
+
+def test_fit_ragged_recovery(key):
+    """End-to-end: two limit-cycle trials of unequal length (padded with
+    NaN to a common T) fit jointly via ``fit(mask=...)``; both latents
+    recover on their valid spans and the learned model forecasts finitely.
+    Exercises the masked warm-up bootstrap (pair weights) too."""
+    rng = np.random.default_rng(7)
+    T, T2 = 800, 500
+    t = np.arange(T) * 0.05
+    x1 = np.stack([np.sin(t), np.cos(t)], -1) + 0.02 * rng.normal(size=(T, 2))
+    x2 = np.stack([np.sin(t + 1.3), np.cos(t + 1.3)], -1) + 0.02 * rng.normal(size=(T, 2))
+    C = rng.normal(size=(2, 12))
+    d = rng.normal(size=12)
+    y = np.stack([x1 @ C + d, x2 @ C + d], axis=1)          # (T, 2, 12)
+    y += 0.1 * rng.normal(size=y.shape)
+    y = y.astype(np.float32)
+    y[T2:, 1, :] = np.nan                                   # ragged: trial 2 ends at T2
+    mask = np.ones((T, 2), np.float32)
+    mask[T2:, 1] = 0.0
+
+    cfg = _cfg(ydim=12, n_rbf=30, hidden_sizes=(12,), lr=3e-3, rtol=2e-3,
+               rls_shrink=0.999, chol_jitter=1e-3)
+    state = core.init_state(key, cfg)
+    res = core.fit(cfg, state, y, key=key, max_iter=30, mask=mask)
+    assert not res.warm_up, "warm-up never ended under mask"
+    assert np.isfinite(res.loss)
+
+    r2_full = latent_r2(np.asarray(res.mu[:, 0, :]), x1)
+    r2_short = latent_r2(np.asarray(res.mu[:T2, 1, :]), x2[:T2])
+    assert r2_full > 0.9, r2_full
+    assert r2_short > 0.9, r2_short
+
+    xf, _ = core.forecast(cfg, res.state, res.mu[T2 - 1, 1], key, n_step=100)
+    assert np.all(np.isfinite(np.asarray(xf)))
+
+
+def test_fit_blocked_ragged_matches_quality(key):
+    """The block-dispatch production mode accepts the mask too."""
+    rng = np.random.default_rng(9)
+    T, T2 = 400, 260
+    t = np.arange(T) * 0.05
+    x1 = np.stack([np.sin(t), np.cos(t)], -1) + 0.02 * rng.normal(size=(T, 2))
+    C = rng.normal(size=(2, 10))
+    y = np.stack([x1 @ C, x1 @ C], axis=1).astype(np.float32)
+    y += 0.1 * rng.normal(size=y.shape).astype(np.float32)
+    y[T2:, 1, :] = 1e30                                     # huge-but-finite pad
+    mask = np.ones((T, 2), np.float32)
+    mask[T2:, 1] = 0.0
+
+    cfg = _cfg(ydim=10, n_rbf=24, hidden_sizes=(10,), lr=3e-3, rtol=2e-3,
+               rls_shrink=0.999, chol_jitter=1e-3)
+    state = core.init_state(key, cfg)
+    res = core.fit(cfg, state, y, key=key, max_iter=24, mask=mask,
+                   epochs_per_dispatch=6)
+    assert not res.warm_up
+    assert np.isfinite(res.loss)
+    r2 = latent_r2(np.asarray(res.mu[:, 0, :]), x1)
+    assert r2 > 0.9, r2

@@ -296,3 +296,29 @@ def test_oo_api_smooth_facade(key):
         assert smoothed.means.shape == (N, xdim)
         assert np.all(np.isfinite(np.asarray(smoothed.means)))
         assert np.all(np.isfinite(np.asarray(smoothed.covs)))
+
+
+def test_warmup_max_forces_transition(key):
+    """cfg.warmup_max: with a plateau that can never fire (rtol=0), the
+    fit would reference-faithfully warm up forever and never train the
+    dynamics; the cap forces the phase transition. Both fit modes."""
+    cfg = VJFConfig(ydim=10, xdim=2, udim=0, n_rbf=12, hidden_sizes=(8,),
+                    likelihood="gaussian", dtype="float32", fused_step="off",
+                    rls_backend="nsv", rtol=0.0, warmup_max=4)
+    t_len = 60
+    y = jax.random.normal(key, (t_len, 1, cfg.ydim), jnp.float32)
+
+    state = core.init_state(key, cfg)
+    res = core.fit(cfg, state, y, key=key, max_iter=10)
+    assert not res.warm_up
+    assert int(res.state.dynamics.n_sample) > 0   # RLS actually ran
+
+    res_b = core.fit(cfg, core.init_state(key, cfg), y, key=key, max_iter=10,
+                     epochs_per_dispatch=3)
+    assert not res_b.warm_up
+    assert int(res_b.state.dynamics.n_sample) > 0
+
+    # default (warmup_max=0): reference behavior — warm-up never ends here
+    cfg0 = cfg.replace(warmup_max=0)
+    res0 = core.fit(cfg0, core.init_state(key, cfg0), y, key=key, max_iter=10)
+    assert res0.warm_up

@@ -298,12 +298,20 @@ class VJF:
         verbose: bool = False,
         callback=None,
         epochs_per_dispatch: int = 1,
+        mask: Optional[Array] = None,
     ) -> Tuple[Array, Array, float]:
         """Epoch training with warm-up — ``VJF.fit`` (``vjf/model.py:223-307``).
 
         ``epochs_per_dispatch > 1`` enables the block-dispatch production
         mode: K epochs per device round-trip (dispatch-latency-amortized;
         phase transitions at block granularity — see ``models/vjf.py``).
+
+        ``mask``: optional (T,) / (T, B) 0/1 trial-validity mask for
+        RAGGED trials (unequal lengths, padded to a common T — beyond the
+        reference, which trains only lockstep batches). Masked entries
+        contribute nothing (loss / gradients / RLS / noise updates /
+        bootstrap), their posterior carry freezes, and padding values are
+        ignored entirely. Runs on the XLA path.
 
         :return: (posterior means (T, B, xdim), log-variances, final loss)
         """
@@ -323,6 +331,7 @@ class VJF:
             rtol=rtol,
             callback=callback,
             epochs_per_dispatch=epochs_per_dispatch,
+            mask=mask,
         )
         self.state = result.state
         if not result.warm_up:

@@ -63,6 +63,14 @@ class VJFConfig:
     # --- fit loop (vjf/model.py:223-224) ---
     beta: float = 0.1                     # running-loss discount
     rtol: float = 1e-4                    # plateau tolerance
+    # warm-up safety cap (no reference counterpart, 0 = reference behavior:
+    # warm-up ends ONLY on the loss plateau, vjf/model.py:278-295). On
+    # noisy small-batch losses the isclose plateau can fail to fire for an
+    # entire fit, which silently never trains the dynamics (the tell:
+    # forecast == persistence). With warmup_max = K > 0, fit() forces the
+    # phase transition (decoder freeze + dynamics bootstrap) at epoch K if
+    # the plateau hasn't fired by then.
+    warmup_max: int = 0
 
     # runaway guard (no reference counterpart — the reference's unclamped
     # running-variance recursion NaN-cascades in f32 once a no-warm-up run

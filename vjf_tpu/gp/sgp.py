@@ -43,7 +43,7 @@ from jax import Array
 
 from ..config import VJFConfig
 from ..models import regression
-from ..ops.functional import gaussian_loss, nonecat, running_var
+from ..ops.functional import batch_weighted_mean, gaussian_loss, nonecat, running_var
 from ..ops.linalg import cho_solve, safe_cholesky, tril_solve
 from ..types import Gaussian
 from .covfun import CovarianceFunction, SquaredExponential
@@ -182,8 +182,16 @@ def update_from_features(
     xs: Array,
     feat: Array,
     warm_up: bool = False,
+    weights: Optional[Array] = None,
 ) -> SGPDynamicsState:
-    """Mirror of RBFDS.update (``vjf/model.py:363-377``) on kernel features."""
+    """Mirror of RBFDS.update (``vjf/model.py:363-377``) on kernel features.
+
+    ``weights``: optional (B,) 0/1 trial mask — zeroed feature rows drop
+    out of the RLS statistics; masked rows are excluded from the residual
+    MSE and sample count (see ``models/dynamics.py:update_from_features``).
+    """
+    if weights is not None:
+        feat = feat * weights.astype(feat.dtype)[:, None]
     dx = xt - xs
     blr = state.blr
     if not warm_up:
@@ -192,9 +200,16 @@ def update_from_features(
             shrink=cfg.rls_shrink, jitter=cfg.chol_jitter,
         )
     residual = dx - regression.predict_gaussian(blr, feat).mean
-    mse = jnp.mean(jnp.square(residual))
+    if weights is None:
+        mse = jnp.mean(jnp.square(residual))
+        count = xs.shape[0]
+    else:
+        mse = batch_weighted_mean(
+            jnp.mean(jnp.square(residual), axis=-1), weights
+        )
+        count = jnp.sum(weights.astype(feat.dtype))
     var, n_new = running_var(
-        jnp.exp(state.logvar), state.n_sample, mse, xs.shape[0],
+        jnp.exp(state.logvar), state.n_sample, mse, count,
         size_cap=cfg.state_var_cap,
     )
     logvar = jnp.clip(jnp.log(var), -cfg.logvar_clamp, cfg.logvar_clamp)
@@ -223,15 +238,20 @@ def dynamics_initialize(
     xt: Array,
     xs: Array,
     u: Optional[Array] = None,
+    weights: Optional[Array] = None,
 ) -> SGPDynamicsState:
     """Post-warm-up bootstrap: re-place inducing points over the visited
     region (U[-r, r], r = max ||xu|| — mirroring the RBF re-init at
-    ``vjf/module.py:144-148``), then one RLS pass on ``dx``."""
+    ``vjf/module.py:144-148``), then one RLS pass on ``dx``. ``weights``:
+    optional (N,) 0/1 pair mask (ragged trials)."""
     xs = jnp.atleast_2d(xs)
     xt = jnp.atleast_2d(xt)
     xu = nonecat(xs, u)
     dx = xt - xs
-    mse0 = jnp.mean(jnp.square(dx))
+    if weights is None:
+        mse0 = jnp.mean(jnp.square(dx))
+    else:
+        mse0 = batch_weighted_mean(jnp.mean(jnp.square(dx), axis=-1), weights)
 
     r = jnp.max(jnp.linalg.norm(xu, axis=-1))
     inducing = (
@@ -245,18 +265,25 @@ def dynamics_initialize(
     )
     state = state._replace(whiten=w, whiten_inv=w_inv)
     feat = features(state, xs, u)
+    if weights is not None:
+        feat = feat * weights.astype(feat.dtype)[:, None]
     blr = regression.rls(
         state.blr, feat, dx, mse0, shrink=cfg.rls_shrink, jitter=cfg.chol_jitter
     )
     residual = dx - regression.predict_gaussian(blr, feat).mean
-    mse = jnp.mean(jnp.square(residual))
+    if weights is None:
+        mse = jnp.mean(jnp.square(residual))
+    else:
+        mse = batch_weighted_mean(jnp.mean(jnp.square(residual), axis=-1), weights)
     return state._replace(blr=blr, logvar=jnp.log(mse))
 
 
 def dynamics_loss(
-    state: SGPDynamicsState, pt: Gaussian, qt: Gaussian, trace_quirk: bool = True
+    state: SGPDynamicsState, pt: Gaussian, qt: Gaussian, trace_quirk: bool = True,
+    weights: Optional[Array] = None,
 ) -> Array:
-    return gaussian_loss(pt, qt, state.logvar, trace_quirk=trace_quirk)
+    return gaussian_loss(pt, qt, state.logvar, trace_quirk=trace_quirk,
+                         weights=weights)
 
 
 def forecast(
@@ -300,7 +327,8 @@ def forecast(
 
 
 def hyperparam_nll(
-    state: SGPDynamicsState, theta, xu: Array, dx: Array
+    state: SGPDynamicsState, theta, xu: Array, dx: Array,
+    weights: Optional[Array] = None,
 ) -> Array:
     """One-step predictive NLL of the velocity targets under hypers
     ``theta = (log_scale, log_lengthscale)``, holding the POSTERIOR MEAN AT
@@ -324,7 +352,8 @@ def hyperparam_nll(
     dtc = jnp.maximum(jnp.exp(2.0 * log_scale) - jnp.sum(phi * phi, axis=-1), 0.0)
     s = sv + dtc[:, None] + 1e-12
     resid = dx - mean
-    return 0.5 * jnp.mean(resid * resid / s + jnp.log(s))
+    nll_rows = jnp.mean(resid * resid / s + jnp.log(s), axis=-1)
+    return 0.5 * batch_weighted_mean(nll_rows, weights)
 
 
 def adapt_hyperparams(
@@ -335,6 +364,7 @@ def adapt_hyperparams(
     u: Optional[Array] = None,
     lr: Optional[float] = None,
     n_steps: Optional[int] = None,
+    weights: Optional[Array] = None,
 ) -> SGPDynamicsState:
     """Adapt ``log_scale``/``log_lengthscale`` by SGD on the pooled one-step
     predictive NLL, then re-whiten: rebuild ``L_zz`` and REPROJECT the
@@ -355,7 +385,7 @@ def adapt_hyperparams(
     dx = xt - xs
 
     theta = (state.log_scale, state.log_lengthscale)
-    grad_fn = jax.grad(lambda th: hyperparam_nll(state, th, xu, dx))
+    grad_fn = jax.grad(lambda th: hyperparam_nll(state, th, xu, dx, weights=weights))
     for _ in range(max(0, n_steps)):
         g = grad_fn(theta)
         # finite-gated, clipped, and box-bounded: the NLL's cholesky grad

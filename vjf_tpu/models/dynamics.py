@@ -18,7 +18,7 @@ import jax.numpy as jnp
 from jax import Array
 
 from ..config import VJFConfig
-from ..ops.functional import gaussian_loss, nonecat, running_var
+from ..ops.functional import batch_weighted_mean, gaussian_loss, nonecat, running_var
 from ..types import Gaussian
 from . import regression
 from .rbf import RBFParams, apply_rbf, init_rbf, reinit_rbf
@@ -163,6 +163,7 @@ def update_from_features(
     xs: Array,
     feat: Array,
     warm_up: bool = False,
+    weights: Optional[Array] = None,
 ) -> DynamicsState:
     """Closed-form learning step with precomputed features —
     ``vjf/model.py:363-377``.
@@ -171,7 +172,14 @@ def update_from_features(
     noise is refreshed by a running variance of the post-update residual
     MSE (cap 500). Mirrors the reference's ordering: residual uses the *new*
     weights when RLS ran.
+
+    ``weights``: optional (B,) 0/1 trial mask (ragged trials). A masked
+    row's feature row is zeroed — a zero row contributes nothing to the RLS
+    sufficient statistics ``F^T F`` / ``F^T dx`` — and it is excluded from
+    the residual MSE and the sample count.
     """
+    if weights is not None:
+        feat = feat * weights.astype(feat.dtype)[:, None]
     dx = xt - xs
     blr = state.blr
     if not warm_up:
@@ -188,9 +196,16 @@ def update_from_features(
             )
 
     residual = dx - regression.predict_gaussian(blr, feat).mean
-    mse = jnp.mean(jnp.square(residual))
+    if weights is None:
+        mse = jnp.mean(jnp.square(residual))
+        count = xs.shape[0]
+    else:
+        mse = batch_weighted_mean(
+            jnp.mean(jnp.square(residual), axis=-1), weights
+        )
+        count = jnp.sum(weights.astype(feat.dtype))
     var, n_new = running_var(
-        jnp.exp(state.logvar), state.n_sample, mse, xs.shape[0], size_cap=cfg.state_var_cap
+        jnp.exp(state.logvar), state.n_sample, mse, count, size_cap=cfg.state_var_cap
     )
     logvar = jnp.clip(jnp.log(var), -cfg.logvar_clamp, cfg.logvar_clamp)
     ok = jnp.isfinite(logvar)
@@ -225,31 +240,45 @@ def dynamics_initialize(
     xt: Array,
     xs: Array,
     u: Optional[Array] = None,
+    weights: Optional[Array] = None,
 ) -> DynamicsState:
     """Post-warm-up bootstrap from the pooled posterior means —
     ``vjf/model.py:379-388`` + ``vjf/module.py:144-150``: re-init centroids
     to U[-r, r] with ``r = max ||xu||``, widths to ``log r``, run one RLS
     pass on ``dx`` with the naive-MSE noise, then set the state noise to the
     post-fit residual MSE.
+
+    ``weights``: optional (N,) 0/1 mask over the pooled ``(xt, xs)`` pairs
+    (ragged trials: a pair is valid iff both endpoints are observed —
+    frozen-carry duplicates would otherwise teach ``f = 0`` at trial ends).
     """
     xs = jnp.atleast_2d(xs)
     xt = jnp.atleast_2d(xt)
     xu = nonecat(xs, u)
     dx = xt - xs
-    mse0 = jnp.mean(jnp.square(dx))
 
     rbf = reinit_rbf(key, state.rbf, xu)
     feat = apply_rbf(rbf, xu)
+    if weights is None:
+        mse0 = jnp.mean(jnp.square(dx))
+    else:
+        feat = feat * weights.astype(feat.dtype)[:, None]
+        mse0 = batch_weighted_mean(jnp.mean(jnp.square(dx), axis=-1), weights)
     blr = regression.rls(
         state.blr, feat, dx, mse0, shrink=cfg.rls_shrink, jitter=cfg.chol_jitter
     )
     residual = dx - regression.predict_gaussian(blr, feat).mean
-    mse = jnp.mean(jnp.square(residual))
+    if weights is None:
+        mse = jnp.mean(jnp.square(residual))
+    else:
+        mse = batch_weighted_mean(jnp.mean(jnp.square(residual), axis=-1), weights)
     return DynamicsState(rbf, blr, jnp.log(mse), state.n_sample)
 
 
 def dynamics_loss(
-    state: DynamicsState, pt: Gaussian, qt: Gaussian, trace_quirk: bool = True
+    state: DynamicsState, pt: Gaussian, qt: Gaussian, trace_quirk: bool = True,
+    weights: Optional[Array] = None,
 ) -> Array:
     """``gaussian_loss(pt, qt, state_logvar)`` — ``vjf/model.py:390-391``."""
-    return gaussian_loss(pt, qt, state.logvar, trace_quirk=trace_quirk)
+    return gaussian_loss(pt, qt, state.logvar, trace_quirk=trace_quirk,
+                         weights=weights)

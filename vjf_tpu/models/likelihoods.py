@@ -11,12 +11,12 @@ Functional counterparts of ``/root/reference/vjf/likelihood.py``:
 """
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax.numpy as jnp
 from jax import Array
 
-from ..ops.functional import gaussian_loss, running_var
+from ..ops.functional import batch_weighted_mean, gaussian_loss, running_var
 
 
 class GaussianLikParams(NamedTuple):
@@ -38,20 +38,26 @@ def init_poisson_lik(dtype=jnp.float32) -> PoissonLikParams:
     return PoissonLikParams()
 
 
-def gaussian_nll(params: GaussianLikParams, eta: Array, target: Array) -> Array:
+def gaussian_nll(
+    params: GaussianLikParams, eta: Array, target: Array,
+    weights: Optional[Array] = None,
+) -> Array:
     """``gaussian_loss(target, eta, logvar)`` — ``likelihood.py:19-26``."""
-    return gaussian_loss(target, eta, params.logvar)
+    return gaussian_loss(target, eta, params.logvar, weights=weights)
 
 
-def poisson_nll(eta: Array, target: Array, clamp: float = 10.0) -> Array:
+def poisson_nll(
+    eta: Array, target: Array, clamp: float = 10.0,
+    weights: Optional[Array] = None,
+) -> Array:
     """Canonical-link Poisson NLL, rate clamp at ``clamp``; sum over
     channels, mean over batch — ``likelihood.py:51-62`` (torch
     ``poisson_nll_loss(log_input=True, full=False)`` semantics:
-    ``exp(eta) - target * eta``).
+    ``exp(eta) - target * eta``). ``weights``: optional (B,) 0/1 trial mask.
     """
     eta = jnp.minimum(eta, clamp)
     nll = jnp.exp(eta) - target * eta
-    return jnp.mean(jnp.sum(nll, axis=-1))
+    return batch_weighted_mean(jnp.sum(nll, axis=-1), weights)
 
 
 def gaussian_lik_update(
@@ -61,19 +67,30 @@ def gaussian_lik_update(
     target: Array,
     size_cap: int = 1000,
     logvar_clamp: float = 30.0,
+    weights: Optional[Array] = None,
 ) -> Tuple[GaussianLikParams, Array]:
     """Running-variance overwrite of the observation noise —
     ``likelihood.py:28-40``. ``new_size`` is the batch size (rows), the mse
     averages over batch *and* channels, matching the reference. The clamp
-    is a runaway guard (see VJFConfig.logvar_clamp).
+    is a runaway guard (see VJFConfig.logvar_clamp). With ``weights`` (a
+    (B,) 0/1 trial mask), masked rows are excluded from the mse and the
+    sample count; an all-masked batch is a no-op.
     """
-    mse = jnp.mean(jnp.square(target - eta))
+    if weights is None:
+        mse = jnp.mean(jnp.square(target - eta))
+        count = eta.shape[0]
+    else:
+        mse = batch_weighted_mean(
+            jnp.mean(jnp.square(target - eta), axis=-1), weights
+        )
+        count = jnp.sum(weights.astype(eta.dtype))
     var, n_new = running_var(
-        jnp.exp(params.logvar), n_sample, mse, eta.shape[0], size_cap=size_cap
+        jnp.exp(params.logvar), n_sample, mse, count, size_cap=size_cap
     )
     logvar = jnp.clip(jnp.log(var), -logvar_clamp, logvar_clamp)
     ok = jnp.isfinite(logvar)
+    n_sample = jnp.asarray(n_sample)
     return (
         GaussianLikParams(logvar=jnp.where(ok, logvar, params.logvar)),
-        jnp.where(ok, n_new, n_sample),
+        jnp.where(ok, jnp.asarray(n_new).astype(n_sample.dtype), n_sample),
     )

@@ -140,10 +140,13 @@ def prior(params: Params, n_batch: int) -> Gaussian:
     )
 
 
-def _likelihood_loss(cfg: VJFConfig, lik_params, py: Array, y: Array) -> Array:
+def _likelihood_loss(
+    cfg: VJFConfig, lik_params, py: Array, y: Array,
+    weights: Optional[Array] = None,
+) -> Array:
     if cfg.likelihood == "gaussian":
-        return gaussian_nll(lik_params, py, y)
-    return poisson_nll(py, y, clamp=cfg.poisson_clamp)
+        return gaussian_nll(lik_params, py, y, weights=weights)
+    return poisson_nll(py, y, clamp=cfg.poisson_clamp, weights=weights)
 
 
 def _transition(cfg: VJFConfig):
@@ -163,12 +166,14 @@ def elbo_terms(
     u: Optional[Array],
     eps_s: Array,
     eps_t: Array,
+    weights: Optional[Array] = None,
 ) -> Tuple[Tuple[Array, Array, Array], Tuple[Gaussian, Array, Array, Array]]:
     """Forward pass + the three ELBO components — ``vjf/model.py:97-154``.
 
     Sampling noise is injected (``eps_s`` for x[t-1] ~ q[t-1], ``eps_t`` for
     x[t] ~ q[t]) so parity harnesses can drive both frameworks with shared
-    randomness.
+    randomness. ``weights``: optional (B,) 0/1 trial mask — every batch
+    reduction becomes a masked mean over the valid trials (ragged trials).
     """
     tr = _transition(cfg)
     xs = reparametrize(qs, eps_s)                        # vjf/model.py:112
@@ -182,11 +187,14 @@ def elbo_terms(
     xt = reparametrize(qt, eps_t)                        # vjf/model.py:119
     py = decode(params.decoder, xt)                      # sample decode, model.py:120
 
-    l_recon = finite_or_zero(_likelihood_loss(cfg, params.likelihood, py, y))
-    l_dyn = finite_or_zero(
-        tr.dynamics_loss(dynamics, pt, qt, trace_quirk=cfg.trace_quirk)
+    l_recon = finite_or_zero(
+        _likelihood_loss(cfg, params.likelihood, py, y, weights=weights)
     )
-    h = finite_or_zero(gaussian_entropy(qt))
+    l_dyn = finite_or_zero(
+        tr.dynamics_loss(dynamics, pt, qt, trace_quirk=cfg.trace_quirk,
+                         weights=weights)
+    )
+    h = finite_or_zero(gaussian_entropy(qt, weights=weights))
     return (l_recon, l_dyn, h), (qt, xt, xs, py, feat)
 
 
@@ -200,6 +208,7 @@ def filter_step(
     eps_s: Array,
     eps_t: Array,
     lr: Array,
+    mask: Optional[Array] = None,
 ) -> Tuple[TrainState, Gaussian, Metrics]:
     """One fused filter-then-learn step — the body of ``VJF.filter``
     (``vjf/model.py:179-221``), compiled as a single XLA computation.
@@ -207,13 +216,32 @@ def filter_step(
     Order mirrors the reference exactly: forward → loss → clipped SGD step
     → non-gradient updates (obs-noise running variance with the *post-SGD*
     log-variance, then RLS + state-noise running variance).
+
+    ``mask``: optional (B,) 0/1 trial-validity mask (ragged trials — the
+    reference trains only lockstep batches, ``vjf/model.py:183,253``). A
+    masked trial contributes nothing this step: its inputs are sanitized to
+    zero (so padding may be arbitrary finite OR non-finite), its loss /
+    gradient / RLS / noise-update contributions are excluded with
+    renormalization over the valid count, and its posterior carry is frozen
+    at the last valid value. ``mask=None`` traces to the identical
+    computation as before (the fused Pallas path never passes one).
     """
     qs = jax.lax.stop_gradient(Gaussian(*qs))            # detach, vjf/model.py:45-47,110
     y = jnp.atleast_2d(y)
+    weights = None
+    if mask is not None:
+        mb = jnp.atleast_1d(mask).astype(bool)           # (B,)
+        weights = mb.astype(y.dtype)
+        # sanitize masked inputs: NaN padding would otherwise poison the
+        # backward pass (0-cotangent x NaN-activation = NaN in grad sums)
+        y = jnp.where(mb[:, None], y, 0.0)
+        if u is not None and u.shape[-1] > 0:
+            u = jnp.where(mb[:, None], jnp.atleast_2d(u), 0.0)
 
     def loss_fn(params: Params):
         (l_recon, l_dyn, h), aux = elbo_terms(
-            cfg, params, state.dynamics, qs, y, u, eps_s, eps_t
+            cfg, params, state.dynamics, qs, y, u, eps_s, eps_t,
+            weights=weights,
         )
         loss = l_recon - h
         if not flags.warm_up:                            # vjf/model.py:147-149
@@ -265,11 +293,13 @@ def filter_step(
             new_lik, lik_n = gaussian_lik_update(
                 new_params.likelihood, lik_n, py, y,
                 size_cap=cfg.obs_var_cap, logvar_clamp=cfg.logvar_clamp,
+                weights=weights,
             )
             new_params = new_params._replace(likelihood=new_lik)
     if flags.update and flags.update_transition:
         new_dynamics = _transition(cfg).update_from_features(
-            cfg, dynamics, xt, xs, jax.lax.stop_gradient(feat), warm_up=flags.warm_up
+            cfg, dynamics, xt, xs, jax.lax.stop_gradient(feat),
+            warm_up=flags.warm_up, weights=weights,
         )
         # skip the closed-form update entirely if its inputs OR outputs are
         # non-finite (the unguarded recursion would otherwise cement NaNs
@@ -277,6 +307,10 @@ def filter_step(
         upd_ok = jnp.logical_and(
             jnp.all(jnp.isfinite(xt)), jnp.all(jnp.isfinite(xs))
         )
+        if weights is not None:
+            # a fully-masked step must not advance the recursion (shrink
+            # would decay P with no data behind it)
+            upd_ok = jnp.logical_and(upd_ok, jnp.sum(weights) > 0)
         upd_ok = jax.tree_util.tree_reduce(
             lambda acc, leaf: jnp.logical_and(
                 acc,
@@ -293,6 +327,13 @@ def filter_step(
             dynamics,
         )
 
+    if mask is not None:
+        # frozen carry: a masked trial's posterior stays at its last valid
+        # value (it re-enters the recognition input when the trial resumes)
+        qt = Gaussian(
+            jnp.where(mb[:, None], qt.mean, qs.mean),
+            jnp.where(mb[:, None], qt.logvar, qs.logvar),
+        )
     new_state = TrainState(params=new_params, dynamics=dynamics, lik_n_sample=lik_n)
     return new_state, qt, metrics
 
@@ -314,6 +355,7 @@ def run_epoch(
     lr: Array,
     noise: Optional[Tuple[Array, Array]] = None,
     q0: Optional[Gaussian] = None,
+    mask: Optional[Array] = None,
 ) -> EpochResult:
     """One full pass over time as a single ``lax.scan`` — replaces the hot
     Python loop at ``vjf/model.py:252-258``.
@@ -324,8 +366,11 @@ def run_epoch(
         for golden-parity runs with injected randomness
     :param q0: posterior carried in from a previous chunk (streaming);
         defaults to the prior (``vjf/model.py:252``: ``q = None``)
+    :param mask: optional (T, B) 0/1 trial-validity mask (ragged trials —
+        see :func:`filter_step`); forces the XLA path (the fused kernels
+        assume lockstep batches)
     """
-    if _fused.fused_enabled(cfg, state, n_batch=ys.shape[1]):
+    if mask is None and _fused.fused_enabled(cfg, state, n_batch=ys.shape[1]):
         return _fused.run_epoch_fused(
             cfg, flags, state, ys, us, key, lr, noise=noise, q0=q0
         )
@@ -341,15 +386,29 @@ def run_epoch(
         eps = jax.random.normal(key, (t_len, 2, n_batch, xdim), ys.dtype)
         noise = (eps[:, 0], eps[:, 1])
 
-    def body(carry, inp):
-        st, q = carry
-        y, u, eps_s, eps_t = inp
-        st, q, metrics = filter_step(cfg, flags, st, q, y, u, eps_s, eps_t, lr)
-        return (st, q), (q, metrics)
+    if mask is None:
 
-    (state, _), (q_seq, metrics) = jax.lax.scan(
-        body, (state, q0), (ys, us, noise[0], noise[1])
-    )
+        def body(carry, inp):                     # mask-free trace: identical
+            st, q = carry                         # to the pre-mask computation
+            y, u, eps_s, eps_t = inp
+            st, q, metrics = filter_step(cfg, flags, st, q, y, u, eps_s, eps_t, lr)
+            return (st, q), (q, metrics)
+
+        scan_in = (ys, us, noise[0], noise[1])
+    else:
+
+        def body(carry, inp):
+            st, q = carry
+            y, u, eps_s, eps_t, m = inp
+            st, q, metrics = filter_step(
+                cfg, flags, st, q, y, u, eps_s, eps_t, lr, mask=m
+            )
+            return (st, q), (q, metrics)
+
+        masks = jnp.broadcast_to(jnp.asarray(mask), (t_len, n_batch))
+        scan_in = (ys, us, noise[0], noise[1], masks)
+
+    (state, _), (q_seq, metrics) = jax.lax.scan(body, (state, q0), scan_in)
     return EpochResult(state, q_seq.mean, q_seq.logvar, metrics)
 
 
@@ -374,6 +433,7 @@ def run_epochs(
     keys: jax.Array,
     lrs: Array,
     q0: Optional[Gaussian] = None,
+    mask: Optional[Array] = None,
 ) -> EpochsResult:
     """Run ``len(keys)`` consecutive epochs in ONE compiled computation.
 
@@ -396,7 +456,7 @@ def run_epochs(
     def body(carry, inp):
         st, _, _ = carry
         key, lr = inp
-        res = run_epoch(cfg, flags, st, ys, us, key, lr, q0=q0)
+        res = run_epoch(cfg, flags, st, ys, us, key, lr, q0=q0, mask=mask)
         mean_m = jax.tree.map(jnp.mean, res.metrics)
         # post-prefix only: inside the exact-inverse prefix tau may spike
         # (including the forced-fallback inf marker) by design — the cond
@@ -476,6 +536,20 @@ def _promote_u(u: Optional[Array], t_len: int, n_batch: int, dtype) -> Array:
     return u
 
 
+def _promote_mask(
+    mask: Optional[Array], t_len: int, n_batch: int, dtype
+) -> Optional[Array]:
+    """Promote a (T,) / (T, B) trial-validity mask to (T, B) floats."""
+    if mask is None:
+        return None
+    mask = jnp.asarray(mask).astype(dtype)
+    if mask.ndim == 1:
+        mask = mask[:, None]
+    if mask.shape != (t_len, n_batch):
+        mask = jnp.broadcast_to(mask, (t_len, n_batch))
+    return mask
+
+
 def fit(
     cfg: VJFConfig,
     state: TrainState,
@@ -490,6 +564,7 @@ def fit(
     donate: bool = True,
     noise_hook=None,
     epochs_per_dispatch: int = 1,
+    mask: Optional[Array] = None,
 ) -> FitResult:
     """Epoch training loop with warm-up — ``VJF.fit`` (``vjf/model.py:223-307``).
 
@@ -501,6 +576,11 @@ def fit(
 
     ``noise_hook(epoch) -> (eps_s, eps_t)`` optionally injects the per-step
     sampling noise of each epoch (golden-parity harness).
+
+    ``mask`` (optional (T,) / (T, B) 0/1): ragged-trial support — see
+    :func:`filter_step`. Masked entries contribute nothing anywhere
+    (including the warm-up-end bootstrap, where only pairs with both
+    endpoints observed enter the re-init); forces the XLA path.
 
     ``epochs_per_dispatch > 1`` switches to the block-dispatch production
     mode (:func:`_fit_blocked`): K epochs per device dispatch through
@@ -521,11 +601,17 @@ def fit(
         return _fit_blocked(
             cfg, state, y, u, key=key, max_iter=max_iter, beta=beta,
             rtol=rtol, callback=callback, k_block=int(epochs_per_dispatch),
+            mask=mask,
         )
 
     y = _promote_y(jnp.asarray(y, dtype=cfg.jdtype))
     t_len, n_batch, _ = y.shape
     us = _promote_u(u, t_len, n_batch, cfg.jdtype)
+    mask = _promote_mask(mask, t_len, n_batch, cfg.jdtype)
+    if mask is not None:
+        pair_w = (mask[1:] * mask[:-1]).reshape(-1)  # bootstrap pair validity
+    else:
+        pair_w = None
 
     # Donation is skipped while hot-tau demotion is possible (mega layout
     # AND the fused path actually eligible for this cfg/state/batch): the
@@ -536,8 +622,10 @@ def fit(
     # keeping the input buffers alive. Runs that can never take the mega
     # path (f64 parity, fused_step='off', small-batch SGP routing, CPU)
     # keep donating.
-    mega_possible = cfg.fused_epoch == "mega" and _fused.fused_enabled(
-        cfg, state, n_batch=n_batch
+    mega_possible = (
+        mask is None
+        and cfg.fused_epoch == "mega"
+        and _fused.fused_enabled(cfg, state, n_batch=n_batch)
     )
     donate = donate and not mega_possible
     epoch_fn = jax.jit(
@@ -575,7 +663,7 @@ def fit(
         backup = state if (mega_guard and not warm_up) else None
         result = epoch_fn(
             cfg_run, flags, state, y, us, k_epoch, jnp.asarray(lr, cfg.jdtype),
-            noise=noise,
+            noise=noise, mask=mask,
         )
         if (
             mega_guard
@@ -632,19 +720,29 @@ def fit(
             callback(epoch, epoch_loss, result)
 
         if warm_up:
-            if _isclose(epoch_loss, running_loss, rtol):
+            plateau = _isclose(epoch_loss, running_loss, rtol)
+            forced = cfg.warmup_max > 0 and epoch + 1 >= cfg.warmup_max
+            if plateau or forced:
+                if forced and not plateau:
+                    logger.warning(
+                        "Warm-up plateau never fired within warmup_max=%d "
+                        "epochs; forcing the phase transition (decoder "
+                        "freeze + dynamics bootstrap).", cfg.warmup_max,
+                    )
                 warm_up = False
                 running_loss = epoch_loss
                 logger.info("Warm up stopped at epoch %d.", epoch)
                 key, k_init = jax.random.split(key)
                 state = _bootstrap_dynamics(cfg, state, init_fn,
-                                            result.q_means, us, k_init)
+                                            result.q_means, us, k_init,
+                                            pair_w=pair_w)
         else:
             if _isclose(epoch_loss, running_loss, rtol):
                 logger.info("Converged at epoch %d.", epoch)
                 break
             if cfg.dynamics == "sgp" and cfg.sgp_adapt_lr > 0:
-                state = _sgp_adapt_step(cfg, state, result.q_means, us)
+                state = _sgp_adapt_step(cfg, state, result.q_means, us,
+                                        pair_w=pair_w)
 
         running_loss = (
             beta * running_loss + (1 - beta) * epoch_loss if epoch > 0 else epoch_loss
@@ -658,19 +756,22 @@ def fit(
     )
 
 
-def _bootstrap_dynamics(cfg, state, init_fn, q_means, us, key):
+def _bootstrap_dynamics(cfg, state, init_fn, q_means, us, key, pair_w=None):
     """Warm-up-end phase transition (``vjf/model.py:283-291``): re-init the
     dynamics from the pooled posterior means — shared by the per-epoch and
-    block-dispatch fit loops."""
+    block-dispatch fit loops. ``pair_w``: optional (N,) validity of each
+    pooled ``(x[t-1] -> x[t])`` pair (ragged trials — frozen-carry
+    duplicates have ``dx = 0`` and would otherwise teach ``f = 0``)."""
     xt = q_means[1:].reshape(-1, cfg.xdim)
     xs = q_means[:-1].reshape(-1, cfg.xdim)
     u_init = us[1:].reshape(-1, cfg.udim) if cfg.udim > 0 else None
     return state._replace(
-        dynamics=init_fn(cfg, key, state.dynamics, xt, xs, u_init)
+        dynamics=init_fn(cfg, key, state.dynamics, xt, xs, u_init,
+                         weights=pair_w)
     )
 
 
-def _sgp_adapt_step(cfg, state, q_means, us):
+def _sgp_adapt_step(cfg, state, q_means, us, pair_w=None):
     """Slow-timescale SGP kernel-hyperparameter step on the pooled posterior
     means (``gp/sgp.py:adapt_hyperparams``) — shared by both fit loops."""
     from ..gp.sgp import adapt_hyperparams
@@ -681,6 +782,7 @@ def _sgp_adapt_step(cfg, state, q_means, us):
             q_means[1:].reshape(-1, cfg.xdim),
             q_means[:-1].reshape(-1, cfg.xdim),
             us[1:].reshape(-1, cfg.udim) if cfg.udim > 0 else None,
+            weights=pair_w,
         )
     )
 
@@ -697,6 +799,7 @@ def _fit_blocked(
     rtol: float,
     callback=None,
     k_block: int,
+    mask: Optional[Array] = None,
 ) -> FitResult:
     """Block-dispatch fit: K epochs per device round-trip via
     :func:`run_epochs`, with ``fit``'s plateau state machine replayed on the
@@ -721,9 +824,13 @@ def _fit_blocked(
     y = _promote_y(jnp.asarray(y, dtype=cfg.jdtype))
     t_len, n_batch, _ = y.shape
     us = _promote_u(u, t_len, n_batch, cfg.jdtype)
+    mask = _promote_mask(mask, t_len, n_batch, cfg.jdtype)
+    pair_w = (mask[1:] * mask[:-1]).reshape(-1) if mask is not None else None
 
-    mega_possible = cfg.fused_epoch == "mega" and _fused.fused_enabled(
-        cfg, state, n_batch=n_batch
+    mega_possible = (
+        mask is None
+        and cfg.fused_epoch == "mega"
+        and _fused.fused_enabled(cfg, state, n_batch=n_batch)
     )
     epochs_fn = jax.jit(run_epochs, static_argnames=("cfg", "flags"))
     init_fn = jax.jit(
@@ -756,7 +863,7 @@ def _fit_blocked(
             sgd=True, update=True, warm_up=warm_up, train_decoder=warm_up
         )
         backup = state if (mega_guard and not warm_up) else None
-        res = epochs_fn(cfg_run, flags, state, y, us, ekeys, lrs)
+        res = epochs_fn(cfg_run, flags, state, y, us, ekeys, lrs, mask=mask)
         # ONE host transfer per block for the control signals
         vals = np.asarray(
             jnp.concatenate([res.epoch_loss, res.max_tau, res.hot_frac])
@@ -774,7 +881,7 @@ def _fit_blocked(
             )
             cfg_run = cfg_run.replace(fused_step="off")
             mega_guard = False
-            res = epochs_fn(cfg_run, flags, backup, y, us, ekeys, lrs)
+            res = epochs_fn(cfg_run, flags, backup, y, us, ekeys, lrs, mask=mask)
             losses = np.asarray(res.epoch_loss)
         state = res.state
 
@@ -812,6 +919,16 @@ def _fit_blocked(
             )
         epoch += k
         lr *= cfg.lr_decay ** k
+        if (
+            warm_up and not warmup_plateau
+            and cfg.warmup_max > 0 and epoch >= cfg.warmup_max
+        ):
+            warmup_plateau = True
+            logger.warning(
+                "Warm-up plateau never fired within warmup_max=%d epochs; "
+                "forcing the phase transition at the block boundary.",
+                cfg.warmup_max,
+            )
 
         if warm_up and warmup_plateau:
             # phase transition at the block boundary: freeze the decoder and
@@ -820,12 +937,13 @@ def _fit_blocked(
             running_loss = epoch_loss
             key, k_init = jax.random.split(key)
             state = _bootstrap_dynamics(cfg, state, init_fn, res.q_means,
-                                        us, k_init)
+                                        us, k_init, pair_w=pair_w)
         elif not warm_up:
             if converged:
                 break
             if cfg.dynamics == "sgp" and cfg.sgp_adapt_lr > 0:
-                state = _sgp_adapt_step(cfg, state, res.q_means, us)
+                state = _sgp_adapt_step(cfg, state, res.q_means, us,
+                                        pair_w=pair_w)
 
     assert res is not None
     return FitResult(

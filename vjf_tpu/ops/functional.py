@@ -45,13 +45,26 @@ def rbf(x: Array, centroid: Array, width: Array) -> Array:
     return jnp.exp(-0.5 * d2 / (width * width))
 
 
-def gaussian_entropy(q: Gaussian) -> Array:
+def batch_weighted_mean(per_trial: Array, weights: Optional[Array]) -> Array:
+    """Mean of per-trial values ``(B,)``; with 0/1 ``weights`` (ragged-trial
+    masking) the masked entries are *selected* out (NaN-safe — ``where``,
+    not multiply) and the mean renormalizes over the valid count. A
+    fully-masked batch yields 0 (no data, no loss)."""
+    if weights is None:
+        return jnp.mean(per_trial)
+    w = weights.astype(per_trial.dtype)
+    kept = jnp.where(w > 0, per_trial, 0.0) * w
+    return jnp.sum(kept) / jnp.maximum(jnp.sum(w), 1.0)
+
+
+def gaussian_entropy(q: Gaussian, weights: Optional[Array] = None) -> Array:
     """Differential entropy of a diagonal Gaussian, constants dropped.
 
     ``0.5 * sum_dim logvar``, averaged over batch — ``vjf/functional.py:25-29``.
+    ``weights``: optional (B,) 0/1 trial mask (see :func:`batch_weighted_mean`).
     """
     logvar = jnp.atleast_2d(q.logvar)
-    return 0.5 * jnp.mean(jnp.sum(logvar, axis=-1))
+    return batch_weighted_mean(0.5 * jnp.sum(logvar, axis=-1), weights)
 
 
 def gaussian_loss(
@@ -60,6 +73,7 @@ def gaussian_loss(
     logvar: Array,
     *,
     trace_quirk: bool = True,
+    weights: Optional[Array] = None,
 ) -> Array:
     """Expected negative Gaussian log-likelihood (constants dropped).
 
@@ -97,7 +111,7 @@ def gaussian_loss(
             trace = jnp.exp(lv1 - logvar) + jnp.exp(lv2 - logvar)
 
     nll = nll + 0.5 * trace
-    return jnp.mean(jnp.sum(nll, axis=-1))
+    return batch_weighted_mean(jnp.sum(nll, axis=-1), weights)
 
 
 def reparametrize(q: Gaussian, eps: Array) -> Array:

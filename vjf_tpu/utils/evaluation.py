@@ -62,10 +62,19 @@ def forecast_rmse(
     starts = np.linspace(0, t_len - horizon - 2, n_starts).astype(int)
 
     x0 = mu[jnp.asarray(starts)]                       # (M, xdim)
+    uw = None
     if u is not None:
-        raise NotImplementedError("controlled forecast evaluation: pass u=None")
+        # (horizon, M, udim) control windows: ``u[t]`` drives the
+        # transition INTO ``x[t]`` (the filter alignment,
+        # ``vjf/model.py:252-258``), so the rollout from start ``s``
+        # consumes ``u[s+1 : s+1+horizon]``
+        u = np.asarray(u)
+        uw = jnp.asarray(
+            np.stack([u[s + 1 : s + 1 + horizon] for s in starts], axis=1),
+            dtype=mu.dtype,
+        )
     # one batched rollout: forecast() vectorizes over the batch axis
-    xf, yf = core.forecast(cfg, state, x0, key, n_step=horizon, noise=False)
+    xf, yf = core.forecast(cfg, state, x0, key, n_step=horizon, u=uw, noise=False)
     yf = np.asarray(yf)[1:]                            # (h, M, ydim), drop t0
 
     err_model = 0.0
