@@ -245,3 +245,44 @@ def test_make_sharded_epoch_routes_to_fused(key, mesh8):
     out = epoch(state, ys, us, key, jnp.asarray(1e-3, jnp.float32))
     assert np.all(np.isfinite(np.asarray(out.metrics.loss)))
     assert out.q_means.shape == (T, B, cfg.xdim)
+
+
+def test_sharded_masked_epoch_matches_single_device(key, mesh8):
+    """Ragged-trial mask under dp sharding: the mask rides the trial axis
+    and the masked (renormalized) batch reductions still auto-insert the
+    right collectives — sharded == single-device, bit-for-bit tolerance."""
+    cfg, state, ys, us, eps = _setup(key)
+    T, B = ys.shape[:2]
+    # stagger trial lengths across the batch (several end early)
+    mask = np.ones((T, B))
+    for b in range(B):
+        mask[max(4, T - 1 - b % 5):, b] = 0.0
+    mask = jnp.asarray(mask, ys.dtype)
+    flags = StepFlags()
+    lr = jnp.asarray(1e-3)
+
+    ref = core.run_epoch(cfg, flags, state, ys, us, key, lr,
+                         noise=(eps[0], eps[1]), mask=mask)
+
+    epoch = make_sharded_epoch(cfg, flags, mesh8, donate=False)
+    # make_sharded_epoch draws its own noise from `key` — drive the
+    # reference identically by comparing through the same entry instead
+    ref2 = core.run_epoch(cfg, flags, state, ys, us, key, lr, mask=mask)
+    got = epoch(state, ys, us, key, lr, mask=mask)
+
+    np.testing.assert_allclose(
+        np.asarray(got.metrics.loss), np.asarray(ref2.metrics.loss), rtol=1e-8
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.q_means), np.asarray(ref2.q_means), rtol=1e-8, atol=1e-10
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.state.dynamics.blr.w_mean),
+        np.asarray(ref2.state.dynamics.blr.w_mean),
+        rtol=1e-8, atol=1e-12,
+    )
+    # sanity: masking actually changed the trajectory vs the unmasked run
+    assert not np.allclose(np.asarray(ref.metrics.loss),
+                           np.asarray(core.run_epoch(
+                               cfg, flags, state, ys, us, key, lr,
+                               noise=(eps[0], eps[1])).metrics.loss))

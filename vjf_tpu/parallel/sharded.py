@@ -209,7 +209,10 @@ def make_sharded_epoch(cfg: VJFConfig, flags: StepFlags, mesh: Mesh, donate: boo
     def fn(state, ys, us, key, lr):
         return core.run_epoch(cfg_xla, flags, state, ys, us, key, lr)
 
-    def build(state, ys):
+    def fn_masked(state, ys, us, key, lr, mask):
+        return core.run_epoch(cfg_xla, flags, state, ys, us, key, lr, mask=mask)
+
+    def build(state, ys, masked=False):
         nonlocal st_shard
         st_shard = state_shardings(cfg_xla, state, mesh)
         replicated = NamedSharding(mesh, P())
@@ -220,15 +223,19 @@ def make_sharded_epoch(cfg: VJFConfig, flags: StepFlags, mesh: Mesh, donate: boo
             q_logvars=NamedSharding(mesh, P(None, dpax, None)),
             metrics=jax.tree.map(lambda _: replicated, core.Metrics(0, 0, 0, 0)),
         )
+        in_shardings = (
+            st_shard,
+            data_sharding(mesh, ys.shape[-1]),
+            control_sharding(mesh),
+            replicated,
+            replicated,
+        )
+        if masked:
+            # (T, B) trial-validity mask rides the dp axis with the trials
+            in_shardings = in_shardings + (NamedSharding(mesh, P(None, dpax)),)
         return jax.jit(
-            fn,
-            in_shardings=(
-                st_shard,
-                data_sharding(mesh, ys.shape[-1]),
-                control_sharding(mesh),
-                replicated,
-                replicated,
-            ),
+            fn_masked if masked else fn,
+            in_shardings=in_shardings,
             out_shardings=out_shardings,
             donate_argnums=(0,) if donate else (),
         )
@@ -243,9 +250,19 @@ def make_sharded_epoch(cfg: VJFConfig, flags: StepFlags, mesh: Mesh, donate: boo
 
     cache = {}
 
-    def call(state, ys, us, key, lr):
+    def call(state, ys, us, key, lr, mask=None):
         from ..ops.pallas import fused_step as F
 
+        if mask is not None:
+            # ragged trials: XLA path (the fused kernels assume lockstep
+            # batches) with the mask sharded alongside the trials; the
+            # masked batch reductions auto-insert the same collectives
+            mask = jnp.broadcast_to(
+                jnp.asarray(mask, ys.dtype), ys.shape[:2]
+            )
+            if "fn_masked" not in cache:
+                cache["fn_masked"] = build(state, ys, masked=True)
+            return cache["fn_masked"](state, ys, us, key, lr, mask)
         if F.fused_enabled(cfg, state, n_batch=ys.shape[1]):
             if "fused" not in cache:
                 cache["fused"] = build_fused()
