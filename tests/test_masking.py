@@ -177,3 +177,119 @@ def test_fit_blocked_ragged_matches_quality(key):
     assert np.isfinite(res.loss)
     r2 = latent_r2(np.asarray(res.mu[:, 0, :]), x1)
     assert r2 > 0.9, r2
+
+
+# ---------------------------------------------------------------------------
+# channel mask (missing observations / electrode dropout)
+# ---------------------------------------------------------------------------
+
+
+def test_channel_mask_all_ones_matches_unmasked(key):
+    """A channel mask of all ones is numerically the unmasked computation
+    (select no-ops; the weighted obs-noise mse reduces to the plain mean)."""
+    cfg = _cfg()
+    T = 40
+    k1, k2 = jax.random.split(key)
+    ys = jax.random.normal(k1, (T, 2, cfg.ydim), jnp.float32)
+    us = jnp.zeros((T, 2, 0), jnp.float32)
+    eps = jax.random.normal(k2, (T, 2, 2, cfg.xdim), jnp.float32)
+    state = core.init_state(key, cfg)
+    flags = StepFlags()
+    ref = core.run_epoch(cfg, flags, state, ys, us, key, jnp.float32(cfg.lr),
+                         noise=(eps[:, 0], eps[:, 1]))
+    got = core.run_epoch(cfg, flags, state, ys, us, key, jnp.float32(cfg.lr),
+                         noise=(eps[:, 0], eps[:, 1]),
+                         channel_mask=jnp.ones((T, 2, cfg.ydim)))
+    assert _tree_allclose(ref.state, got.state, rtol=1e-5, atol=1e-7)
+    assert np.allclose(np.asarray(ref.metrics.loss),
+                       np.asarray(got.metrics.loss), rtol=1e-5, atol=1e-7)
+
+
+def test_channel_mask_nan_value_invariance(key):
+    """Missing entries' stored values are irrelevant: NaN-filled and
+    zero-filled missing entries give the identical trajectory."""
+    cfg = _cfg()
+    T = 40
+    k1, k2, k3 = jax.random.split(key, 3)
+    ys = jax.random.normal(k1, (T, 2, cfg.ydim), jnp.float32)
+    us = jnp.zeros((T, 2, 0), jnp.float32)
+    eps = jax.random.normal(k2, (T, 2, 2, cfg.xdim), jnp.float32)
+    cm = (jax.random.uniform(k3, (T, 2, cfg.ydim)) > 0.3).astype(jnp.float32)
+    y_nan = jnp.where(cm > 0, ys, jnp.nan)
+    y_zero = jnp.where(cm > 0, ys, 0.0)
+    state = core.init_state(key, cfg)
+    flags = StepFlags()
+    a = core.run_epoch(cfg, flags, state, y_nan, us, key, jnp.float32(cfg.lr),
+                       noise=(eps[:, 0], eps[:, 1]), channel_mask=cm)
+    b = core.run_epoch(cfg, flags, state, y_zero, us, key, jnp.float32(cfg.lr),
+                       noise=(eps[:, 0], eps[:, 1]), channel_mask=cm)
+    assert _tree_allclose(a.state, b.state, rtol=0, atol=0)
+    assert np.array_equal(np.asarray(a.q_means), np.asarray(b.q_means))
+    assert np.all(np.isfinite(np.asarray(a.q_means)))
+    assert np.all(np.isfinite(np.asarray(a.metrics.loss)))
+
+
+def test_fit_channel_dropout_recovery(key):
+    """End-to-end: 30% of observation entries missing at random (NaN); the
+    masked fit still recovers the latent limit cycle."""
+    rng = np.random.default_rng(3)
+    T = 800
+    t = np.arange(T) * 0.05
+    x = np.stack([np.sin(t), np.cos(t)], -1) + 0.02 * rng.normal(size=(T, 2))
+    C = rng.normal(size=(2, 12))
+    y = (x @ C + 0.1 * rng.normal(size=(T, 12))).astype(np.float32)[:, None, :]
+    cm = (rng.uniform(size=y.shape) > 0.3).astype(np.float32)
+    y = np.where(cm > 0, y, np.nan)
+
+    cfg = _cfg(ydim=12, n_rbf=30, hidden_sizes=(12,), lr=3e-3, rtol=2e-3,
+               rls_shrink=0.999, chol_jitter=1e-3)
+    state = core.init_state(key, cfg)
+    res = core.fit(cfg, state, y, key=key, max_iter=30, channel_mask=cm)
+    assert not res.warm_up, "warm-up never ended under channel dropout"
+    assert np.isfinite(res.loss)
+    r2 = latent_r2(np.asarray(res.mu[:, 0, :]), x)
+    assert r2 > 0.85, r2
+
+
+def test_poisson_channel_dropout_finite(key):
+    """Poisson likelihood with dropout: the imputation feeds rates (count
+    scale) to the recognition net and the run stays finite."""
+    cfg = _cfg(likelihood="poisson", ydim=10)
+    T = 60
+    k1, k2 = jax.random.split(key)
+    ys = jax.random.poisson(k1, 2.0, (T, 2, cfg.ydim)).astype(jnp.float32)
+    us = jnp.zeros((T, 2, 0), jnp.float32)
+    cm = (jax.random.uniform(k2, (T, 2, cfg.ydim)) > 0.4).astype(jnp.float32)
+    ys = jnp.where(cm > 0, ys, jnp.nan)
+    state = core.init_state(key, cfg)
+    res = core.run_epoch(cfg, StepFlags(), state, ys, us, key,
+                         jnp.float32(cfg.lr), channel_mask=cm)
+    assert np.all(np.isfinite(np.asarray(res.metrics.loss)))
+    assert np.all(np.isfinite(np.asarray(res.q_means)))
+
+
+def test_oo_filter_channel_mask(key):
+    """OO facade: ``VJF.filter(channel_mask=...)`` — all-ones mask matches
+    the unmasked step; a half-masked NaN observation still filters finitely."""
+    from vjf_tpu.api import VJF
+
+    ydim = 8
+    model = VJF.make_model(ydim, 2, n_rbf=12, hidden_sizes=[8],
+                           likelihood="gaussian", seed=0,
+                           fused_step="off", rls_backend="nsv")
+    model2 = VJF.make_model(ydim, 2, n_rbf=12, hidden_sizes=[8],
+                            likelihood="gaussian", seed=0,
+                            fused_step="off", rls_backend="nsv")
+    y = np.asarray(jax.random.normal(key, (1, ydim), jnp.float32))
+    q1, l1 = model.filter(y)
+    q2, l2 = model2.filter(y, channel_mask=np.ones((1, ydim), np.float32))
+    assert np.allclose(float(l1), float(l2), rtol=1e-6)
+    assert np.allclose(np.asarray(q1.mean), np.asarray(q2.mean), rtol=1e-6)
+
+    y_miss = y.copy()
+    y_miss[0, : ydim // 2] = np.nan
+    cmask = np.ones((1, ydim), np.float32)
+    cmask[0, : ydim // 2] = 0.0
+    q3, l3 = model2.filter(y_miss, qs=q2, channel_mask=cmask)
+    assert np.isfinite(float(l3))
+    assert np.all(np.isfinite(np.asarray(q3.mean)))

@@ -111,18 +111,31 @@ class VJF:
         update: bool = True,
         warm_up: bool = False,
         verbose: bool = False,
+        channel_mask: Optional[Array] = None,
     ) -> Tuple:
         """One online filter-then-learn step — ``VJF.filter``
         (``vjf/model.py:179-221``). Call repeatedly with the returned
         posterior for true streaming use. ``verbose=True`` additionally
         returns the ELBO components (recon, dynamics, entropy), mirroring
-        the reference's verbose output."""
+        the reference's verbose output.
+
+        ``channel_mask``: optional (B, ydim) 0/1 missing-observation mask
+        (electrode dropout): masked entries drop out of the likelihood and
+        noise updates and the recognition input sees the model's own
+        prediction — a genuine partial-observation filter step. Missing
+        ``y`` entries may be NaN.
+        """
         cfg = self.cfg
         y = jnp.atleast_2d(jnp.asarray(y, dtype=cfg.jdtype))
         if u is not None:
             u = jnp.atleast_2d(jnp.asarray(u, dtype=cfg.jdtype))
         if qs is None:
             qs = core.prior(self.state.params, y.shape[0])
+        if channel_mask is not None:
+            channel_mask = jnp.broadcast_to(
+                jnp.atleast_2d(jnp.asarray(channel_mask, dtype=cfg.jdtype)),
+                y.shape,
+            )
         flags = StepFlags(
             sgd=sgd, update=update, warm_up=warm_up,
             train_decoder=not self._decoder_frozen,
@@ -130,7 +143,8 @@ class VJF:
         self.key, k = jax.random.split(self.key)
         eps = jax.random.normal(k, (2, y.shape[0], cfg.xdim), cfg.jdtype)
         self.state, qt, metrics = self._step_fn(
-            cfg, flags, self.state, qs, y, u, eps[0], eps[1], jnp.asarray(self._lr, cfg.jdtype)
+            cfg, flags, self.state, qs, y, u, eps[0], eps[1],
+            jnp.asarray(self._lr, cfg.jdtype), channel_mask=channel_mask,
         )
         if verbose:
             return qt, metrics.loss, metrics.recon, metrics.dynamics, metrics.entropy
@@ -299,6 +313,7 @@ class VJF:
         callback=None,
         epochs_per_dispatch: int = 1,
         mask: Optional[Array] = None,
+        channel_mask: Optional[Array] = None,
     ) -> Tuple[Array, Array, float]:
         """Epoch training with warm-up — ``VJF.fit`` (``vjf/model.py:223-307``).
 
@@ -312,6 +327,12 @@ class VJF:
         contribute nothing (loss / gradients / RLS / noise updates /
         bootstrap), their posterior carry freezes, and padding values are
         ignored entirely. Runs on the XLA path.
+
+        ``channel_mask``: optional (T, ydim) / (T, B, ydim) 0/1
+        missing-observation mask (electrode dropout): masked entries drop
+        out of the likelihood/noise updates, the recognition input sees
+        the model's imputation, and missing ``y`` values may be NaN.
+        Composes with ``mask``. Runs on the XLA path.
 
         :return: (posterior means (T, B, xdim), log-variances, final loss)
         """
@@ -332,6 +353,7 @@ class VJF:
             callback=callback,
             epochs_per_dispatch=epochs_per_dispatch,
             mask=mask,
+            channel_mask=channel_mask,
         )
         self.state = result.state
         if not result.warm_up:

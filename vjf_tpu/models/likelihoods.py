@@ -41,22 +41,34 @@ def init_poisson_lik(dtype=jnp.float32) -> PoissonLikParams:
 def gaussian_nll(
     params: GaussianLikParams, eta: Array, target: Array,
     weights: Optional[Array] = None,
+    channel_mask: Optional[Array] = None,
 ) -> Array:
-    """``gaussian_loss(target, eta, logvar)`` — ``likelihood.py:19-26``."""
-    return gaussian_loss(target, eta, params.logvar, weights=weights)
+    """``gaussian_loss(target, eta, logvar)`` — ``likelihood.py:19-26``.
+
+    ``channel_mask``: optional (B, ydim) 0/1 — missing observations; a
+    masked entry's term is dropped from the channel sum (exact likelihood
+    of the observed entries).
+    """
+    return gaussian_loss(target, eta, params.logvar, weights=weights,
+                         channel_mask=channel_mask)
 
 
 def poisson_nll(
     eta: Array, target: Array, clamp: float = 10.0,
     weights: Optional[Array] = None,
+    channel_mask: Optional[Array] = None,
 ) -> Array:
     """Canonical-link Poisson NLL, rate clamp at ``clamp``; sum over
     channels, mean over batch — ``likelihood.py:51-62`` (torch
     ``poisson_nll_loss(log_input=True, full=False)`` semantics:
-    ``exp(eta) - target * eta``). ``weights``: optional (B,) 0/1 trial mask.
+    ``exp(eta) - target * eta``). ``weights``: optional (B,) 0/1 trial
+    mask; ``channel_mask``: optional (B, ydim) 0/1 missing-observation
+    mask (masked entries drop out of the channel sum).
     """
     eta = jnp.minimum(eta, clamp)
     nll = jnp.exp(eta) - target * eta
+    if channel_mask is not None:
+        nll = jnp.where(channel_mask > 0, nll, 0.0)
     return batch_weighted_mean(jnp.sum(nll, axis=-1), weights)
 
 
@@ -68,15 +80,26 @@ def gaussian_lik_update(
     size_cap: int = 1000,
     logvar_clamp: float = 30.0,
     weights: Optional[Array] = None,
+    channel_mask: Optional[Array] = None,
 ) -> Tuple[GaussianLikParams, Array]:
     """Running-variance overwrite of the observation noise —
     ``likelihood.py:28-40``. ``new_size`` is the batch size (rows), the mse
     averages over batch *and* channels, matching the reference. The clamp
     is a runaway guard (see VJFConfig.logvar_clamp). With ``weights`` (a
     (B,) 0/1 trial mask), masked rows are excluded from the mse and the
-    sample count; an all-masked batch is a no-op.
+    sample count; an all-masked batch is a no-op. With ``channel_mask``
+    (a (B, ydim) 0/1 missing-observation mask, folded with ``weights``),
+    the mse runs over the observed entries only and the sample count is
+    the fractional row count ``sum(mask) / ydim``.
     """
-    if weights is None:
+    if channel_mask is not None:
+        m = channel_mask.astype(eta.dtype)
+        if weights is not None:
+            m = m * weights.astype(eta.dtype)[:, None]
+        sq = jnp.where(m > 0, jnp.square(target - eta), 0.0) * m
+        mse = jnp.sum(sq) / jnp.maximum(jnp.sum(m), 1.0)
+        count = jnp.sum(m) / eta.shape[-1]
+    elif weights is None:
         mse = jnp.mean(jnp.square(target - eta))
         count = eta.shape[0]
     else:

@@ -143,10 +143,29 @@ def prior(params: Params, n_batch: int) -> Gaussian:
 def _likelihood_loss(
     cfg: VJFConfig, lik_params, py: Array, y: Array,
     weights: Optional[Array] = None,
+    channel_mask: Optional[Array] = None,
 ) -> Array:
     if cfg.likelihood == "gaussian":
-        return gaussian_nll(lik_params, py, y, weights=weights)
-    return poisson_nll(py, y, clamp=cfg.poisson_clamp, weights=weights)
+        return gaussian_nll(lik_params, py, y, weights=weights,
+                            channel_mask=channel_mask)
+    return poisson_nll(py, y, clamp=cfg.poisson_clamp, weights=weights,
+                       channel_mask=channel_mask)
+
+
+def _impute_y(cfg: VJFConfig, params: Params, qs: Gaussian, y: Array,
+              channel_mask: Array) -> Array:
+    """Model-based imputation of missing observation channels for the
+    recognition input: masked entries are replaced by the decoder's
+    prediction from the previous posterior mean (Gaussian: the predicted
+    mean; Poisson: the predicted rate ``exp(min(eta, clamp))`` — the
+    recognition net sees count-scale inputs). ``stop_gradient`` keeps the
+    imputation from coupling the decoder into the recognition gradient —
+    it is an input preprocessing step, not part of the ELBO."""
+    eta = decode(params.decoder, jnp.atleast_2d(qs.mean))
+    if cfg.likelihood != "gaussian":
+        eta = jnp.exp(jnp.minimum(eta, cfg.poisson_clamp))
+    y_hat = jax.lax.stop_gradient(eta)
+    return jnp.where(channel_mask > 0, y, y_hat)
 
 
 def _transition(cfg: VJFConfig):
@@ -167,6 +186,7 @@ def elbo_terms(
     eps_s: Array,
     eps_t: Array,
     weights: Optional[Array] = None,
+    channel_mask: Optional[Array] = None,
 ) -> Tuple[Tuple[Array, Array, Array], Tuple[Gaussian, Array, Array, Array]]:
     """Forward pass + the three ELBO components — ``vjf/model.py:97-154``.
 
@@ -174,13 +194,20 @@ def elbo_terms(
     x[t] ~ q[t]) so parity harnesses can drive both frameworks with shared
     randomness. ``weights``: optional (B,) 0/1 trial mask — every batch
     reduction becomes a masked mean over the valid trials (ragged trials).
+    ``channel_mask``: optional (B, ydim) 0/1 missing-observation mask —
+    masked entries drop out of the likelihood channel sum and the
+    recognition input sees the model's imputation (:func:`_impute_y`);
+    ``y`` must already be sanitized at masked entries (finite values).
     """
     tr = _transition(cfg)
     xs = reparametrize(qs, eps_s)                        # vjf/model.py:112
     feat = tr.features(dynamics, xs, u)                  # shared: predict + RLS
     pt = tr.predict_from_features(dynamics, xs, feat, cfg.leak)
+    y_rec = y if channel_mask is None else _impute_y(
+        cfg, params, qs, y, channel_mask
+    )
     qt = apply_recognition(
-        params.recognition, y, qs, u, activation=cfg.recognition_activation
+        params.recognition, y_rec, qs, u, activation=cfg.recognition_activation
     )                                                    # vjf/model.py:116
     # runaway guard: never binds in sane regimes (see VJFConfig.logvar_clamp)
     qt = Gaussian(qt.mean, jnp.clip(qt.logvar, -cfg.logvar_clamp, cfg.logvar_clamp))
@@ -188,7 +215,8 @@ def elbo_terms(
     py = decode(params.decoder, xt)                      # sample decode, model.py:120
 
     l_recon = finite_or_zero(
-        _likelihood_loss(cfg, params.likelihood, py, y, weights=weights)
+        _likelihood_loss(cfg, params.likelihood, py, y, weights=weights,
+                         channel_mask=channel_mask)
     )
     l_dyn = finite_or_zero(
         tr.dynamics_loss(dynamics, pt, qt, trace_quirk=cfg.trace_quirk,
@@ -209,6 +237,7 @@ def filter_step(
     eps_t: Array,
     lr: Array,
     mask: Optional[Array] = None,
+    channel_mask: Optional[Array] = None,
 ) -> Tuple[TrainState, Gaussian, Metrics]:
     """One fused filter-then-learn step — the body of ``VJF.filter``
     (``vjf/model.py:179-221``), compiled as a single XLA computation.
@@ -225,10 +254,26 @@ def filter_step(
     renormalization over the valid count, and its posterior carry is frozen
     at the last valid value. ``mask=None`` traces to the identical
     computation as before (the fused Pallas path never passes one).
+
+    ``channel_mask``: optional (B, ydim) 0/1 missing-observation mask
+    (electrode dropout — no reference counterpart). Masked entries drop
+    out of the likelihood channel sum and the obs-noise update; the
+    recognition input sees the model's imputation (the decoder's
+    prediction from q[t-1]) at missing entries, so the posterior update
+    is a genuine partial-observation filter step (an all-masked row is a
+    pure prediction step). The carry does NOT freeze — that's the trial
+    mask's job. Missing entries of ``y`` may hold arbitrary values
+    (NaN-safe). Composes with ``mask``.
     """
     qs = jax.lax.stop_gradient(Gaussian(*qs))            # detach, vjf/model.py:45-47,110
     y = jnp.atleast_2d(y)
     weights = None
+    if channel_mask is not None:
+        cm = jnp.atleast_2d(channel_mask).astype(bool)   # (B, ydim)
+        # sanitize: NaN at missing entries would poison the backward pass
+        # (0-cotangent x NaN-activation = NaN in grad sums)
+        y = jnp.where(cm, y, 0.0)
+        channel_mask = cm.astype(y.dtype)
     if mask is not None:
         mb = jnp.atleast_1d(mask).astype(bool)           # (B,)
         weights = mb.astype(y.dtype)
@@ -241,7 +286,7 @@ def filter_step(
     def loss_fn(params: Params):
         (l_recon, l_dyn, h), aux = elbo_terms(
             cfg, params, state.dynamics, qs, y, u, eps_s, eps_t,
-            weights=weights,
+            weights=weights, channel_mask=channel_mask,
         )
         loss = l_recon - h
         if not flags.warm_up:                            # vjf/model.py:147-149
@@ -293,7 +338,7 @@ def filter_step(
             new_lik, lik_n = gaussian_lik_update(
                 new_params.likelihood, lik_n, py, y,
                 size_cap=cfg.obs_var_cap, logvar_clamp=cfg.logvar_clamp,
-                weights=weights,
+                weights=weights, channel_mask=channel_mask,
             )
             new_params = new_params._replace(likelihood=new_lik)
     if flags.update and flags.update_transition:
@@ -356,6 +401,7 @@ def run_epoch(
     noise: Optional[Tuple[Array, Array]] = None,
     q0: Optional[Gaussian] = None,
     mask: Optional[Array] = None,
+    channel_mask: Optional[Array] = None,
 ) -> EpochResult:
     """One full pass over time as a single ``lax.scan`` — replaces the hot
     Python loop at ``vjf/model.py:252-258``.
@@ -369,8 +415,13 @@ def run_epoch(
     :param mask: optional (T, B) 0/1 trial-validity mask (ragged trials —
         see :func:`filter_step`); forces the XLA path (the fused kernels
         assume lockstep batches)
+    :param channel_mask: optional (T, B, ydim) 0/1 missing-observation mask
+        (electrode dropout — see :func:`filter_step`); forces the XLA path
     """
-    if mask is None and _fused.fused_enabled(cfg, state, n_batch=ys.shape[1]):
+    if (
+        mask is None and channel_mask is None
+        and _fused.fused_enabled(cfg, state, n_batch=ys.shape[1])
+    ):
         return _fused.run_epoch_fused(
             cfg, flags, state, ys, us, key, lr, noise=noise, q0=q0
         )
@@ -386,29 +437,32 @@ def run_epoch(
         eps = jax.random.normal(key, (t_len, 2, n_batch, xdim), ys.dtype)
         noise = (eps[:, 0], eps[:, 1])
 
-    if mask is None:
+    # mask-free trace: identical to the pre-mask computation (None-ness is
+    # preserved into filter_step so the unmasked path is untouched)
+    have_m = mask is not None
+    have_cm = channel_mask is not None
+    scan_elems = [ys, us, noise[0], noise[1]]
+    if have_m:
+        scan_elems.append(jnp.broadcast_to(jnp.asarray(mask), (t_len, n_batch)))
+    if have_cm:
+        scan_elems.append(
+            jnp.broadcast_to(jnp.asarray(channel_mask), ys.shape)
+        )
 
-        def body(carry, inp):                     # mask-free trace: identical
-            st, q = carry                         # to the pre-mask computation
-            y, u, eps_s, eps_t = inp
-            st, q, metrics = filter_step(cfg, flags, st, q, y, u, eps_s, eps_t, lr)
-            return (st, q), (q, metrics)
+    def body(carry, inp):
+        st, q = carry
+        y, u, eps_s, eps_t, *rest = inp
+        m = rest[0] if have_m else None
+        cmk = rest[-1] if have_cm else None
+        st, q, metrics = filter_step(
+            cfg, flags, st, q, y, u, eps_s, eps_t, lr,
+            mask=m, channel_mask=cmk,
+        )
+        return (st, q), (q, metrics)
 
-        scan_in = (ys, us, noise[0], noise[1])
-    else:
-
-        def body(carry, inp):
-            st, q = carry
-            y, u, eps_s, eps_t, m = inp
-            st, q, metrics = filter_step(
-                cfg, flags, st, q, y, u, eps_s, eps_t, lr, mask=m
-            )
-            return (st, q), (q, metrics)
-
-        masks = jnp.broadcast_to(jnp.asarray(mask), (t_len, n_batch))
-        scan_in = (ys, us, noise[0], noise[1], masks)
-
-    (state, _), (q_seq, metrics) = jax.lax.scan(body, (state, q0), scan_in)
+    (state, _), (q_seq, metrics) = jax.lax.scan(
+        body, (state, q0), tuple(scan_elems)
+    )
     return EpochResult(state, q_seq.mean, q_seq.logvar, metrics)
 
 
@@ -434,6 +488,7 @@ def run_epochs(
     lrs: Array,
     q0: Optional[Gaussian] = None,
     mask: Optional[Array] = None,
+    channel_mask: Optional[Array] = None,
 ) -> EpochsResult:
     """Run ``len(keys)`` consecutive epochs in ONE compiled computation.
 
@@ -456,7 +511,8 @@ def run_epochs(
     def body(carry, inp):
         st, _, _ = carry
         key, lr = inp
-        res = run_epoch(cfg, flags, st, ys, us, key, lr, q0=q0, mask=mask)
+        res = run_epoch(cfg, flags, st, ys, us, key, lr, q0=q0, mask=mask,
+                        channel_mask=channel_mask)
         mean_m = jax.tree.map(jnp.mean, res.metrics)
         # post-prefix only: inside the exact-inverse prefix tau may spike
         # (including the forced-fallback inf marker) by design — the cond
@@ -550,6 +606,21 @@ def _promote_mask(
     return mask
 
 
+def _promote_channel_mask(
+    channel_mask: Optional[Array], y_shape, dtype
+) -> Optional[Array]:
+    """Promote a (T, ydim) / (T, B, ydim) missing-observation mask to
+    (T, B, ydim) floats."""
+    if channel_mask is None:
+        return None
+    cm = jnp.asarray(channel_mask).astype(dtype)
+    if cm.ndim == 2:
+        cm = cm[:, None, :]
+    if cm.shape != tuple(y_shape):
+        cm = jnp.broadcast_to(cm, tuple(y_shape))
+    return cm
+
+
 def fit(
     cfg: VJFConfig,
     state: TrainState,
@@ -565,6 +636,7 @@ def fit(
     noise_hook=None,
     epochs_per_dispatch: int = 1,
     mask: Optional[Array] = None,
+    channel_mask: Optional[Array] = None,
 ) -> FitResult:
     """Epoch training loop with warm-up — ``VJF.fit`` (``vjf/model.py:223-307``).
 
@@ -601,13 +673,14 @@ def fit(
         return _fit_blocked(
             cfg, state, y, u, key=key, max_iter=max_iter, beta=beta,
             rtol=rtol, callback=callback, k_block=int(epochs_per_dispatch),
-            mask=mask,
+            mask=mask, channel_mask=channel_mask,
         )
 
     y = _promote_y(jnp.asarray(y, dtype=cfg.jdtype))
     t_len, n_batch, _ = y.shape
     us = _promote_u(u, t_len, n_batch, cfg.jdtype)
     mask = _promote_mask(mask, t_len, n_batch, cfg.jdtype)
+    channel_mask = _promote_channel_mask(channel_mask, y.shape, cfg.jdtype)
     if mask is not None:
         pair_w = (mask[1:] * mask[:-1]).reshape(-1)  # bootstrap pair validity
     else:
@@ -623,7 +696,7 @@ def fit(
     # path (f64 parity, fused_step='off', small-batch SGP routing, CPU)
     # keep donating.
     mega_possible = (
-        mask is None
+        mask is None and channel_mask is None
         and cfg.fused_epoch == "mega"
         and _fused.fused_enabled(cfg, state, n_batch=n_batch)
     )
@@ -663,7 +736,7 @@ def fit(
         backup = state if (mega_guard and not warm_up) else None
         result = epoch_fn(
             cfg_run, flags, state, y, us, k_epoch, jnp.asarray(lr, cfg.jdtype),
-            noise=noise, mask=mask,
+            noise=noise, mask=mask, channel_mask=channel_mask,
         )
         if (
             mega_guard
@@ -800,6 +873,7 @@ def _fit_blocked(
     callback=None,
     k_block: int,
     mask: Optional[Array] = None,
+    channel_mask: Optional[Array] = None,
 ) -> FitResult:
     """Block-dispatch fit: K epochs per device round-trip via
     :func:`run_epochs`, with ``fit``'s plateau state machine replayed on the
@@ -825,10 +899,11 @@ def _fit_blocked(
     t_len, n_batch, _ = y.shape
     us = _promote_u(u, t_len, n_batch, cfg.jdtype)
     mask = _promote_mask(mask, t_len, n_batch, cfg.jdtype)
+    channel_mask = _promote_channel_mask(channel_mask, y.shape, cfg.jdtype)
     pair_w = (mask[1:] * mask[:-1]).reshape(-1) if mask is not None else None
 
     mega_possible = (
-        mask is None
+        mask is None and channel_mask is None
         and cfg.fused_epoch == "mega"
         and _fused.fused_enabled(cfg, state, n_batch=n_batch)
     )
@@ -863,7 +938,8 @@ def _fit_blocked(
             sgd=True, update=True, warm_up=warm_up, train_decoder=warm_up
         )
         backup = state if (mega_guard and not warm_up) else None
-        res = epochs_fn(cfg_run, flags, state, y, us, ekeys, lrs, mask=mask)
+        res = epochs_fn(cfg_run, flags, state, y, us, ekeys, lrs, mask=mask,
+                        channel_mask=channel_mask)
         # ONE host transfer per block for the control signals
         vals = np.asarray(
             jnp.concatenate([res.epoch_loss, res.max_tau, res.hot_frac])
@@ -881,7 +957,8 @@ def _fit_blocked(
             )
             cfg_run = cfg_run.replace(fused_step="off")
             mega_guard = False
-            res = epochs_fn(cfg_run, flags, backup, y, us, ekeys, lrs, mask=mask)
+            res = epochs_fn(cfg_run, flags, backup, y, us, ekeys, lrs,
+                            mask=mask, channel_mask=channel_mask)
             losses = np.asarray(res.epoch_loss)
         state = res.state
 

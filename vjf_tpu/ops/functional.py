@@ -74,6 +74,7 @@ def gaussian_loss(
     *,
     trace_quirk: bool = True,
     weights: Optional[Array] = None,
+    channel_mask: Optional[Array] = None,
 ) -> Array:
     """Expected negative Gaussian log-likelihood (constants dropped).
 
@@ -111,6 +112,11 @@ def gaussian_loss(
             trace = jnp.exp(lv1 - logvar) + jnp.exp(lv2 - logvar)
 
     nll = nll + 0.5 * trace
+    if channel_mask is not None:
+        # missing observations: a masked (b, d) entry's term is *selected*
+        # out of the channel sum — the exact log-likelihood of the observed
+        # entries (no renormalization; NLL is a sum, not a mean, over dims)
+        nll = jnp.where(jnp.atleast_2d(channel_mask) > 0, nll, 0.0)
     return batch_weighted_mean(jnp.sum(nll, axis=-1), weights)
 
 
