@@ -286,3 +286,34 @@ def test_sharded_masked_epoch_matches_single_device(key, mesh8):
                            np.asarray(core.run_epoch(
                                cfg, flags, state, ys, us, key, lr,
                                noise=(eps[0], eps[1])).metrics.loss))
+
+
+def test_sharded_channel_mask_matches_single_device(key, mesh8):
+    """Missing-observation mask under dp sharding == single-device; also
+    composes with the trial mask in the same sharded call."""
+    cfg, state, ys, us, eps = _setup(key)
+    T, B = ys.shape[:2]
+    rng = np.random.default_rng(0)
+    cm = jnp.asarray((rng.uniform(size=ys.shape) > 0.25).astype(np.float64))
+    mask = np.ones((T, B)); mask[T - 3:, ::2] = 0.0
+    mask = jnp.asarray(mask, ys.dtype)
+    flags = StepFlags()
+    lr = jnp.asarray(1e-3)
+
+    epoch = make_sharded_epoch(cfg, flags, mesh8, donate=False)
+    for kwargs in ({"channel_mask": cm}, {"channel_mask": cm, "mask": mask}):
+        ref = core.run_epoch(cfg, flags, state, ys, us, key, lr, **kwargs)
+        got = epoch(state, ys, us, key, lr, **kwargs)
+        np.testing.assert_allclose(
+            np.asarray(got.metrics.loss), np.asarray(ref.metrics.loss),
+            rtol=1e-8,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got.q_means), np.asarray(ref.q_means),
+            rtol=1e-8, atol=1e-10,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got.state.dynamics.blr.w_mean),
+            np.asarray(ref.state.dynamics.blr.w_mean),
+            rtol=1e-8, atol=1e-12,
+        )

@@ -209,10 +209,18 @@ def make_sharded_epoch(cfg: VJFConfig, flags: StepFlags, mesh: Mesh, donate: boo
     def fn(state, ys, us, key, lr):
         return core.run_epoch(cfg_xla, flags, state, ys, us, key, lr)
 
-    def fn_masked(state, ys, us, key, lr, mask):
-        return core.run_epoch(cfg_xla, flags, state, ys, us, key, lr, mask=mask)
+    def make_masked_fn(have_m, have_cm):
+        def fn_m(state, ys, us, key, lr, *rest):
+            kw = {}
+            if have_m:
+                kw["mask"] = rest[0]
+            if have_cm:
+                kw["channel_mask"] = rest[-1]
+            return core.run_epoch(cfg_xla, flags, state, ys, us, key, lr, **kw)
 
-    def build(state, ys, masked=False):
+        return fn_m
+
+    def build(state, ys, masked=False, chmasked=False):
         nonlocal st_shard
         st_shard = state_shardings(cfg_xla, state, mesh)
         replicated = NamedSharding(mesh, P())
@@ -233,8 +241,11 @@ def make_sharded_epoch(cfg: VJFConfig, flags: StepFlags, mesh: Mesh, donate: boo
         if masked:
             # (T, B) trial-validity mask rides the dp axis with the trials
             in_shardings = in_shardings + (NamedSharding(mesh, P(None, dpax)),)
+        if chmasked:
+            # (T, B, ydim) missing-observation mask shards exactly like ys
+            in_shardings = in_shardings + (data_sharding(mesh, ys.shape[-1]),)
         return jax.jit(
-            fn_masked if masked else fn,
+            make_masked_fn(masked, chmasked) if (masked or chmasked) else fn,
             in_shardings=in_shardings,
             out_shardings=out_shardings,
             donate_argnums=(0,) if donate else (),
@@ -250,19 +261,28 @@ def make_sharded_epoch(cfg: VJFConfig, flags: StepFlags, mesh: Mesh, donate: boo
 
     cache = {}
 
-    def call(state, ys, us, key, lr, mask=None):
+    def call(state, ys, us, key, lr, mask=None, channel_mask=None):
         from ..ops.pallas import fused_step as F
 
-        if mask is not None:
-            # ragged trials: XLA path (the fused kernels assume lockstep
-            # batches) with the mask sharded alongside the trials; the
-            # masked batch reductions auto-insert the same collectives
-            mask = jnp.broadcast_to(
-                jnp.asarray(mask, ys.dtype), ys.shape[:2]
-            )
-            if "fn_masked" not in cache:
-                cache["fn_masked"] = build(state, ys, masked=True)
-            return cache["fn_masked"](state, ys, us, key, lr, mask)
+        if mask is not None or channel_mask is not None:
+            # ragged trials / missing observations: XLA path (the fused
+            # kernels assume lockstep, fully-observed batches) with each
+            # mask sharded alongside the data it gates; the masked batch
+            # reductions auto-insert the same collectives
+            rest = []
+            if mask is not None:
+                rest.append(jnp.broadcast_to(
+                    jnp.asarray(mask, ys.dtype), ys.shape[:2]
+                ))
+            if channel_mask is not None:
+                rest.append(jnp.broadcast_to(
+                    jnp.asarray(channel_mask, ys.dtype), ys.shape
+                ))
+            k = ("fn_masked", mask is not None, channel_mask is not None)
+            if k not in cache:
+                cache[k] = build(state, ys, masked=mask is not None,
+                                 chmasked=channel_mask is not None)
+            return cache[k](state, ys, us, key, lr, *rest)
         if F.fused_enabled(cfg, state, n_batch=ys.shape[1]):
             if "fused" not in cache:
                 cache["fused"] = build_fused()
