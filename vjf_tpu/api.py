@@ -380,7 +380,8 @@ class VJF:
         )
 
     # -- post-hoc smoothing (capability beyond the reference) -------------
-    def smooth(self, y: Array, x_ref: Optional[Array] = None):
+    def smooth(self, y: Array, x_ref: Optional[Array] = None,
+               channel_mask: Optional[Array] = None):
         """Parallel-in-time RTS smoothing of one (T, ydim) sequence under
         the trained model — O(log T) depth via the associative-scan Kalman
         core (``models/smoothing.py``). Gaussian likelihoods use the
@@ -391,11 +392,16 @@ class VJF:
         origin) or a ``(T, xdim)`` reference trajectory such as the
         filter's posterior means (per-step affine dynamics, transition
         into step t linearized at ``x_ref[t-1]``).
+
+        ``channel_mask``: optional (T, ydim) 0/1 missing-observation mask
+        — masked entries drop out of the update exactly (variance
+        inflation); their stored values may be NaN.
         """
         from .models import smoothing
 
         return smoothing.smooth(
-            self.cfg, self.state, jnp.asarray(y, self.cfg.jdtype), x_ref=x_ref
+            self.cfg, self.state, jnp.asarray(y, self.cfg.jdtype), x_ref=x_ref,
+            channel_mask=channel_mask,
         )
 
     # -- velocity field (used by the example's streamplot) ----------------

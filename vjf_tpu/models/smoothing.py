@@ -71,11 +71,24 @@ def _linearize_for_sequence(
     return linearize_dynamics(cfg, state, pts)
 
 
+# missing-observation variance inflation: a masked channel's observation
+# variance is scaled by this factor, driving its Kalman gain to ~0 — the
+# numerically-robust limit of deleting the row (exact as the factor -> inf;
+# at 1e9 the residual gain is below f32 resolution).
+_MISSING_R_SCALE = 1e9
+
+
+def _mask_promote(channel_mask, ys):
+    cm = jnp.asarray(channel_mask, ys.dtype)
+    return jnp.broadcast_to(jnp.atleast_2d(cm), ys.shape)
+
+
 def smooth(
     cfg: VJFConfig,
     state: TrainState,
     ys: Array,
     x_ref: Optional[Array] = None,
+    channel_mask: Optional[Array] = None,
 ) -> Tuple[pkalman.FilterResult, pkalman.SmoothResult]:
     """Parallel RTS smoothing of one observation sequence (T, ydim).
 
@@ -85,9 +98,14 @@ def smooth(
     trajectory — e.g. the filter's posterior means — for per-step affine
     dynamics. Controls are folded into the linearization point's velocity;
     for strongly input-driven systems linearize per-regime and stitch.
+
+    ``channel_mask``: optional (T, ydim) 0/1 missing-observation mask —
+    masked entries drop out of the update (variance inflation, the exact
+    LGSSM treatment of missing data); their stored values may be NaN.
     """
     if cfg.likelihood == "poisson":
-        return smooth_poisson(cfg, state, ys, x_ref=x_ref)
+        return smooth_poisson(cfg, state, ys, x_ref=x_ref,
+                              channel_mask=channel_mask)
     if cfg.likelihood != "gaussian":
         raise NotImplementedError(f"unknown likelihood {cfg.likelihood}")
     ys = jnp.asarray(ys, cfg.jdtype)
@@ -95,7 +113,7 @@ def smooth(
         raise ValueError("smooth() takes one (T, ydim) sequence")
 
     a, c = _linearize_for_sequence(cfg, state, x_ref, ys.shape[0])
-    return _smooth_affine(cfg, state, ys, a, c)
+    return _smooth_affine(cfg, state, ys, a, c, channel_mask=channel_mask)
 
 
 def _system_matrices(cfg: VJFConfig, state: TrainState):
@@ -107,11 +125,25 @@ def _system_matrices(cfg: VJFConfig, state: TrainState):
     return q, h, r, m0, p0
 
 
-def _smooth_affine(cfg, state, ys, a, c):
-    """Run the parallel smoother for (possibly per-step) affine dynamics."""
+def _smooth_affine(cfg, state, ys, a, c, channel_mask=None):
+    """Run the parallel smoother for (possibly per-step) affine dynamics.
+
+    ``channel_mask`` (T, ydim): masked entries are removed from the update
+    by observation-variance inflation (their sanitized values then enter
+    with a gain below float resolution — the standard exact missing-data
+    treatment for linear-Gaussian models)."""
     q, h, r, m0, p0 = _system_matrices(cfg, state)
     y_eff = ys - state.params.decoder.b
-    return pkalman.parallel_smooth(a, q, h, r, m0, p0, y_eff, b=c)
+    if channel_mask is None:
+        return pkalman.parallel_smooth(a, q, h, r, m0, p0, y_eff, b=c)
+    cm = _mask_promote(channel_mask, ys)
+    y_eff = jnp.where(cm > 0, y_eff, 0.0)                # NaN-safe
+    r_base = jnp.exp(state.params.likelihood.logvar)
+    r_diag = jnp.where(
+        cm > 0, r_base, r_base * _MISSING_R_SCALE
+    )                                                    # (T, ydim)
+    r_seq = jax.vmap(jnp.diag)(r_diag)
+    return pkalman.parallel_smooth(a, q, h, r_seq, m0, p0, y_eff, b=c)
 
 
 def smooth_poisson(
@@ -121,6 +153,7 @@ def smooth_poisson(
     n_iter: int = 8,
     x_ref: Optional[Array] = None,
     relinearize_dynamics: bool = True,
+    channel_mask: Optional[Array] = None,
 ) -> Tuple[pkalman.FilterResult, pkalman.SmoothResult]:
     """Iterated Laplace (EKS-style) parallel smoothing for the POISSON
     likelihood — the flagship observation model (r1 VERDICT item 5).
@@ -139,10 +172,17 @@ def smooth_poisson(
     RBF/SGP dynamics along the smoothed trajectory, the iterated-EKS move of
     :func:`smooth_iterated`). Converges in a handful of iterations — each
     one is a fixed-point step of the Laplace/EM functional.
+
+    ``channel_mask``: optional (T, ydim) 0/1 — a masked count contributes
+    nothing: its working observation is centered (zero innovation) and its
+    working variance inflated; stored values may be NaN.
     """
     ys = jnp.asarray(ys, cfg.jdtype)
     if ys.ndim != 2:
         raise ValueError("smooth_poisson() takes one (T, ydim) sequence")
+    cm = None if channel_mask is None else _mask_promote(channel_mask, ys)
+    if cm is not None:
+        ys = jnp.where(cm > 0, ys, 0.0)                  # NaN-safe
     t_len = ys.shape[0]
     c_mat = state.params.decoder.w                        # (ydim, xdim)
     d_vec = state.params.decoder.b
@@ -167,7 +207,12 @@ def smooth_poisson(
             jnp.exp(jnp.minimum(eta_hat, cfg.poisson_clamp)), 1e-4, None
         )
         y_work = eta_hat + (ys - lam) / lam - d_vec        # obs of C x
-        r_seq = jax.vmap(jnp.diag)(1.0 / lam)              # (T, ydim, ydim)
+        r_diag = 1.0 / lam
+        if cm is not None:
+            # missing counts: zero innovation + inflated working variance
+            y_work = jnp.where(cm > 0, y_work, eta_hat - d_vec)
+            r_diag = jnp.where(cm > 0, r_diag, r_diag * _MISSING_R_SCALE)
+        r_seq = jax.vmap(jnp.diag)(r_diag)                 # (T, ydim, ydim)
         filtered, smoothed = pkalman.parallel_smooth(
             a_seq, q, c_mat, r_seq, m0, p0, y_work, b=c_seq
         )
@@ -189,6 +234,7 @@ def smooth_iterated(
     ys: Array,
     n_iter: int = 3,
     x_ref: Optional[Array] = None,
+    channel_mask: Optional[Array] = None,
 ) -> Tuple[pkalman.FilterResult, pkalman.SmoothResult]:
     """Iterated extended smoothing: re-linearize the learned velocity field
     along the previous smoothed trajectory (per-timestep A_t, c_t) and
@@ -203,7 +249,8 @@ def smooth_iterated(
         g = tr.transition_gaussian(state.dynamics, x[None, :], None, cfg.leak)
         return g.mean[0]
 
-    filtered, smoothed = smooth(cfg, state, ys, x_ref)
+    filtered, smoothed = smooth(cfg, state, ys, x_ref,
+                                channel_mask=channel_mask)
     for _ in range(max(0, n_iter - 1)):
         # transition INTO t linearized at the smoothed mean of t-1
         pts = jnp.concatenate(
@@ -211,5 +258,6 @@ def smooth_iterated(
         )
         a_seq = jax.vmap(jax.jacfwd(mean_fn))(pts)          # (T, x, x)
         c_seq = jax.vmap(mean_fn)(pts) - jnp.einsum("tij,tj->ti", a_seq, pts)
-        filtered, smoothed = _smooth_affine(cfg, state, ys, a_seq, c_seq)
+        filtered, smoothed = _smooth_affine(cfg, state, ys, a_seq, c_seq,
+                                            channel_mask=channel_mask)
     return filtered, smoothed
