@@ -293,3 +293,24 @@ def test_oo_filter_channel_mask(key):
     q3, l3 = model2.filter(y_miss, qs=q2, channel_mask=cmask)
     assert np.isfinite(float(l3))
     assert np.all(np.isfinite(np.asarray(q3.mean)))
+
+
+def test_oo_filter_trial_mask(key):
+    """OO facade: ``VJF.filter(mask=...)`` — an absent trial's posterior
+    carry freezes and the step matches the all-present step on the
+    present trial."""
+    from vjf_tpu.api import VJF
+
+    ydim = 8
+    m1 = VJF.make_model(ydim, 2, n_rbf=12, hidden_sizes=[8],
+                        likelihood="gaussian", seed=0,
+                        fused_step="off", rls_backend="nsv")
+    y = np.asarray(jax.random.normal(key, (2, ydim), jnp.float32))
+    q0, _ = m1.filter(y)
+    mask = np.array([1.0, 0.0], np.float32)
+    y_nan = y.copy(); y_nan[1] = np.nan
+    q1, l1 = m1.filter(y_nan, qs=q0, mask=mask)
+    assert np.isfinite(float(np.asarray(l1)))
+    # frozen carry for the absent trial
+    np.testing.assert_array_equal(np.asarray(q1.mean[1]), np.asarray(q0.mean[1]))
+    assert np.all(np.isfinite(np.asarray(q1.mean)))

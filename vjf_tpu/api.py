@@ -111,6 +111,7 @@ class VJF:
         update: bool = True,
         warm_up: bool = False,
         verbose: bool = False,
+        mask: Optional[Array] = None,
         channel_mask: Optional[Array] = None,
     ) -> Tuple:
         """One online filter-then-learn step — ``VJF.filter``
@@ -119,11 +120,13 @@ class VJF:
         returns the ELBO components (recon, dynamics, entropy), mirroring
         the reference's verbose output.
 
-        ``channel_mask``: optional (B, ydim) 0/1 missing-observation mask
-        (electrode dropout): masked entries drop out of the likelihood and
-        noise updates and the recognition input sees the model's own
-        prediction — a genuine partial-observation filter step. Missing
-        ``y`` entries may be NaN.
+        ``mask``: optional (B,) 0/1 trial-validity mask — absent trials
+        (ragged batches) contribute nothing this step and their posterior
+        carry freezes. ``channel_mask``: optional (B, ydim) 0/1
+        missing-observation mask (electrode dropout): masked entries drop
+        out of the likelihood and noise updates and the recognition input
+        sees the model's own prediction — a genuine partial-observation
+        filter step. Missing ``y`` entries may be NaN.
         """
         cfg = self.cfg
         y = jnp.atleast_2d(jnp.asarray(y, dtype=cfg.jdtype))
@@ -131,6 +134,11 @@ class VJF:
             u = jnp.atleast_2d(jnp.asarray(u, dtype=cfg.jdtype))
         if qs is None:
             qs = core.prior(self.state.params, y.shape[0])
+        if mask is not None:
+            mask = jnp.broadcast_to(
+                jnp.atleast_1d(jnp.asarray(mask, dtype=cfg.jdtype)),
+                y.shape[:1],
+            )
         if channel_mask is not None:
             channel_mask = jnp.broadcast_to(
                 jnp.atleast_2d(jnp.asarray(channel_mask, dtype=cfg.jdtype)),
@@ -144,7 +152,8 @@ class VJF:
         eps = jax.random.normal(k, (2, y.shape[0], cfg.xdim), cfg.jdtype)
         self.state, qt, metrics = self._step_fn(
             cfg, flags, self.state, qs, y, u, eps[0], eps[1],
-            jnp.asarray(self._lr, cfg.jdtype), channel_mask=channel_mask,
+            jnp.asarray(self._lr, cfg.jdtype), mask=mask,
+            channel_mask=channel_mask,
         )
         if verbose:
             return qt, metrics.loss, metrics.recon, metrics.dynamics, metrics.entropy
