@@ -26,7 +26,26 @@ jax.config.update("jax_platforms", "cpu")
 # explicit float32 dtypes and are unaffected by this global.
 jax.config.update("jax_enable_x64", True)
 
+import gc  # noqa: E402
+
 import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _drop_compiled_executables():
+    """Release compiled executables between test modules.
+
+    A full-suite run performs ~500 in-process XLA:CPU compilations; with all
+    executables kept live, the final compilations can segfault inside
+    ``backend_compile_and_load`` (observed on a 1-CPU container: crash in the
+    last test of the suite, which passes in isolation and in a file-only
+    run). Dropping the pjit caches at module boundaries frees the compiler's
+    accumulated JIT state; cross-module cache hits are rare, so the recompile
+    cost is small.
+    """
+    yield
+    jax.clear_caches()
+    gc.collect()
 
 
 @pytest.fixture
