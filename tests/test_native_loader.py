@@ -193,6 +193,44 @@ def test_native_fifo_no_hang(tmp_path):
     loader2.close()
 
 
+def test_native_fifo_wait_does_not_spin(tmp_path):
+    """While a FIFO has no writer the reader thread must sleep, not
+    busy-poll: poll() on a writer-less FIFO read end returns POLLHUP
+    immediately, so polling that fd turns the wait into a 100%-CPU spin
+    (observed pre-fix). The wait loop now polls only the wake pipe."""
+    import os
+    import threading
+    import time
+
+    if _load_native() is None:
+        pytest.skip("native toolchain unavailable")
+
+    fifo = str(tmp_path / "spin.fifo")
+    os.mkfifo(fifo)
+    loader = StreamingLoader(fifo, ydim=4, batch=1, chunk=4, native=True)
+    t_cpu = time.process_time()
+    t_wall = time.time()
+    time.sleep(1.5)
+    frac = (time.process_time() - t_cpu) / (time.time() - t_wall)
+    # generous bound: the whole process (incl. pytest) should be idle;
+    # the pre-fix spin pegged this at ~1.0
+    assert frac < 0.5, f"reader thread busy-spinning (CPU fraction {frac:.2f})"
+
+    # and data written after the wait still arrives
+    data = np.arange(4 * 4, dtype=np.float32).reshape(4, 1, 4)
+
+    def writer():
+        with open(fifo, "wb") as f:
+            f.write(data.tobytes())
+
+    w = threading.Thread(target=writer, daemon=True)
+    w.start()
+    chunk = next(iter(loader))
+    np.testing.assert_array_equal(chunk, data)
+    w.join()
+    loader.close()
+
+
 def test_native_build_failure_cached(tmp_path, monkeypatch):
     """A failed build writes a marker and later loads skip the compiler
     subprocess (r1 advisor finding)."""

@@ -238,6 +238,30 @@ def test_oo_api_mirrors_reference(key):
     assert qt.mean.shape == (1, xdim)
 
 
+def test_oo_make_model_seed_and_cfg_precedence():
+    """Two facade regressions: (1) ``make_model(seed=...)`` must actually
+    seed the model (it was dropped, so every factory model was seed 0);
+    (2) ``fit`` must inherit ``cfg.beta``/``cfg.rtol`` instead of
+    shadowing them with the signature defaults (a model built with
+    ``rtol=2e-3`` silently ran the plateau check at 1e-4)."""
+    kw = dict(n_rbf=8, hidden_sizes=[6], likelihood="gaussian",
+              dtype="float32", fused_step="off")
+    m1 = VJF.make_model(6, 2, seed=1, **kw)
+    m2 = VJF.make_model(6, 2, seed=2, **kw)
+    w1 = np.asarray(jax.tree_util.tree_leaves(m1.state.params)[0])
+    w2 = np.asarray(jax.tree_util.tree_leaves(m2.state.params)[0])
+    assert not np.array_equal(w1, w2), "seed kwarg ignored by make_model"
+
+    # cfg.rtol made enormous: the plateau must fire at the first check, so
+    # warm-up ends and the decoder freezes within a few epochs. Under the
+    # shadowed-default bug the effective rtol is 1e-4 and (on random data)
+    # warm-up persists.
+    m3 = VJF.make_model(6, 2, seed=0, rtol=1e9, **kw)
+    y = np.random.default_rng(3).normal(size=(40, 1, 6)).astype(np.float32)
+    m3.fit(y, max_iter=4)
+    assert m3._decoder_frozen, "cfg.rtol shadowed by fit()'s default"
+
+
 def test_velocity_field_query(key):
     model = VJF.make_model(8, 2, 0, n_rbf=10, hidden_sizes=[5],
                            likelihood="gaussian", dtype="float64")

@@ -75,7 +75,7 @@ class VJF:
             likelihood=likelihood.lower(),
             **kwargs,
         )
-        return cls(cfg)
+        return cls(cfg, seed=seed)
 
     def forward(
         self,
@@ -316,8 +316,8 @@ class VJF:
         u: Optional[Array] = None,
         *,
         max_iter: int = 200,
-        beta: float = 0.1,
-        rtol: float = 1e-4,
+        beta: Optional[float] = None,
+        rtol: Optional[float] = None,
         verbose: bool = False,
         callback=None,
         epochs_per_dispatch: int = 1,
@@ -325,6 +325,11 @@ class VJF:
         channel_mask: Optional[Array] = None,
     ) -> Tuple[Array, Array, float]:
         """Epoch training with warm-up — ``VJF.fit`` (``vjf/model.py:223-307``).
+
+        ``beta``/``rtol`` default to ``cfg.beta``/``cfg.rtol`` when None
+        (the cfg defaults match the reference's 0.1 / 1e-4) — so a model
+        built with e.g. ``make_model(..., rtol=2e-3)`` keeps its plateau
+        tolerance here rather than having it silently shadowed.
 
         ``epochs_per_dispatch > 1`` enables the block-dispatch production
         mode: K epochs per device round-trip (dispatch-latency-amortized;

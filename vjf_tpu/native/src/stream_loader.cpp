@@ -83,16 +83,20 @@ struct RingStream {
     while (!closed.load()) {
       struct pollfd pfds[2] = {{fd, POLLIN, 0}, {wake[0], POLLIN, 0}};
       // a FIFO opened before any writer reports POLLHUP/read()==0, which is
-      // NOT EOF yet — wait on the wake pipe with a short timeout until a
-      // writer appears (or stop() fires)
+      // NOT EOF yet — and poll() on that fd returns POLLHUP *immediately*,
+      // so including it would turn the timeout into a busy spin. Poll only
+      // the wake pipe for 20 ms, then probe with a nonblocking read (a
+      // writer may have attached and written inside the sleep window).
       const bool waiting_for_writer = is_fifo && !saw_data;
-      int pr = poll(pfds, 2, waiting_for_writer ? 20 : -1);
+      int pr = waiting_for_writer ? poll(pfds + 1, 1, 20) : poll(pfds, 2, -1);
       if (pr < 0) {
         if (errno == EINTR) continue;
         break;
       }
       if (pfds[1].revents != 0) return;  // stop() woke us
-      if ((pfds[0].revents & (POLLIN | POLLHUP | POLLERR)) == 0) continue;
+      if (!waiting_for_writer &&
+          (pfds[0].revents & (POLLIN | POLLHUP | POLLERR)) == 0)
+        continue;
       ssize_t got = ::read(fd, step.data() + filled, step_bytes - filled);
       if (got < 0) {
         if (errno == EAGAIN || errno == EWOULDBLOCK || errno == EINTR) continue;
