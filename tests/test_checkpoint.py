@@ -69,3 +69,40 @@ def test_resume_continues_identically(tmp_path, key):
 
     for a, b in zip(jax.tree_util.tree_leaves(straight), jax.tree_util.tree_leaves(resumed)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_facade_save_load_roundtrip(tmp_path):
+    """VJF.save/VJF.load round-trips the whole model — device state AND the
+    facade's host-side phase (lr schedule position, decoder freeze, RNG
+    key) — so filtering continues bit-identically after restore."""
+    from vjf_tpu.api import VJF
+
+    rng = np.random.default_rng(0)
+    y = rng.normal(size=(30, 2, 6)).astype(np.float64)
+
+    model = VJF.make_model(6, 2, n_rbf=8, hidden_sizes=[6],
+                           likelihood="gaussian", dtype="float64",
+                           rls_backend="auto", fused_step="off")
+    model.fit(y, max_iter=6, rtol=1e9)  # plateau fires -> decoder freezes
+    assert model._decoder_frozen
+    model._lr = 5e-4  # distinguishable schedule position
+
+    path = str(tmp_path / "facade")
+    model.save(path)
+    loaded = VJF.load(path)
+
+    assert loaded._decoder_frozen is True
+    assert loaded._lr == pytest.approx(5e-4)
+    # 'auto' backend pinned to the resolved concrete backend
+    assert type(loaded.state.dynamics.blr).__name__ == type(model.state.dynamics.blr).__name__
+    for a, b in zip(jax.tree_util.tree_leaves(model.state),
+                    jax.tree_util.tree_leaves(loaded.state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(np.asarray(model.key), np.asarray(loaded.key))
+
+    # identical RNG + state => identical continued filtering
+    y_t = rng.normal(size=(2, 6))
+    q1, l1 = model.filter(y_t)
+    q2, l2 = loaded.filter(y_t)
+    np.testing.assert_array_equal(np.asarray(q1.mean), np.asarray(q2.mean))
+    np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))

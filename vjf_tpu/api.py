@@ -418,6 +418,59 @@ class VJF:
             channel_mask=channel_mask,
         )
 
+    # -- persistence (capability beyond the reference) --------------------
+    # The reference cannot checkpoint: its regression state and counters are
+    # plain attributes invisible to state_dict() (vjf/module.py:46-54,
+    # vjf/likelihood.py:17). Here the whole model — device state pytree AND
+    # the facade's host-side phase (lr, decoder freeze, RNG key) — round-
+    # trips exactly, so a fit() can resume mid-training.
+    _BLR_BACKENDS = {
+        "PrecisionBLR": "precision",
+        "CovarianceBLR": "covariance",
+        "NSVBLR": "nsv",
+    }
+
+    def save(self, path: str) -> None:
+        """Checkpoint the complete model to ``path`` (orbax directory, or
+        ``<path>.npz`` + sidecars where orbax is unavailable)."""
+        from .utils.checkpoint import FitLoopState, save_checkpoint
+
+        # pin a resolved 'auto' backend so load() rebuilds the same pytree
+        # structure regardless of the original batch_hint/backend override
+        backend = self._BLR_BACKENDS.get(
+            type(self.state.dynamics.blr).__name__, self.cfg.rls_backend
+        )
+        loop = FitLoopState(
+            epoch=0,
+            lr=float(self._lr),
+            warm_up=not self._decoder_frozen,
+            running_loss=float("nan"),
+            key=self.key,
+        )
+        save_checkpoint(
+            path, self.state, cfg=self.cfg.replace(rls_backend=backend), loop=loop
+        )
+
+    @classmethod
+    def load(cls, path: str) -> "VJF":
+        """Restore a model saved with :meth:`save`; filtering/fit resume
+        bit-identically (state, learning-rate schedule position, decoder
+        freeze, RNG key)."""
+        from .utils.checkpoint import FitLoopState, load_checkpoint, load_config
+
+        cfg = load_config(path)
+        model = cls(cfg)
+        loop_template = FitLoopState(
+            epoch=0, lr=0.0, warm_up=True, running_loss=0.0, key=model.key
+        )
+        state, loop = load_checkpoint(path, model.state, loop_template)
+        model.state = state
+        if loop is not None:
+            model._lr = loop.lr
+            model._decoder_frozen = not loop.warm_up
+            model.key = jnp.asarray(loop.key)
+        return model
+
     # -- velocity field (used by the example's streamplot) ----------------
     def velocity(self, x: Array) -> Array:
         """Mean velocity field at query points — the example script's
