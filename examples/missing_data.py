@@ -9,8 +9,8 @@ fully-observed batches — ``vjf/model.py:183,253``):
    (NaN), handled by ``fit(channel_mask=...)`` with model-based
    imputation of the recognition input;
 3. post-hoc smoothing with missing data — ``VJF.smooth(channel_mask=...)``
-   drops masked entries from the observation update exactly (variance
-   inflation).
+   drops masked entries from the observation update exactly (infinite
+   observation variance, zero Kalman gain).
 
 Run: ``python examples/missing_data.py [--max-iter 30]``.
 """

@@ -314,3 +314,61 @@ def test_oo_filter_trial_mask(key):
     # frozen carry for the absent trial
     np.testing.assert_array_equal(np.asarray(q1.mean[1]), np.asarray(q0.mean[1]))
     assert np.all(np.isfinite(np.asarray(q1.mean)))
+
+
+def test_channel_mask_fractional_lik_count_accumulates():
+    """Regression (r1 review): the sample counter was int32 and the masked
+    update's fractional row count sum(mask)/ydim truncated to 0 at B=1 —
+    the obs-noise 'running average' had zero memory (each step overwrote
+    logvar with its own masked mse). The counter is float now: at ~70%
+    observed it must accumulate ~0.7 per step and the estimate must blend
+    history."""
+    from vjf_tpu.models.likelihoods import gaussian_lik_update, init_gaussian_lik
+
+    rng = np.random.default_rng(0)
+    lik = init_gaussian_lik(np.log(0.1), dtype=jnp.float64)
+    n = jnp.zeros((), jnp.float64)
+    steps = 20
+    for _ in range(steps):
+        eta = jnp.asarray(rng.normal(size=(1, 10)))
+        tgt = eta + 0.3 * jnp.asarray(rng.normal(size=(1, 10)))
+        cm = jnp.asarray((rng.uniform(size=(1, 10)) > 0.3).astype(float))
+        prev_lv = float(lik.logvar)
+        lik, n = gaussian_lik_update(lik, n, eta, tgt, channel_mask=cm)
+    n_final = float(n)
+    assert 0.4 * steps < n_final < steps, n_final  # ~0.7/step accumulated
+
+    # memory: one more step with a wildly different mse moves the estimate
+    # only fractionally (f2 = count / (n + count) << 1), not to the new mse
+    eta = jnp.asarray(rng.normal(size=(1, 10)))
+    tgt = eta + 30.0 * jnp.asarray(rng.normal(size=(1, 10)))   # mse ~ 900
+    cm = jnp.ones((1, 10))
+    before = float(jnp.exp(lik.logvar))
+    lik2, _ = gaussian_lik_update(lik, n, eta, tgt, channel_mask=cm)
+    after = float(jnp.exp(lik2.logvar))
+    assert after < 0.25 * 900, after  # far from the outlier step's mse
+
+
+def test_fit_ragged_nan_controls_bootstrap_finite(key):
+    """Regression (r1 review): with udim > 0 and NaN-padded controls (the
+    documented ragged padding style) the warm-up-end bootstrap pooled raw
+    u rows, so max||cat(xs, u)|| — and 0 * NaN in the weighted RLS sums —
+    went NaN: every centroid, the BLR posterior and the state noise turned
+    NaN and the dynamics silently never trained. Padded u rows are zeroed
+    before pooling now."""
+    cfg = _cfg(udim=1)
+    rng = np.random.default_rng(7)
+    T, B = 40, 2
+    y = rng.normal(size=(T, B, cfg.ydim)).astype(np.float32)
+    u = rng.normal(size=(T, B, 1)).astype(np.float32)
+    mask = np.ones((T, B), np.float32)
+    mask[25:, 1] = 0.0
+    u[25:, 1] = np.nan                       # padding under the mask
+    state = core.init_state(key, cfg)
+    # huge rtol forces the warm-up plateau (and the bootstrap) immediately
+    res = core.fit(cfg, state, y, u, key=key, max_iter=8, rtol=1e9, mask=mask)
+    for leaf in jax.tree_util.tree_leaves(res.state.dynamics):
+        if jnp.issubdtype(jnp.asarray(leaf).dtype, jnp.floating):
+            assert bool(jnp.all(jnp.isfinite(leaf))), "NaN leaked into dynamics"
+    assert int(res.state.dynamics.n_sample) > 0   # RLS actually ran post-bootstrap
+    assert np.isfinite(res.loss)

@@ -383,3 +383,99 @@ def test_poisson_smoothing_with_missing_counts(key):
     rmse_full = np.sqrt(np.mean((np.asarray(sm_full.means) - x) ** 2))
     rmse_miss = np.sqrt(np.mean((np.asarray(sm_nan.means) - x) ** 2))
     assert rmse_miss < 2.0 * rmse_full + 1e-6, (rmse_miss, rmse_full)
+
+
+def test_diag_r_matches_dense_per_step(lgssm, key):
+    """The information-form diagonal-R path (O(T xdim^2) memory, xdim-sized
+    solves) must match the dense per-step-R path (O(T ydim^2)) to machine
+    precision for finite variances."""
+    a, q, h, r, m0, p0, xs, ys = lgssm
+    T, ydim = ys.shape
+    r_diag = jax.random.uniform(key, (T, ydim), jnp.float64, 0.05, 0.5)
+    r_dense = jax.vmap(jnp.diag)(r_diag)
+    f1, s1 = PK.parallel_smooth(a, q, h, r_dense, m0, p0, ys)
+    f2, s2 = PK.parallel_smooth(a, q, h, r_diag, m0, p0, ys, diag_r=True)
+    np.testing.assert_allclose(np.asarray(f2.means), np.asarray(f1.means),
+                               rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(f2.covs), np.asarray(f1.covs),
+                               rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(s2.means), np.asarray(s1.means),
+                               rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(s2.covs), np.asarray(s1.covs),
+                               rtol=1e-9, atol=1e-12)
+
+
+def test_diag_r_inf_equals_channel_deleted(lgssm):
+    """r = inf (missing observation) must equal physically deleting the
+    channel from (H, R, y) — Kalman gain exactly zero. A finite inflation
+    factor is NOT exact: with tiny observed variances the masked channel
+    keeps gain ~HPH'/(HPH' + scale*r), the r1 review's failure mode."""
+    a, q, h, r, m0, p0, xs, ys = lgssm
+    T, ydim = ys.shape
+    miss = 2
+    r_small = 1e-10 * jnp.ones((T, ydim), jnp.float64)  # near-noiseless decoder
+    r_inf = r_small.at[:, miss].set(jnp.inf)
+    ys_nan = ys.at[:, miss].set(jnp.nan)                # value must not matter
+    f_m, s_m = PK.parallel_smooth(a, q, h, r_inf, m0, p0, ys_nan, diag_r=True)
+
+    keep = np.array([i for i in range(ydim) if i != miss])
+    f_d, s_d = PK.parallel_smooth(a, q, h[keep], r_small[:, keep], m0, p0,
+                                  ys[:, keep], diag_r=True)
+    np.testing.assert_allclose(np.asarray(f_m.means), np.asarray(f_d.means),
+                               rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(s_m.means), np.asarray(s_d.means),
+                               rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(s_m.covs), np.asarray(s_d.covs),
+                               rtol=1e-9, atol=1e-12)
+
+
+def test_masked_smoothing_zero_gain_at_tiny_obs_noise(key):
+    """Regression (r1 review): relative variance inflation (r_base * 1e9)
+    left O(1) gain on masked channels when the trained observation noise
+    was tiny — smoothed means were pulled toward decoding the zeroed
+    placeholder. Exact check: masking channel 0 at every step must equal
+    a model with that channel's decoder row deleted."""
+    from vjf_tpu.config import VJFConfig
+    from vjf_tpu.models import dynamics as dyn
+    from vjf_tpu.models import smoothing as SM
+    from vjf_tpu.models import vjf as core
+    from vjf_tpu.models.likelihoods import GaussianLikParams
+
+    rng = np.random.default_rng(3)
+    T, xdim, ydim = 120, 2, 6
+    th = 0.15
+    A = 0.98 * np.array([[np.cos(th), -np.sin(th)], [np.sin(th), np.cos(th)]])
+    x = np.zeros((T, xdim)); x[0] = [1.0, 0.0]
+    for t in range(T - 1):
+        x[t + 1] = A @ x[t] + 0.05 * rng.normal(size=xdim)
+    C = rng.normal(size=(ydim, xdim))
+    d = 0.3 * np.ones(ydim)
+    y = (x @ C.T + d + 1e-5 * rng.normal(size=(T, ydim))).astype(np.float64)
+
+    def make_state(cfg, C_, d_):
+        state = core.init_state(key, cfg)
+        return state._replace(
+            params=state.params._replace(
+                decoder=type(state.params.decoder)(jnp.asarray(C_), jnp.asarray(d_)),
+                likelihood=GaussianLikParams(
+                    logvar=jnp.asarray(np.log(1e-10), jnp.float64)  # tiny r
+                ),
+            ),
+            dynamics=dyn.dynamics_initialize(
+                cfg, key, state.dynamics, jnp.asarray(x[1:]), jnp.asarray(x[:-1])
+            ),
+        )
+
+    cfg = VJFConfig(ydim=ydim, xdim=xdim, udim=0, n_rbf=16, hidden_sizes=(8,),
+                    likelihood="gaussian", dtype="float64")
+    state = make_state(cfg, C, d)
+    cm = np.ones((T, ydim)); cm[:, 0] = 0.0
+    y_nan = np.where(cm > 0, y, np.nan)
+    _, sm_masked = SM.smooth(cfg, state, y_nan, channel_mask=cm)
+
+    cfg_red = cfg.replace(ydim=ydim - 1)
+    state_red = make_state(cfg_red, C[1:], d[1:])
+    _, sm_red = SM.smooth(cfg_red, state_red, y[:, 1:])
+    np.testing.assert_allclose(np.asarray(sm_masked.means),
+                               np.asarray(sm_red.means),
+                               rtol=1e-8, atol=1e-10)

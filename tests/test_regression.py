@@ -136,3 +136,48 @@ def test_kalman_diffusion_matches_rls_at_zero(key):
     np.testing.assert_allclose(
         np.asarray(via_rls.cov), np.asarray(via_kal.cov), rtol=1e-5, atol=1e-8
     )
+
+
+def test_one_shot_rls_bounded_on_illconditioned_gram(key):
+    """Regression: the NSV exact fallback (explicit f32 triangular inverse)
+    on a ONE-SHOT pooled bootstrap Gram at cond ~1e8 produced |w| ~ 2e23 —
+    the warm-up-end bootstrap destroyed the dynamics and pinned the state
+    noise at +clamp (missing_data example, CPU f32). one_shot_rls solves
+    the same normal equations through a relative-floored eigh: bounded
+    (w, P, V) at any conditioning, V P == I where the floor is slack."""
+    n, nf = 800, 40
+    # highly-overlapping RBF features of a slow 1D walk: near-collinear
+    # columns -> ill-conditioned Gram (the bootstrap's actual regime)
+    t = jnp.linspace(0.0, 1.0, n, dtype=jnp.float32)[:, None]
+    rbf = init_rbf(key, 1, nf, 1.0, dtype=jnp.float32)
+    feat = apply_rbf(rbf, t)
+    dx = (0.05 * jnp.sin(4 * t) + 0.01 * jax.random.normal(key, (n, 1))
+          ).astype(jnp.float32)
+
+    state = R.init_nsv(nf, 1, dtype=jnp.float32)
+    out = R.one_shot_rls(state, feat, dx, jnp.asarray(2.5e-3, jnp.float32),
+                         shrink=0.999, jitter=1e-3)
+    w = np.asarray(out.w_mean)
+    assert np.isfinite(w).all()
+    assert np.abs(w).max() < 1e3, np.abs(w).max()
+    # the tracked pair stays mutually consistent (NS-polishable)
+    vp = np.asarray(out.cov) @ np.asarray(out.precision)
+    assert np.abs(vp - np.eye(nf)).max() < 1e-2, np.abs(vp - np.eye(nf)).max()
+    # and the solution actually fits: residual well below the signal
+    resid = np.asarray(dx - feat @ out.w_mean)
+    assert np.sqrt(np.mean(resid**2)) < 0.5 * float(jnp.std(dx))
+
+
+def test_one_shot_rls_matches_rls_when_well_conditioned(key):
+    """Where the floor is slack the eigh route must agree with the
+    incremental solve (same normal equations)."""
+    n, nf = 30, 6
+    feat = jax.random.normal(key, (n, nf), jnp.float64)
+    w_true = jax.random.normal(jax.random.fold_in(key, 1), (nf, 2), jnp.float64)
+    y = feat @ w_true
+    for init in (R.init_nsv, R.init_precision):
+        st = init(nf, 2, dtype=jnp.float64)
+        a = R.rls(st, feat, y, jnp.asarray(0.1))
+        b = R.one_shot_rls(st, feat, y, jnp.asarray(0.1))
+        np.testing.assert_allclose(np.asarray(b.w_mean), np.asarray(a.w_mean),
+                                   rtol=1e-8, atol=1e-10)

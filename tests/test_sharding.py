@@ -317,3 +317,36 @@ def test_sharded_channel_mask_matches_single_device(key, mesh8):
             np.asarray(ref.state.dynamics.blr.w_mean),
             rtol=1e-8, atol=1e-12,
         )
+
+
+def test_sharded_mask_promotion_matches_core(key, mesh8):
+    """(T,) trial masks and (T, ydim) channel masks must get core.fit's
+    promotion semantics on the sharded path too (a bare right-aligned
+    broadcast_to raised for T != B — and would silently TRANSPOSE a time
+    mask into a trial mask at T == B)."""
+    cfg, state, ys, us, eps = _setup(key)
+    T, B = ys.shape[:2]
+    assert T != B  # the regression needs the asymmetric case
+    t_mask = jnp.asarray(np.r_[np.ones(T - 4), np.zeros(4)], ys.dtype)  # (T,)
+    rng = np.random.default_rng(5)
+    ch_mask = jnp.asarray(
+        (rng.uniform(size=(T, cfg.ydim)) > 0.3).astype(np.float64)
+    )                                                                   # (T, ydim)
+    flags = StepFlags()
+    lr = jnp.asarray(1e-3)
+    epoch = make_sharded_epoch(cfg, flags, mesh8, donate=False)
+
+    full_t = jnp.broadcast_to(t_mask[:, None], (T, B))
+    full_ch = jnp.broadcast_to(ch_mask[:, None, :], ys.shape)
+    for raw, full in (({"mask": t_mask}, {"mask": full_t}),
+                      ({"channel_mask": ch_mask}, {"channel_mask": full_ch})):
+        ref = core.run_epoch(cfg, flags, state, ys, us, key, lr, **full)
+        got = epoch(state, ys, us, key, lr, **raw)
+        np.testing.assert_allclose(
+            np.asarray(got.metrics.loss), np.asarray(ref.metrics.loss),
+            rtol=1e-8,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got.q_means), np.asarray(ref.q_means),
+            rtol=1e-8, atol=1e-10,
+        )

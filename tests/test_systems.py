@@ -159,3 +159,35 @@ def test_controlled_spiral_recovery(key):
                               horizon=30, u=np.zeros_like(u))
     assert m_u < p_rmse, (m_u, p_rmse)
     assert m_u < m_free, (m_u, m_free)
+
+
+def test_nsv_bootstrap_survives_f32_warmup_end():
+    """Regression: at warm-up end the pooled one-shot RLS through the NSV
+    exact fallback produced |w| ~ 2e23 in f32 (cond ~1e8 Gram), pinning the
+    state noise at +clamp — filtering still tracked (recognition-driven)
+    but the learned dynamics were garbage. The bootstrap now solves
+    through a relative-floored eigh; the fitted state noise and weights
+    must come out sane and the forecast finite."""
+    rng = np.random.default_rng(7)
+    T, ydim = 400, 16
+    t = np.arange(T) * 0.05
+    x1 = np.stack([np.sin(t), np.cos(t)], -1) + 0.02 * rng.normal(size=(T, 2))
+    C = rng.normal(size=(2, ydim))
+    y = (x1 @ C + rng.normal(size=ydim)
+         + 0.1 * rng.normal(size=(T, ydim))).astype(np.float32)[:, None]
+
+    from vjf_tpu.api import VJF
+
+    model = VJF.make_model(ydim, 2, n_rbf=40, hidden_sizes=[16],
+                           likelihood="gaussian", seed=0, lr=3e-3,
+                           rls_backend="nsv", fused_step="off", rtol=2e-3,
+                           rls_shrink=0.999, chol_jitter=1e-3,
+                           dtype="float32")
+    mu, _, loss = model.fit(y, max_iter=20)
+    st = model.state.dynamics
+    assert model._decoder_frozen, "warm-up never ended; test setup broken"
+    assert float(np.asarray(st.logvar)) < 5.0, float(np.asarray(st.logvar))
+    assert float(np.abs(np.asarray(st.blr.w_mean)).max()) < 1e3
+    assert _r2(np.asarray(mu)[:, 0], x1) > 0.9
+    xf, yf = model.forecast(np.asarray(mu)[-1, 0], n_step=50)
+    assert np.isfinite(np.asarray(yf)).all()

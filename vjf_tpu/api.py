@@ -408,8 +408,9 @@ class VJF:
         into step t linearized at ``x_ref[t-1]``).
 
         ``channel_mask``: optional (T, ydim) 0/1 missing-observation mask
-        — masked entries drop out of the update exactly (variance
-        inflation); their stored values may be NaN.
+        — masked entries drop out of the update exactly (infinite
+        observation variance, zero Kalman gain); their stored values may
+        be NaN.
         """
         from .models import smoothing
 

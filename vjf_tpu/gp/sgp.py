@@ -267,7 +267,7 @@ def dynamics_initialize(
     feat = features(state, xs, u)
     if weights is not None:
         feat = feat * weights.astype(feat.dtype)[:, None]
-    blr = regression.rls(
+    blr = regression.one_shot_rls(
         state.blr, feat, dx, mse0, shrink=cfg.rls_shrink, jitter=cfg.chol_jitter
     )
     residual = dx - regression.predict_gaussian(blr, feat).mean

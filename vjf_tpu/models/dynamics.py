@@ -264,7 +264,7 @@ def dynamics_initialize(
     else:
         feat = feat * weights.astype(feat.dtype)[:, None]
         mse0 = batch_weighted_mean(jnp.mean(jnp.square(dx), axis=-1), weights)
-    blr = regression.rls(
+    blr = regression.one_shot_rls(
         state.blr, feat, dx, mse0, shrink=cfg.rls_shrink, jitter=cfg.chol_jitter
     )
     residual = dx - regression.predict_gaussian(blr, feat).mean

@@ -258,6 +258,53 @@ def rls(
     return CovarianceBLR(w_new, cov_new)
 
 
+def one_shot_rls(
+    state: BLRState,
+    feat: Array,
+    target: Array,
+    v: Array,
+    shrink: float = 1.0,
+    jitter: float = 0.0,
+) -> BLRState:
+    """Pooled (large-batch) RLS for the bootstrap/initialize paths
+    (``vjf/module.py:144-150`` calls plain ``rls`` — fine in the
+    reference's f64 torch, not in f32 on TPU).
+
+    The incremental :func:`rls` is built for small rank-B updates; its NSV
+    exact fallback forms an explicit triangular inverse whose f32 error
+    grows ~cond(P)^2. A one-shot bootstrap Gram over ~800 pooled rows
+    reaches cond ~1e8 (where the absolute ``chol_jitter`` is ~1e-9
+    RELATIVE to the Gram's scale) and produced ``|w| ~ 2e23``, pinning the
+    state noise at +clamp and silently destroying the learned dynamics
+    (observed on the missing-data example). Here the same sufficient
+    statistics feed one eigh with a relative eigenvalue floor
+    (:func:`vjf_tpu.ops.linalg.eigh_floor_inv_pair`): bounded (P, V, w) at
+    any conditioning, exactly consistent for downstream Newton-Schulz
+    tracking. Once per fit, outside the hot scan — the eigh cost is
+    irrelevant here (and only here)."""
+    if not isinstance(state, NSVBLR):
+        # the precision path applies P^{-1} via triangular solves (never an
+        # explicit inverse) and is empirically stable on one-shot Grams;
+        # the covariance path factorizes only a B x B matrix
+        return rls(state, feat, target, v, shrink=shrink, jitter=jitter)
+    from ..ops.linalg import eigh_floor_inv_pair
+
+    hp = jax.lax.Precision.HIGHEST
+    s = jnp.sqrt(v)
+    sf = feat / s
+    st = target / s
+    g = (
+        jnp.matmul(state.precision, state.w_mean, precision=hp) * shrink
+        + jnp.matmul(sf.T, st, precision=hp)
+    )
+    p_new = state.precision * shrink + jnp.matmul(sf.T, sf, precision=hp)
+    if jitter:
+        p_new = p_new + jitter * jnp.eye(p_new.shape[0], dtype=p_new.dtype)
+    p_new, v_new = eigh_floor_inv_pair(p_new)
+    w_new = jnp.matmul(v_new, g, precision=hp)
+    return NSVBLR(w_new, p_new, v_new)
+
+
 def kalman(
     state: BLRState,
     feat: Array,

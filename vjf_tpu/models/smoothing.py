@@ -71,13 +71,6 @@ def _linearize_for_sequence(
     return linearize_dynamics(cfg, state, pts)
 
 
-# missing-observation variance inflation: a masked channel's observation
-# variance is scaled by this factor, driving its Kalman gain to ~0 — the
-# numerically-robust limit of deleting the row (exact as the factor -> inf;
-# at 1e9 the residual gain is below f32 resolution).
-_MISSING_R_SCALE = 1e9
-
-
 def _mask_promote(channel_mask, ys):
     cm = jnp.asarray(channel_mask, ys.dtype)
     return jnp.broadcast_to(jnp.atleast_2d(cm), ys.shape)
@@ -100,8 +93,9 @@ def smooth(
     for strongly input-driven systems linearize per-regime and stitch.
 
     ``channel_mask``: optional (T, ydim) 0/1 missing-observation mask —
-    masked entries drop out of the update (variance inflation, the exact
-    LGSSM treatment of missing data); their stored values may be NaN.
+    masked entries get infinite observation variance (exactly zero Kalman
+    gain, the exact LGSSM treatment of missing data); their stored values
+    may be NaN.
     """
     if cfg.likelihood == "poisson":
         return smooth_poisson(cfg, state, ys, x_ref=x_ref,
@@ -128,22 +122,19 @@ def _system_matrices(cfg: VJFConfig, state: TrainState):
 def _smooth_affine(cfg, state, ys, a, c, channel_mask=None):
     """Run the parallel smoother for (possibly per-step) affine dynamics.
 
-    ``channel_mask`` (T, ydim): masked entries are removed from the update
-    by observation-variance inflation (their sanitized values then enter
-    with a gain below float resolution — the standard exact missing-data
-    treatment for linear-Gaussian models)."""
+    ``channel_mask`` (T, ydim): masked entries get infinite observation
+    variance through the diagonal-R information-form path — exactly zero
+    Kalman gain (the missing-data limit), no (T, ydim, ydim) R is ever
+    materialized, and the stored values may be NaN."""
     q, h, r, m0, p0 = _system_matrices(cfg, state)
     y_eff = ys - state.params.decoder.b
     if channel_mask is None:
         return pkalman.parallel_smooth(a, q, h, r, m0, p0, y_eff, b=c)
     cm = _mask_promote(channel_mask, ys)
-    y_eff = jnp.where(cm > 0, y_eff, 0.0)                # NaN-safe
     r_base = jnp.exp(state.params.likelihood.logvar)
-    r_diag = jnp.where(
-        cm > 0, r_base, r_base * _MISSING_R_SCALE
-    )                                                    # (T, ydim)
-    r_seq = jax.vmap(jnp.diag)(r_diag)
-    return pkalman.parallel_smooth(a, q, h, r_seq, m0, p0, y_eff, b=c)
+    r_diag = jnp.where(cm > 0, r_base, jnp.inf)          # (T, ydim)
+    return pkalman.parallel_smooth(a, q, h, r_diag, m0, p0, y_eff, b=c,
+                                   diag_r=True)
 
 
 def smooth_poisson(
@@ -174,8 +165,8 @@ def smooth_poisson(
     one is a fixed-point step of the Laplace/EM functional.
 
     ``channel_mask``: optional (T, ydim) 0/1 — a masked count contributes
-    nothing: its working observation is centered (zero innovation) and its
-    working variance inflated; stored values may be NaN.
+    exactly nothing (infinite working variance = zero gain); stored values
+    may be NaN.
     """
     ys = jnp.asarray(ys, cfg.jdtype)
     if ys.ndim != 2:
@@ -209,12 +200,11 @@ def smooth_poisson(
         y_work = eta_hat + (ys - lam) / lam - d_vec        # obs of C x
         r_diag = 1.0 / lam
         if cm is not None:
-            # missing counts: zero innovation + inflated working variance
-            y_work = jnp.where(cm > 0, y_work, eta_hat - d_vec)
-            r_diag = jnp.where(cm > 0, r_diag, r_diag * _MISSING_R_SCALE)
-        r_seq = jax.vmap(jnp.diag)(r_diag)                 # (T, ydim, ydim)
+            # missing counts: infinite working variance = exactly zero gain
+            y_work = jnp.where(cm > 0, y_work, 0.0)
+            r_diag = jnp.where(cm > 0, r_diag, jnp.inf)
         filtered, smoothed = pkalman.parallel_smooth(
-            a_seq, q, c_mat, r_seq, m0, p0, y_work, b=c_seq
+            a_seq, q, c_mat, r_diag, m0, p0, y_work, b=c_seq, diag_r=True
         )
         eta_hat = smoothed.means @ c_mat.T + d_vec
         if relinearize_dynamics and it + 1 < n_iter:

@@ -71,7 +71,11 @@ class TrainState(NamedTuple):
 
     params: Params
     dynamics: dyn.DynamicsState
-    lik_n_sample: Array           # int32 counter, vjf/likelihood.py:17
+    lik_n_sample: Array           # float counter, vjf/likelihood.py:17 — float
+                                  # (not the reference's int) because channel-
+                                  # masked updates accumulate FRACTIONAL row
+                                  # counts sum(mask)/ydim; integer values stay
+                                  # exact in f32 up to the 1000 cap
 
 
 class Metrics(NamedTuple):
@@ -129,7 +133,7 @@ def init_state(
         dynamics = init_sgp_dynamics(k_dyn, cfg, backend=backend)
     else:
         dynamics = dyn.init_dynamics(k_dyn, cfg, backend=backend)
-    return TrainState(params=params, dynamics=dynamics, lik_n_sample=jnp.zeros((), jnp.int32))
+    return TrainState(params=params, dynamics=dynamics, lik_n_sample=jnp.zeros((), dtype))
 
 
 def prior(params: Params, n_batch: int) -> Gaussian:
@@ -837,11 +841,26 @@ def _bootstrap_dynamics(cfg, state, init_fn, q_means, us, key, pair_w=None):
     duplicates have ``dx = 0`` and would otherwise teach ``f = 0``)."""
     xt = q_means[1:].reshape(-1, cfg.xdim)
     xs = q_means[:-1].reshape(-1, cfg.xdim)
-    u_init = us[1:].reshape(-1, cfg.udim) if cfg.udim > 0 else None
+    u_init = _pooled_controls(cfg, us, pair_w)
     return state._replace(
         dynamics=init_fn(cfg, key, state.dynamics, xt, xs, u_init,
                          weights=pair_w)
     )
+
+
+def _pooled_controls(cfg, us, pair_w):
+    """Pool controls for the bootstrap / SGP-adapt paths, zeroing invalid
+    pairs' rows: padded ``u`` entries (NaN or garbage under ragged masks)
+    are weighted out of the RLS statistics by ``pair_w`` but would still
+    poison ``max||cat(xs, u)||`` in the centroid re-init — and ``0 * NaN``
+    is NaN in the weighted sums. The posterior means need no such guard
+    (frozen carries keep them finite)."""
+    if cfg.udim == 0:
+        return None
+    u_init = us[1:].reshape(-1, cfg.udim)
+    if pair_w is not None:
+        u_init = jnp.where(pair_w[:, None] > 0, u_init, 0.0)
+    return u_init
 
 
 def _sgp_adapt_step(cfg, state, q_means, us, pair_w=None):
@@ -854,7 +873,7 @@ def _sgp_adapt_step(cfg, state, q_means, us, pair_w=None):
             cfg, state.dynamics,
             q_means[1:].reshape(-1, cfg.xdim),
             q_means[:-1].reshape(-1, cfg.xdim),
-            us[1:].reshape(-1, cfg.udim) if cfg.udim > 0 else None,
+            _pooled_controls(cfg, us, pair_w),
             weights=pair_w,
         )
     )

@@ -35,6 +35,22 @@ def positivize(a: Array, eps: float = 1e-3) -> Array:
     return sqrt @ sqrt.swapaxes(-1, -2)
 
 
+def eigh_floor_inv_pair(a: Array, rel_floor: float = 1e-5):
+    """``(A_floored, A_floored^{-1})`` by one eigh with RELATIVE eigenvalue
+    flooring: eigenvalues below ``rel_floor * lam_max`` are clamped up, so
+    both outputs are bounded and EXACTLY mutually inverse (up to roundoff)
+    at any input conditioning — the f32-robust solve for one-shot /
+    bootstrap normal equations. Flooring the matrix (not just its inverse)
+    keeps a tracked (P, V) pair consistent for downstream Newton-Schulz
+    polishing. Host-level use only: eigh inside a TPU scan/cond is
+    catastrophic (CLAUDE.md trap 5); the floor must stay well above
+    f32 eps (trap 11)."""
+    lam, u = jnp.linalg.eigh(symmetrize(a))
+    lam_max = jnp.maximum(lam[-1], jnp.finfo(a.dtype).tiny)
+    lam_f = jnp.maximum(lam, rel_floor * lam_max)
+    return (u * lam_f) @ u.T, (u / lam_f) @ u.T
+
+
 def cholesky_f32(a: Array) -> Array:
     """Cholesky with any internal matmuls pinned to full f32.
 

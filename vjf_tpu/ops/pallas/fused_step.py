@@ -1002,7 +1002,9 @@ def unpad_carry(cfg: VJFConfig, carry: FusedCarry, state_template):
     return TrainState(
         params=params,
         dynamics=dynamics,
-        lik_n_sample=carry.lik_n.reshape(()).astype(jnp.int32),
+        lik_n_sample=carry.lik_n.reshape(()).astype(
+            state_template.lik_n_sample.dtype
+        ),
     )
 
 

@@ -269,14 +269,20 @@ def make_sharded_epoch(cfg: VJFConfig, flags: StepFlags, mesh: Mesh, donate: boo
             # kernels assume lockstep, fully-observed batches) with each
             # mask sharded alongside the data it gates; the masked batch
             # reductions auto-insert the same collectives
+            # promote with the same shape semantics as core.fit — a (T,)
+            # trial mask gains a trial axis and a (T, ydim) channel mask a
+            # batch axis (bare right-aligned broadcast_to would silently
+            # transpose a (T,) mask when T == B)
+            from ..models.vjf import _promote_channel_mask, _promote_mask
+
             rest = []
             if mask is not None:
-                rest.append(jnp.broadcast_to(
-                    jnp.asarray(mask, ys.dtype), ys.shape[:2]
+                rest.append(_promote_mask(
+                    mask, ys.shape[0], ys.shape[1], ys.dtype
                 ))
             if channel_mask is not None:
-                rest.append(jnp.broadcast_to(
-                    jnp.asarray(channel_mask, ys.dtype), ys.shape
+                rest.append(_promote_channel_mask(
+                    channel_mask, ys.shape, ys.dtype
                 ))
             k = ("fn_masked", mask is not None, channel_mask is not None)
             if k not in cache:
