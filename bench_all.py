@@ -163,7 +163,11 @@ def bench_streaming():
     # the timed stream starts cold (the warmup pass trains: without the
     # snapshot the first 2000 steps would be seen twice from a pre-warmed
     # state)
-    first = next(iter(StreamingLoader(path, ydim=ydim, batch=B, chunk=2000)))
+    warm_loader = StreamingLoader(path, ydim=ydim, batch=B, chunk=2000)
+    first = next(iter(warm_loader))
+    warm_loader.close()  # else its native reader thread keeps streaming the
+    # same 256 MB file in the background, contending with the timed loop's
+    # host IO (the quantity this benchmark measures)
     state0, key0 = model.state, model.key
     list(model.filter_stream(iter([first])))
     model.state, model.key = state0, key0

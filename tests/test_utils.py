@@ -82,3 +82,46 @@ def test_api_with_sgp_dynamics(key):
     assert x.shape == (6, 1, 2)
     v = model.velocity(np.zeros((4, 2)))
     assert v.shape == (4, 2)
+
+
+def test_forecast_rmse_rejects_short_sequences():
+    """T < horizon + 2 used to produce NEGATIVE start indices that wrapped
+    to the array end and returned plausible garbage; it must raise."""
+    import jax
+    import numpy as np
+    import pytest as _pytest
+
+    from vjf_tpu.config import VJFConfig
+    from vjf_tpu.models import vjf as core
+    from vjf_tpu.utils.evaluation import forecast_rmse
+
+    cfg = VJFConfig(ydim=4, xdim=2, udim=0, n_rbf=6, hidden_sizes=(4,),
+                    likelihood="gaussian", dtype="float64")
+    state = core.init_state(jax.random.PRNGKey(0), cfg)
+    T = 15
+    mu = np.zeros((T, 2)); y = np.zeros((T, 4))
+    with _pytest.raises(ValueError, match="horizon"):
+        forecast_rmse(cfg, state, mu, y, jax.random.PRNGKey(1), horizon=20)
+
+
+def test_sgp_adapt_jit_wrapper_is_cached():
+    """A fresh jax.jit wrapper per epoch would retrace/recompile the
+    hyperparameter step every post-warm-up epoch (and accumulate XLA:CPU
+    executables, the trap-13 segfault class); the wrapper must be shared."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vjf_tpu.config import VJFConfig
+    from vjf_tpu.models import vjf as core
+
+    cfg = VJFConfig(ydim=6, xdim=2, udim=0, n_rbf=8, hidden_sizes=(4,),
+                    likelihood="gaussian", dtype="float64", dynamics="sgp",
+                    n_inducing=8, sgp_adapt_lr=1e-2)
+    state = core.init_state(jax.random.PRNGKey(0), cfg)
+    q = jnp.asarray(np.random.default_rng(0).normal(size=(10, 1, 2)))
+    us = jnp.zeros((10, 1, 0))
+    core._sgp_adapt_step(cfg, state, q, us)
+    first = core._ADAPT_JIT[0]
+    core._sgp_adapt_step(cfg, state, q, us)
+    assert core._ADAPT_JIT[0] is first and len(core._ADAPT_JIT) == 1

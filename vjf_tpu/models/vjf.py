@@ -524,7 +524,10 @@ def run_epochs(
         # health signal.
         if res.metrics.tau is not None and t_len > cfg.ns_prefix:
             tau_seg = res.metrics.tau[cfg.ns_prefix:]
-            max_tau = jnp.max(tau_seg)
+            # skipped-at-ceiling steps carry an inf marker in the tau
+            # stream; the diagnostic magnitude is the max FINITE bound
+            # (hot detection still counts the infs via >= NS_TAU_MAX)
+            max_tau = jnp.max(jnp.where(jnp.isfinite(tau_seg), tau_seg, 0.0))
             hot = jnp.mean((tau_seg >= _fused.NS_TAU_MAX).astype(ys.dtype))
         else:
             max_tau = jnp.zeros((), ys.dtype)
@@ -753,7 +756,9 @@ def fit(
             tau_seg = result.metrics.tau[cfg.ns_prefix:]
             vals = np.asarray(jnp.stack([
                 jnp.mean(result.metrics.loss),
-                jnp.max(tau_seg),
+                # max FINITE tau: ceiling-skipped steps mark inf (see
+                # run_epochs), which would otherwise mask the magnitude
+                jnp.max(jnp.where(jnp.isfinite(tau_seg), tau_seg, 0.0)),
                 jnp.mean(
                     (tau_seg >= _fused.NS_TAU_MAX).astype(
                         result.metrics.loss.dtype
@@ -771,7 +776,7 @@ def fit(
                 logger.warning(
                     "Newton-Schulz residual bound exceeded the in-kernel "
                     "escalation ceiling on %.1f%% of post-prefix steps "
-                    "(max tau=%.3f, epoch %d): demoting to the XLA epoch "
+                    "(max finite tau=%.3f, epoch %d): demoting to the XLA epoch "
                     "with the per-step exact-inverse fallback and "
                     "re-running the epoch.", 100 * hot_frac, max_tau, epoch,
                 )
@@ -785,7 +790,7 @@ def fit(
             elif max_tau >= _fused.NS_TAU_MAX:
                 logger.info(
                     "Rare Newton-Schulz ceiling hits (%.2f%% of steps, "
-                    "max tau=%.3f, epoch %d): samples dropped consistently "
+                    "max finite tau=%.3f, epoch %d): samples dropped "
                     "in-kernel; staying on the mega layout.",
                     100 * hot_frac, max_tau, epoch,
                 )
@@ -863,13 +868,21 @@ def _pooled_controls(cfg, us, pair_w):
     return u_init
 
 
+_ADAPT_JIT = []  # one shared jitted wrapper: a fresh jax.jit per call would
+                 # discard the trace cache every post-warm-up epoch (30-60 s
+                 # recompiles through the tunnel, plus accumulating XLA:CPU
+                 # executables — the trap-13 segfault class)
+
+
 def _sgp_adapt_step(cfg, state, q_means, us, pair_w=None):
     """Slow-timescale SGP kernel-hyperparameter step on the pooled posterior
     means (``gp/sgp.py:adapt_hyperparams``) — shared by both fit loops."""
     from ..gp.sgp import adapt_hyperparams
 
+    if not _ADAPT_JIT:
+        _ADAPT_JIT.append(jax.jit(adapt_hyperparams, static_argnames=("cfg",)))
     return state._replace(
-        dynamics=jax.jit(adapt_hyperparams, static_argnames=("cfg",))(
+        dynamics=_ADAPT_JIT[0](
             cfg, state.dynamics,
             q_means[1:].reshape(-1, cfg.xdim),
             q_means[:-1].reshape(-1, cfg.xdim),

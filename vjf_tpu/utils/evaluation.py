@@ -59,6 +59,14 @@ def forecast_rmse(
     mu = jnp.asarray(mu)
     y = np.asarray(y)
     t_len = y.shape[0]
+    if t_len < horizon + 2:
+        # a shorter sequence would produce NEGATIVE start indices, which
+        # silently wrap to the array end and return plausible-looking
+        # garbage — fail loudly instead
+        raise ValueError(
+            f"forecast_rmse needs T >= horizon + 2 (got T={t_len}, "
+            f"horizon={horizon}); shorten the horizon or supply more data"
+        )
     starts = np.linspace(0, t_len - horizon - 2, n_starts).astype(int)
 
     x0 = mu[jnp.asarray(starts)]                       # (M, xdim)
