@@ -106,3 +106,25 @@ def test_facade_save_load_roundtrip(tmp_path):
     q2, l2 = loaded.filter(y_t)
     np.testing.assert_array_equal(np.asarray(q1.mean), np.asarray(q2.mean))
     np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+
+
+def test_facade_save_load_sgp(tmp_path):
+    """Facade round-trip with the SGP dynamics variant (different state
+    pytree: inducing points, whitener, kernel hypers)."""
+    from vjf_tpu.api import VJF
+
+    rng = np.random.default_rng(1)
+    y = rng.normal(size=(20, 1, 5)).astype(np.float64)
+    model = VJF.make_model(5, 2, dynamics="sgp", n_inducing=8,
+                           hidden_sizes=[4], likelihood="gaussian",
+                           dtype="float64", fused_step="off")
+    model.fit(y, max_iter=3)
+    path = str(tmp_path / "sgp")
+    model.save(path)
+    loaded = VJF.load(path)
+    for a, b in zip(jax.tree_util.tree_leaves(model.state),
+                    jax.tree_util.tree_leaves(loaded.state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    q1, l1 = model.filter(y[-1])
+    q2, l2 = loaded.filter(y[-1])
+    np.testing.assert_array_equal(np.asarray(q1.mean), np.asarray(q2.mean))
