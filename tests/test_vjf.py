@@ -346,3 +346,26 @@ def test_warmup_max_forces_transition(key):
     cfg0 = cfg.replace(warmup_max=0)
     res0 = core.fit(cfg0, core.init_state(key, cfg0), y, key=key, max_iter=10)
     assert res0.warm_up
+
+
+def test_oo_loss_matches_filter_components(key):
+    """VJF.loss (vjf/model.py:124-154) composed from forward outputs must
+    equal recon - entropy (+ dynamics unless warm_up) as the verbose
+    filter reports them."""
+    model = VJF.make_model(6, 2, n_rbf=8, hidden_sizes=[6],
+                           likelihood="gaussian", dtype="float64",
+                           fused_step="off")
+    y = np.random.default_rng(4).normal(size=(1, 6))
+    xs, pt, qt, xt, py = model.forward(y)
+    l_warm = model.loss(y, xs, pt, qt, xt, py, warm_up=True)
+    l_full = model.loss(y, xs, pt, qt, xt, py, warm_up=False)
+    from vjf_tpu.models.vjf import _likelihood_loss
+    from vjf_tpu.ops.functional import gaussian_entropy
+
+    import jax.numpy as jnp
+    recon = _likelihood_loss(model.cfg, model.state.params.likelihood, py,
+                             jnp.asarray(y))
+    h = gaussian_entropy(qt)
+    np.testing.assert_allclose(float(l_warm), float(recon - h), rtol=1e-10)
+    assert float(l_full) != float(l_warm)  # dynamics term included
+    assert np.isfinite(float(l_full))

@@ -100,6 +100,42 @@ class VJF:
         pt = tr.transition_gaussian(self.state.dynamics, xs, u, cfg.leak)
         return xs, pt, qt, xt, py
 
+    def loss(
+        self,
+        y: Array,
+        xs: Array,
+        pt: Gaussian,
+        qt: Gaussian,
+        xt: Array,
+        py: Array,
+        warm_up: bool = False,
+    ) -> Array:
+        """Negative ELBO from :meth:`forward` outputs — ``VJF.loss``
+        (``vjf/model.py:124-154``): recon NLL − entropy (+ dynamics NLL
+        unless ``warm_up``), each term zeroed if non-finite exactly like
+        the reference's silent-skip guards (``model.py:138-145``).
+        ``xs``/``xt`` are accepted for signature parity (the reference
+        takes but ignores them too)."""
+        from .models.vjf import _likelihood_loss
+        from .ops.functional import finite_or_zero, gaussian_entropy
+
+        cfg = self.cfg
+        del xs, xt
+        y = jnp.atleast_2d(jnp.asarray(y, dtype=cfg.jdtype))
+        l_recon = finite_or_zero(
+            _likelihood_loss(cfg, self.state.params.likelihood, py, y)
+        )
+        l_dyn = finite_or_zero(
+            core._transition(cfg).dynamics_loss(
+                self.state.dynamics, pt, qt, trace_quirk=cfg.trace_quirk
+            )
+        )
+        h = finite_or_zero(gaussian_entropy(qt))
+        loss = l_recon - h
+        if not warm_up:
+            loss = loss + l_dyn
+        return loss
+
     # -- streaming filter -------------------------------------------------
     def filter(
         self,
