@@ -327,3 +327,38 @@ def test_auto_backend_batch_hint(key):
     assert isinstance(st_batch.dynamics.blr, R.NSVBLR)
     st_default = core.init_state(key, cfg)
     assert isinstance(st_default.dynamics.blr, R.NSVBLR)
+
+
+def test_noise_updates_skip_inf_mse_instead_of_clamping():
+    """Regression: the finiteness gate ran on the POST-clip log-variance,
+    so an inf residual MSE (overflowing f32 square of finite-huge values,
+    the trap-12/14 class) was laundered into the finite +clamp and
+    CEMENTED. The gate reads the pre-clip value now: the update is
+    skipped, state unchanged."""
+    from vjf_tpu.config import VJFConfig
+    from vjf_tpu.models import dynamics as dyn
+    from vjf_tpu.models.likelihoods import gaussian_lik_update, init_gaussian_lik
+
+    cfg = VJFConfig(ydim=4, xdim=2, udim=0, n_rbf=6, hidden_sizes=(4,),
+                    likelihood="gaussian", dtype="float32")
+    state = dyn.init_dynamics(jax.random.PRNGKey(0), cfg)
+    xt = jnp.full((3, 2), 1e25, jnp.float32)      # dx^2 overflows f32 -> inf
+    xs = jnp.zeros((3, 2), jnp.float32)
+    new = dyn.dynamics_update(cfg, state, xt, xs, warm_up=True)
+    assert float(new.logvar) == float(state.logvar), "inf mse cemented"
+    assert int(new.n_sample) == int(state.n_sample)
+
+    lik = init_gaussian_lik(np.log(0.1), dtype=jnp.float32)
+    n0 = jnp.zeros((), jnp.float32)
+    eta = jnp.zeros((1, 4), jnp.float32)
+    tgt = jnp.full((1, 4), 1e25, jnp.float32)
+    lik2, n2 = gaussian_lik_update(lik, n0, eta, tgt)
+    assert float(lik2.logvar) == float(lik.logvar)
+    assert float(n2) == 0.0
+
+    # SGP variant has the same guard now
+    cfg_s = cfg.replace(dynamics="sgp", n_inducing=4)
+    from vjf_tpu.gp import sgp as S
+    st_s = S.init_sgp_dynamics(jax.random.PRNGKey(1), cfg_s)
+    new_s = S.dynamics_update(cfg_s, st_s, xt, xs, warm_up=True)
+    assert float(new_s.logvar) == float(st_s.logvar)

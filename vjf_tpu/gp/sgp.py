@@ -213,7 +213,14 @@ def update_from_features(
         size_cap=cfg.state_var_cap,
     )
     logvar = jnp.clip(jnp.log(var), -cfg.logvar_clamp, cfg.logvar_clamp)
-    return state._replace(blr=blr, logvar=logvar, n_sample=n_new.astype(jnp.int32))
+    # never cement an inf/NaN running var (gate on var: var == 0 floors
+    # legitimately) — mirrors models/dynamics.py
+    ok = jnp.isfinite(var)
+    return state._replace(
+        blr=blr,
+        logvar=jnp.where(ok, logvar, state.logvar),
+        n_sample=jnp.where(ok, n_new, state.n_sample).astype(jnp.int32),
+    )
 
 
 def dynamics_update(

@@ -208,7 +208,10 @@ def update_from_features(
         jnp.exp(state.logvar), state.n_sample, mse, count, size_cap=cfg.state_var_cap
     )
     logvar = jnp.clip(jnp.log(var), -cfg.logvar_clamp, cfg.logvar_clamp)
-    ok = jnp.isfinite(logvar)
+    # gate on the VARIANCE, not the clipped log: an inf/NaN running var
+    # (overflowing residual from finite-huge weights) is SKIPPED, while
+    # var == 0 (log = -inf) legitimately clamps to the floor
+    ok = jnp.isfinite(var)
     return DynamicsState(
         state.rbf,
         blr,

@@ -111,7 +111,9 @@ def gaussian_lik_update(
         jnp.exp(params.logvar), n_sample, mse, count, size_cap=size_cap
     )
     logvar = jnp.clip(jnp.log(var), -logvar_clamp, logvar_clamp)
-    ok = jnp.isfinite(logvar)
+    # gate on the VARIANCE: inf/NaN (overflowing mse) is skipped; var == 0
+    # (log = -inf) legitimately clamps to the floor
+    ok = jnp.isfinite(var)
     n_sample = jnp.asarray(n_sample)
     return (
         GaussianLikParams(logvar=jnp.where(ok, logvar, params.logvar)),

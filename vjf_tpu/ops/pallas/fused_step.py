@@ -229,17 +229,23 @@ def step_forward_sums(
     # ---------------- forward (vjf/model.py:97-122) ----------------
     xs = qs_m + eps_s * jnp.exp(0.5 * qs_lv)
 
+    # precision pins: no-ops inside Mosaic, load-bearing under XLA — this
+    # function is shared code (CLAUDE.md #8; preferred_element_type alone
+    # does NOT prevent bf16 multiply passes), and these dots feed the
+    # exp-sensitive distances / the RLS feedback chain
+    hi_ = jax.lax.Precision.HIGHEST
     x2 = jnp.sum(xs * xs, axis=-1, keepdims=True)             # (B, 1)
-    cross = xs @ carry.cent_x.T                               # f32: K tiny, exp-sensitive
+    cross = jnp.matmul(xs, carry.cent_x.T, precision=hi_)     # f32: K tiny, exp-sensitive
     if has_u:
         x2 = x2 + jnp.sum(u * u, axis=-1, keepdims=True)
-        cross = cross + u @ carry.cent_u.T
+        cross = cross + jnp.matmul(u, carry.cent_u.T, precision=hi_)
     d2 = jnp.maximum(x2 + carry.c2 - 2.0 * cross, 0.0)
     feat = jnp.exp(-0.5 * d2 * carry.inv_w2)                  # (B, nfp); pad cols 0
     if carry.w_white is not None:
         # SGP whitening: full f32 — these features feed the RLS recursion
         # (P/V/w feedback chain), where bf16 error compounds (CLAUDE.md #8)
-        feat = jnp.dot(feat, carry.w_white, preferred_element_type=f32)
+        feat = jnp.dot(feat, carry.w_white, preferred_element_type=f32,
+                       precision=hi_)
 
     z = mm(feat, carry.v_mat)                                 # (B, nfp), fvf only
     fvf = jnp.sum(z * feat, axis=-1, keepdims=True)           # (B, 1)
@@ -519,7 +525,10 @@ def step_apply(
             tot = lik_n + b
             var = (lik_n / tot) * jnp.exp(new.lik_logvar[0, 0]) + (b / tot) * obs_mse
             lik_lv_new = jnp.clip(jnp.log(var), -cfg.logvar_clamp, cfg.logvar_clamp)
-            lik_ok = jnp.isfinite(lik_lv_new)
+            # gate on the VARIANCE, not the clipped log: an inf/NaN running
+            # var (overflowing residual) must be SKIPPED, while var == 0
+            # (log = -inf) legitimately clamps to the floor
+            lik_ok = jnp.isfinite(var)
             new = new._replace(
                 lik_logvar=jnp.where(lik_ok, lik_lv_new, new.lik_logvar[0, 0]).reshape(1, 1),
                 lik_n=jnp.where(lik_ok, tot, new.lik_n[0, 0]).reshape(1, 1),
@@ -636,7 +645,10 @@ def step_apply(
         tot_d = dyn_n + b
         var_d = (dyn_n / tot_d) * jnp.exp(slogvar) + (b / tot_d) * mse_dyn
         slv_new = jnp.clip(jnp.log(var_d), -cfg.logvar_clamp, cfg.logvar_clamp)
-        noise_ok = jnp.isfinite(slv_new)
+        # gate on the VARIANCE: an overflowing residual (inf mse from
+        # finite-huge w, the trap-12/14 class) must be SKIPPED, not
+        # laundered into +clamp; var == 0 (log = -inf) floors legitimately
+        noise_ok = jnp.isfinite(var_d)
         new = new._replace(
             state_logvar=jnp.where(noise_ok, slv_new, slogvar).reshape(1, 1),
             dyn_n=jnp.where(noise_ok, tot_d, new.dyn_n[0, 0]).reshape(1, 1),
@@ -1008,6 +1020,40 @@ def unpad_carry(cfg: VJFConfig, carry: FusedCarry, state_template):
     )
 
 
+def _exact_inverse_repair(cfg, c, prev_carry, g_vec, b, mse_fn):
+    """Shared body of the two exact-inverse fallbacks: Cholesky inverse of
+    the current precision, refreshed weights, then the state-noise running
+    variance from ``mse_fn(w_new)``. Gated so a non-finite result — an
+    f32-defeating cond(P) NaN-ing the plain Cholesky, or an overflowing
+    residual MSE — is SKIPPED, never cemented; the gate reads the PRE-clip
+    log-variance (clip would launder an inf into the finite +clamp).
+    Returns the four updated dynamics fields."""
+    from ...ops.linalg import cholesky_f32, tri_inv_newton
+
+    hp = jax.lax.Precision.HIGHEST
+    chol = cholesky_f32(c.p_mat)
+    x = tri_inv_newton(chol)
+    # full f32 on the inverse product: the default bf16-pass multiply
+    # leaves |P V - I| ~ 2 at cond(P) ~ 1e4 (see regression.exact_path)
+    v_new = jnp.matmul(x.T, x, precision=hp)
+    w_new = jnp.matmul(v_new, g_vec, precision=hp)
+    mse = mse_fn(w_new)
+    dyn_n = jnp.minimum(prev_carry.dyn_n[0, 0], float(cfg.state_var_cap))
+    tot = dyn_n + b
+    var = (dyn_n / tot) * jnp.exp(prev_carry.state_logvar[0, 0]) + (b / tot) * mse
+    slv = jnp.clip(jnp.log(var), -cfg.logvar_clamp, cfg.logvar_clamp)
+    # gate on the VARIANCE (inf/NaN skipped; var == 0 floors legitimately)
+    ok = jnp.logical_and(
+        jnp.isfinite(jnp.sum(v_new) + jnp.sum(w_new)), jnp.isfinite(var)
+    )
+    return (
+        jnp.where(ok, v_new, c.v_mat),
+        jnp.where(ok, w_new, c.w_dyn),
+        jnp.where(ok, slv, c.state_logvar[0, 0]).reshape(1, 1),
+        jnp.where(ok, tot, c.dyn_n[0, 0]).reshape(1, 1),
+    )
+
+
 def exact_v_fallback(
     cfg: VJFConfig, out, prev_carry: FusedCarry, u: Optional[Array] = None
 ):
@@ -1024,48 +1070,30 @@ def exact_v_fallback(
     this cond measured ~1 ms/step on v5e (TPU conditionals do not reliably
     skip an eigh-heavy untaken branch).
     """
-    from ...ops.linalg import cholesky_f32, tri_inv_newton
-
     c = out.carry
     b = out.xt.shape[0]
 
     def exact(_):
         hp = jax.lax.Precision.HIGHEST
-        chol = cholesky_f32(c.p_mat)
-        x = tri_inv_newton(chol)
-        # full f32 on the inverse product: the default bf16-pass multiply
-        # leaves |P V - I| ~ 2 at cond(P) ~ 1e4 (see regression.exact_path)
-        v_new = jnp.matmul(x.T, x, precision=hp)
-        w_new = jnp.matmul(v_new, out.g_vec, precision=hp)
-        # recompute features of xs (rare branch only)
-        x2 = jnp.sum(out.xs * out.xs, axis=-1, keepdims=True)
-        cross = out.xs @ c.cent_x.T
-        if u is not None and u.shape[-1] > 0:
-            x2 = x2 + jnp.sum(u * u, axis=-1, keepdims=True)
-            cross = cross + u @ c.cent_u.T
-        d2 = jnp.maximum(x2 + c.c2 - 2.0 * cross, 0.0)
-        feat = jnp.exp(-0.5 * d2 * c.inv_w2)
-        if c.w_white is not None:
-            feat = feat @ c.w_white                    # SGP whitening
-        resid = (out.xt - out.xs) - feat @ w_new
-        mse = jnp.mean(resid * resid)
-        dyn_n = jnp.minimum(prev_carry.dyn_n[0, 0], float(cfg.state_var_cap))
-        tot = dyn_n + b
-        var = (dyn_n / tot) * jnp.exp(prev_carry.state_logvar[0, 0]) + (
-            b / tot
-        ) * mse
-        slv = jnp.clip(jnp.log(var), -cfg.logvar_clamp, cfg.logvar_clamp)
-        # house rule: a closed-form update never cements non-finite values —
-        # an f32-defeating P (cond > ~1e7) can NaN the plain cholesky here
-        ok = jnp.logical_and(
-            jnp.isfinite(jnp.sum(v_new) + jnp.sum(w_new)), jnp.isfinite(slv)
-        )
-        return (
-            jnp.where(ok, v_new, c.v_mat),
-            jnp.where(ok, w_new, c.w_dyn),
-            jnp.where(ok, slv, c.state_logvar[0, 0]).reshape(1, 1),
-            jnp.where(ok, tot, c.dyn_n[0, 0]).reshape(1, 1),
-        )
+
+        def mse_fn(w_new):
+            # recompute features of xs (rare branch only); pinned matmuls —
+            # this branch runs as plain XLA on TPU (bf16 default passes
+            # would bias the state-noise update at the most delicate steps,
+            # and weaken the SGP whitening bound — CLAUDE.md #8/#11)
+            x2 = jnp.sum(out.xs * out.xs, axis=-1, keepdims=True)
+            cross = jnp.matmul(out.xs, c.cent_x.T, precision=hp)
+            if u is not None and u.shape[-1] > 0:
+                x2 = x2 + jnp.sum(u * u, axis=-1, keepdims=True)
+                cross = cross + jnp.matmul(u, c.cent_u.T, precision=hp)
+            d2 = jnp.maximum(x2 + c.c2 - 2.0 * cross, 0.0)
+            feat = jnp.exp(-0.5 * d2 * c.inv_w2)
+            if c.w_white is not None:
+                feat = jnp.matmul(feat, c.w_white, precision=hp)  # SGP whitening
+            resid = (out.xt - out.xs) - jnp.matmul(feat, w_new, precision=hp)
+            return jnp.mean(resid * resid)
+
+        return _exact_inverse_repair(cfg, c, prev_carry, out.g_vec, b, mse_fn)
 
     def keep(_):
         return c.v_mat, c.w_dyn, c.state_logvar, c.dyn_n
@@ -1196,39 +1224,19 @@ def exact_v_fallback_sums(
     semantics to :func:`exact_v_fallback`, but the post-update residual MSE
     comes from the all-reduced statistics (the per-trial features never
     leave their device)."""
-    from ...ops.linalg import cholesky_f32, tri_inv_newton
-
     c = carry_new
     b = b_total
     xd = c.w_dyn.shape[-1]
     hp = jax.lax.Precision.HIGHEST
 
     def exact(_):
-        chol = cholesky_f32(c.p_mat)
-        x = tri_inv_newton(chol)
-        # full f32 — see regression.exact_path / exact_v_fallback
-        v_new = jnp.matmul(x.T, x, precision=hp)
-        w_new = jnp.matmul(v_new, g_vec, precision=hp)
-        quad = jnp.sum(w_new * jnp.matmul(sums.ftf_raw, w_new, precision=hp))
-        mse = (
-            sums.dx2_sum - 2.0 * jnp.sum(w_new * sums.fxd_raw) + quad
-        ) / (b * xd)
-        dyn_n = jnp.minimum(prev_carry.dyn_n[0, 0], float(cfg.state_var_cap))
-        tot = dyn_n + b
-        var = (dyn_n / tot) * jnp.exp(prev_carry.state_logvar[0, 0]) + (
-            b / tot
-        ) * mse
-        slv = jnp.clip(jnp.log(var), -cfg.logvar_clamp, cfg.logvar_clamp)
-        # never cement a non-finite exact-inverse result (see exact_v_fallback)
-        ok = jnp.logical_and(
-            jnp.isfinite(jnp.sum(v_new) + jnp.sum(w_new)), jnp.isfinite(slv)
-        )
-        return (
-            jnp.where(ok, v_new, c.v_mat),
-            jnp.where(ok, w_new, c.w_dyn),
-            jnp.where(ok, slv, c.state_logvar[0, 0]).reshape(1, 1),
-            jnp.where(ok, tot, c.dyn_n[0, 0]).reshape(1, 1),
-        )
+        def mse_fn(w_new):
+            quad = jnp.sum(w_new * jnp.matmul(sums.ftf_raw, w_new, precision=hp))
+            return (
+                sums.dx2_sum - 2.0 * jnp.sum(w_new * sums.fxd_raw) + quad
+            ) / (b * xd)
+
+        return _exact_inverse_repair(cfg, c, prev_carry, g_vec, b, mse_fn)
 
     def keep(_):
         return c.v_mat, c.w_dyn, c.state_logvar, c.dyn_n
