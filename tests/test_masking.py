@@ -155,6 +155,78 @@ def test_fit_ragged_recovery(key):
     assert np.all(np.isfinite(np.asarray(xf)))
 
 
+def test_fit_list_of_trials_matches_manual_padding(key):
+    """The OO facade accepts a LIST of unequal-length trials: auto-pad +
+    auto-mask must reproduce the manual pad_trials + fit(mask=...) path
+    bit-for-bit, and return per-trial (T_i, xdim) results."""
+    from vjf_tpu.api import VJF
+    from vjf_tpu.utils.ragged import pad_trials
+
+    rng = np.random.default_rng(3)
+    cfg = _cfg(ydim=8, n_rbf=12)
+    y1 = rng.normal(size=(60, 8)).astype(np.float32)
+    y2 = rng.normal(size=(40, 8)).astype(np.float32)
+
+    model_list = VJF(cfg, seed=5)
+    mu_l, lv_l, loss_l = model_list.fit([y1, y2], max_iter=3)
+
+    padded = pad_trials([y1, y2])
+    model_pad = VJF(cfg, seed=5)
+    mu_p, lv_p, loss_p = model_pad.fit(padded.y, mask=padded.mask, max_iter=3)
+
+    assert isinstance(mu_l, list) and len(mu_l) == 2
+    assert mu_l[0].shape == (60, cfg.xdim) and mu_l[1].shape == (40, cfg.xdim)
+    np.testing.assert_array_equal(np.asarray(mu_l[0]), np.asarray(mu_p[:, 0]))
+    np.testing.assert_array_equal(np.asarray(mu_l[1]), np.asarray(mu_p[:40, 1]))
+    np.testing.assert_array_equal(np.asarray(lv_l[1]), np.asarray(lv_p[:40, 1]))
+    assert loss_l == loss_p
+    assert _tree_allclose(model_list.state, model_pad.state, rtol=0, atol=0)
+
+
+def test_fit_list_of_trials_arg_validation():
+    """List input composes with per-trial control/channel-mask lists and
+    rejects mixed list/array arguments."""
+    from vjf_tpu.api import VJF
+    from vjf_tpu.utils.ragged import pad_trials, split_trials
+
+    rng = np.random.default_rng(4)
+    y1 = rng.normal(size=(30, 8)).astype(np.float32)
+    y2 = rng.normal(size=(20, 8)).astype(np.float32)
+    cfg = _cfg(ydim=8, n_rbf=10, udim=1)
+    u1 = rng.normal(size=(30, 1)).astype(np.float32)
+    u2 = rng.normal(size=(20, 1)).astype(np.float32)
+    cm1 = (rng.uniform(size=(30, 8)) > 0.2).astype(np.float32)
+    cm2 = (rng.uniform(size=(20, 8)) > 0.2).astype(np.float32)
+
+    model = VJF(cfg, seed=1)
+    mu, lv, loss = model.fit([y1, y2], u=[u1, u2], max_iter=2,
+                             channel_mask=[cm1, cm2])
+    assert np.isfinite(loss)
+    assert mu[0].shape == (30, cfg.xdim) and mu[1].shape == (20, cfg.xdim)
+
+    with pytest.raises(ValueError, match="not both"):
+        model.fit([y1, y2], mask=np.ones((30, 2)), max_iter=1)
+    with pytest.raises(ValueError, match="per-trial list"):
+        model.fit([y1, y2], u=np.zeros((30, 2, 1)), max_iter=1)
+
+    # pad_trials validation + split round-trip
+    with pytest.raises(ValueError, match="empty"):
+        pad_trials([])
+    with pytest.raises(ValueError, match="matching trial 0"):
+        pad_trials([y1, rng.normal(size=(10, 5))])
+    with pytest.raises(ValueError, match="controls for trial"):
+        pad_trials([y1, y2], us=[u1, u1])
+    with pytest.raises(ValueError, match="channel mask for trial"):
+        pad_trials([y1, y2], channel_masks=[cm1, cm1])
+    p = pad_trials([y1, y2], us=[u1, u2], channel_masks=[cm1, cm2])
+    back = split_trials(p.y, p.lengths)
+    np.testing.assert_array_equal(back[0], y1)
+    np.testing.assert_array_equal(back[1], y2)
+    assert p.mask.shape == (30, 2) and p.mask[20:, 1].sum() == 0
+    np.testing.assert_array_equal(p.channel_mask[:20, 1], cm2)
+    assert np.all(p.channel_mask[20:, 1] == 0)
+
+
 def test_fit_blocked_ragged_matches_quality(key):
     """The block-dispatch production mode accepts the mask too."""
     rng = np.random.default_rng(9)

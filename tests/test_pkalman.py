@@ -266,6 +266,13 @@ def test_poisson_smoothing_recovers_latent(key):
     rmse_f = np.sqrt(np.mean((np.asarray(filtered.means) - x) ** 2))
     assert rmse < rmse_f, (rmse, rmse_f)
 
+    # smooth_iterated dispatches Poisson to the iterated-Laplace smoother
+    # (whose loop already re-linearizes the dynamics) instead of raising
+    _, sm_it = SM.smooth_iterated(cfg, state, y, n_iter=3)
+    _, sm_pl = SM.smooth_poisson(cfg, state, y, n_iter=3)
+    np.testing.assert_array_equal(np.asarray(sm_it.means),
+                                  np.asarray(sm_pl.means))
+
 
 def test_smoothing_with_missing_observations(key):
     """Missing-data smoothing (``channel_mask``): exact LGSSM treatment by

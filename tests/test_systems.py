@@ -143,8 +143,11 @@ def test_controlled_spiral_recovery(key):
                     likelihood="gaussian", dtype="float32", rls_backend="nsv",
                     lr=3e-3, rtol=2e-3, rls_shrink=0.999, chol_jitter=1e-3)
     state = core.init_state(key, cfg)
+    # 75 epochs: the variance-gated noise updates (no longer cementing
+    # transient inf f32 mse spikes at +clamp) lengthen this trajectory's
+    # warm-up plateau to ~56 epochs — legitimate dynamics, bigger budget
     res = core.fit(cfg, state, y.astype(np.float32),
-                   u.astype(np.float32), key=key, max_iter=30)
+                   u.astype(np.float32), key=key, max_iter=75)
     assert not res.warm_up, "warm-up never ended; RLS dynamics never trained"
     r2 = _r2(np.asarray(res.mu[:, 0, :]), x)
     assert r2 > 0.9, r2

@@ -21,6 +21,7 @@ from . import config, models, ops, parallel, types, utils
 from .api import VJF
 from .config import StepFlags, VJFConfig
 from .types import Gaussian
+from .utils.ragged import pad_trials, split_trials
 
 __version__ = "0.1.0"
 
@@ -29,6 +30,8 @@ __all__ = [
     "VJFConfig",
     "StepFlags",
     "Gaussian",
+    "pad_trials",
+    "split_trials",
     "config",
     "models",
     "ops",

@@ -384,8 +384,36 @@ class VJF:
         the model's imputation, and missing ``y`` values may be NaN.
         Composes with ``mask``. Runs on the XLA path.
 
-        :return: (posterior means (T, B, xdim), log-variances, final loss)
+        RAGGED CONVENIENCE: ``y`` may be a *list* of (T_i, ydim) trials of
+        unequal lengths — they are zero-padded to a common T and the trial
+        mask is built automatically (``utils.ragged.pad_trials``). ``u``
+        and ``channel_mask`` must then be per-trial lists too (or None),
+        and ``mask`` must not be given. List in, list out: the returned
+        posterior means/log-variances are per-trial (T_i, xdim) lists.
+
+        :return: (posterior means (T, B, xdim), log-variances, final loss);
+            per-trial lists when ``y`` is a list of trials
         """
+        lengths = None
+        if isinstance(y, (list, tuple)):
+            from .utils.ragged import pad_trials, split_trials
+
+            if mask is not None:
+                raise ValueError(
+                    "fit: pass EITHER a list of trials (mask built "
+                    "automatically) OR a padded array + mask, not both"
+                )
+            for name, v in (("u", u), ("channel_mask", channel_mask)):
+                if v is not None and not isinstance(v, (list, tuple)):
+                    raise ValueError(
+                        f"fit: y is a list of trials, so {name} must be a "
+                        "per-trial list (or None)"
+                    )
+            padded = pad_trials(y, us=u, channel_masks=channel_mask)
+            y, u, mask, channel_mask = (
+                padded.y, padded.u, padded.mask, padded.channel_mask,
+            )
+            lengths = padded.lengths
         if callback is None and verbose:
             from .utils import progress_callback
 
@@ -408,6 +436,14 @@ class VJF:
         self.state = result.state
         if not result.warm_up:
             self._decoder_frozen = True
+        if lengths is not None:
+            from .utils.ragged import split_trials
+
+            return (
+                split_trials(result.mu, lengths),
+                split_trials(result.logvar, lengths),
+                result.loss,
+            )
         return result.mu, result.logvar, result.loss
 
     # -- generation -------------------------------------------------------

@@ -229,9 +229,19 @@ def smooth_iterated(
     """Iterated extended smoothing: re-linearize the learned velocity field
     along the previous smoothed trajectory (per-timestep A_t, c_t) and
     re-run the parallel smoother — the associative-scan analogue of the
-    iterated extended Kalman smoother. Each pass is O(log T) depth."""
+    iterated extended Kalman smoother. Each pass is O(log T) depth.
+
+    Poisson dispatches to :func:`smooth_poisson`, whose iterated-Laplace
+    loop already re-linearizes the dynamics along the smoothed trajectory
+    each pass (``relinearize_dynamics=True``) — the same iterated-EKS move,
+    plus the observation re-linearization the log link needs."""
+    if cfg.likelihood == "poisson":
+        return smooth_poisson(
+            cfg, state, ys, n_iter=max(n_iter, 2), x_ref=x_ref,
+            relinearize_dynamics=True, channel_mask=channel_mask,
+        )
     if cfg.likelihood != "gaussian":
-        raise NotImplementedError("parallel smoothing requires the Gaussian likelihood")
+        raise NotImplementedError(f"unknown likelihood {cfg.likelihood}")
     ys = jnp.asarray(ys, cfg.jdtype)
     tr = _transition(cfg)
 
