@@ -31,9 +31,13 @@ def _fit_throughput(cfg, y, key, max_iter, core, jnp, x_true=None, horizon=20):
     res = core.fit(cfg, state, y, key=key, max_iter=max_iter,
                    epochs_per_dispatch=5)
     wall = time.perf_counter() - t0
-    steps = y.shape[0] * max_iter  # upper bound; fit may converge earlier
+    # count the epochs actually executed — fit() breaks early on
+    # convergence, and dividing an assumed max_iter count by the shorter
+    # wall would inflate steps_per_s
+    steps = y.shape[0] * res.epochs_run
     out = {
         "wall_s": round(wall, 2),
+        "epochs_run": res.epochs_run,
         "steps_per_s": round(steps / wall, 1),
         "final_loss": round(res.loss, 4),
     }
@@ -157,21 +161,27 @@ def bench_streaming():
     cfg = VJFConfig(ydim=ydim, xdim=10, udim=0, n_rbf=100, hidden_sizes=(32,),
                     likelihood="poisson", dtype="float32", rls_backend="nsv")
     model = VJF(cfg)
-    loader = StreamingLoader(path, ydim=ydim, batch=B, chunk=2000)
-    was_native = loader.is_native            # close() clears the handle
-    # warm the compile on the first chunk shape, then restore the model so
-    # the timed stream starts cold (the warmup pass trains: without the
-    # snapshot the first 2000 steps would be seen twice from a pre-warmed
-    # state)
+    # warm the compile BEFORE constructing the timed loader (its native
+    # reader thread starts prefetching at construction — built early, it
+    # would fill its 8-chunk ring (~205 MB of the 256 MB file) during the
+    # multi-second warm compile, turning the "host IO in the loop" bench
+    # into a RAM drain). Two warm chunks: chunk 1 compiles the q0=None
+    # trace, chunk 2 the q0=Gaussian carry trace the steady state uses —
+    # with one, the carry trace would compile inside the timed loop.
+    # The model is then restored so the timed stream starts cold (the warm
+    # pass trains; without the snapshot the first steps would be seen twice
+    # from a pre-warmed state).
     warm_loader = StreamingLoader(path, ydim=ydim, batch=B, chunk=2000)
     first = next(iter(warm_loader))
     warm_loader.close()  # else its native reader thread keeps streaming the
     # same 256 MB file in the background, contending with the timed loop's
     # host IO (the quantity this benchmark measures)
     state0, key0 = model.state, model.key
-    list(model.filter_stream(iter([first])))
+    list(model.filter_stream(iter([first, first])))
     model.state, model.key = state0, key0
 
+    loader = StreamingLoader(path, ydim=ydim, batch=B, chunk=2000)
+    was_native = loader.is_native            # close() clears the handle
     t0 = time.perf_counter()
     n = 0
     for res in model.filter_stream(loader, valid_fn=lambda: loader.last_valid):
@@ -225,7 +235,7 @@ def bench_canonical():
     t0 = time.perf_counter()
     res = core.fit(cfg, state, y, key=key, max_iter=150)
     wall = time.perf_counter() - t0
-    steps = y.shape[0] * 150
+    steps = y.shape[0] * res.epochs_run     # rtol=0 => all 150, but honest
     ref_wall = steps / 399.0     # measured reference throughput, BASELINE.md
     return {"config": "canonical_3183x150", "wall_s": round(wall, 2),
             "steps_per_s": round(steps / wall, 1),

@@ -226,6 +226,13 @@ def test_fit_list_of_trials_arg_validation():
     np.testing.assert_array_equal(p.channel_mask[:20, 1], cm2)
     assert np.all(p.channel_mask[20:, 1] == 0)
 
+    # 1-D (T,) trials mean ydim=1 and must become (T, 1) — np.atleast_2d
+    # would silently transpose them to (1, T) (review finding)
+    v1, v2 = rng.normal(size=15), rng.normal(size=9)
+    p1 = pad_trials([v1, v2])
+    assert p1.y.shape == (15, 2, 1) and p1.lengths == [15, 9]
+    np.testing.assert_array_equal(p1.y[:9, 1, 0], v2)
+
 
 def test_fit_blocked_ragged_matches_quality(key):
     """The block-dispatch production mode accepts the mask too."""

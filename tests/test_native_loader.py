@@ -193,6 +193,73 @@ def test_native_fifo_no_hang(tmp_path):
     loader2.close()
 
 
+def test_native_fifo_writer_came_and_went_is_eof(tmp_path):
+    """A FIFO writer that attaches and closes WITHOUT delivering a full
+    chunk must still signal EOF to the consumer (review finding: it was
+    treated as 'no writer yet' forever and the read hung). Covers both the
+    partial-step writer and the zero-byte writer (detected by the
+    writer-presence sampling as long as the attach outlives one 20 ms poll
+    window)."""
+    import os
+    import threading
+    import time
+
+    if _load_native() is None:
+        pytest.skip("native toolchain unavailable")
+
+    # partial data: one full step + a torn half-step, then writer leaves
+    fifo = str(tmp_path / "partial.fifo")
+    os.mkfifo(fifo)
+    loader = StreamingLoader(fifo, ydim=4, batch=1, chunk=8, native=True)
+
+    def partial_writer():
+        time.sleep(0.2)
+        with open(fifo, "wb") as f:
+            f.write(np.arange(6, dtype=np.float32).tobytes())  # 1.5 steps
+
+    out, done = [], threading.Event()
+
+    def consume():
+        for c in loader:
+            out.append(c)
+        done.set()
+
+    threading.Thread(target=partial_writer, daemon=True).start()
+    threading.Thread(target=consume, daemon=True).start()
+    assert done.wait(timeout=15.0), "EOF never reached after writer left"
+    # the torn trailing half-step is dropped; the one full step arrives in
+    # a zero-padded fixed-shape chunk with last_valid reporting the truth
+    assert len(out) == 1 and loader.last_valid == 1
+    np.testing.assert_array_equal(
+        out[0][0, 0], np.arange(4, dtype=np.float32)
+    )
+    loader.close()
+
+    # zero-byte writer: attach, linger past a poll window, write nothing
+    fifo2 = str(tmp_path / "empty.fifo")
+    os.mkfifo(fifo2)
+    loader2 = StreamingLoader(fifo2, ydim=4, batch=1, chunk=8, native=True)
+
+    def empty_writer():
+        time.sleep(0.2)
+        fd = os.open(fifo2, os.O_WRONLY)
+        time.sleep(0.3)          # outlive at least one 20 ms sample window
+        os.close(fd)
+
+    out2, done2 = [], threading.Event()
+
+    def consume2():
+        for c in loader2:
+            out2.append(c)
+        done2.set()
+
+    threading.Thread(target=empty_writer, daemon=True).start()
+    threading.Thread(target=consume2, daemon=True).start()
+    assert done2.wait(timeout=15.0), "EOF never reached after 0-byte writer"
+    assert out2 == []
+    loader2.close()
+
+
 def test_native_fifo_wait_does_not_spin(tmp_path):
     """While a FIFO has no writer the reader thread must sleep, not
     busy-poll: poll() on a writer-less FIFO read end returns POLLHUP

@@ -369,3 +369,43 @@ def test_oo_loss_matches_filter_components(key):
     np.testing.assert_allclose(float(l_warm), float(recon - h), rtol=1e-10)
     assert float(l_full) != float(l_warm)  # dynamics term included
     assert np.isfinite(float(l_full))
+
+
+def test_lr_schedule_position_carries_and_saves(key, tmp_path):
+    """The ExponentialLR schedule is facade instance state, like the
+    reference's scheduler (vjf/model.py:69-78): FitResult reports the
+    post-run lr + epochs actually executed, a second fit() CONTINUES the
+    decay instead of restarting at cfg.lr, and save()/load() round-trips
+    the position (review finding: self._lr was never written back, so the
+    persisted 'schedule position' was always the construction-time lr)."""
+    cfg = VJFConfig(ydim=6, xdim=2, udim=0, n_rbf=8, hidden_sizes=(6,),
+                    likelihood="gaussian", dtype="float32", fused_step="off",
+                    rls_backend="nsv", rtol=0.0, warmup_max=2)
+    y = jax.random.normal(key, (30, 1, cfg.ydim), jnp.float32)
+
+    # functional core: epochs_run + post-run lr (rtol=0 => never converges)
+    res = core.fit(cfg, core.init_state(key, cfg), y, key=key, max_iter=5)
+    assert res.epochs_run == 5
+    np.testing.assert_allclose(res.lr, cfg.lr * cfg.lr_decay ** 5, rtol=1e-12)
+    # lr0 override continues from an arbitrary position
+    res2 = core.fit(cfg, res.state, y, key=key, max_iter=3, lr0=res.lr)
+    np.testing.assert_allclose(res2.lr, cfg.lr * cfg.lr_decay ** 8, rtol=1e-12)
+
+    # blocked mode decays identically (block-granular application)
+    res_b = core.fit(cfg, core.init_state(key, cfg), y, key=key, max_iter=6,
+                     epochs_per_dispatch=3)
+    assert res_b.epochs_run == 6
+    np.testing.assert_allclose(res_b.lr, cfg.lr * cfg.lr_decay ** 6, rtol=1e-12)
+
+    # facade: schedule continues across fit() calls and survives save/load
+    model = VJF(cfg, seed=3)
+    model.fit(np.asarray(y), max_iter=4)
+    np.testing.assert_allclose(model._lr, cfg.lr * cfg.lr_decay ** 4,
+                               rtol=1e-12)
+    path = str(tmp_path / "ckpt")
+    model.save(path)
+    restored = VJF.load(path)
+    np.testing.assert_allclose(restored._lr, model._lr, rtol=0, atol=0)
+    restored.fit(np.asarray(y), max_iter=2)
+    np.testing.assert_allclose(restored._lr, cfg.lr * cfg.lr_decay ** 6,
+                               rtol=1e-12)

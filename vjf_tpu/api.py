@@ -125,15 +125,17 @@ class VJF:
         l_recon = finite_or_zero(
             _likelihood_loss(cfg, self.state.params.likelihood, py, y)
         )
-        l_dyn = finite_or_zero(
-            core._transition(cfg).dynamics_loss(
-                self.state.dynamics, pt, qt, trace_quirk=cfg.trace_quirk
-            )
-        )
         h = finite_or_zero(gaussian_entropy(qt))
         loss = l_recon - h
         if not warm_up:
-            loss = loss + l_dyn
+            # only evaluated when it contributes (the reference computes it
+            # eagerly but discards it during warm-up; skipping saves the
+            # SGP kernel work + a dispatch round-trip per un-jitted call)
+            loss = loss + finite_or_zero(
+                core._transition(cfg).dynamics_loss(
+                    self.state.dynamics, pt, qt, trace_quirk=cfg.trace_quirk
+                )
+            )
         return loss
 
     # -- streaming filter -------------------------------------------------
@@ -282,6 +284,18 @@ class VJF:
         # must fall back to the XLA epoch or the dynamics silently stop
         # learning from most of the data)
         mega_guard = cfg.fused_epoch == "mega"
+        # The first eligible chunk is checked SYNCHRONOUSLY (hot regimes are
+        # a physics property of the update size — B=1 SGP is hot from step
+        # one — so they show on the first chunk) and re-run on the XLA path
+        # if hot. Later chunks resolve their check one chunk LATE: the
+        # device-side hot fraction is fetched only after the next chunk has
+        # been dispatched, so the ~26 ms tunnel round-trip overlaps device
+        # compute instead of serializing the host-IO/compute pipeline. A
+        # mid-stream regime change therefore trains up to two chunks on the
+        # lossy-but-sound mega path (skipped samples, consistent state)
+        # before the demotion sticks — logged when it happens.
+        first_checked = False
+        pending_hot = None                     # device scalar, prev chunk
         for chunk in chunks:
             chunk = jnp.asarray(chunk, dtype=cfg.jdtype)
             t_len, n_batch = chunk.shape[0], chunk.shape[1]
@@ -317,6 +331,20 @@ class VJF:
                 cfg, flags, self.state, chunk, us, k,
                 jnp.asarray(self._lr, cfg.jdtype), q0=q,
             )
+            if pending_hot is not None:
+                # resolve the PREVIOUS chunk's check now that this chunk is
+                # already in flight (the fetch overlaps device compute)
+                hot_frac, pending_hot = float(pending_hot), None
+                if hot_frac > 0.01:
+                    logger.warning(
+                        "streaming filter: %.1f%% of the previous chunk's "
+                        "steps exceeded the Newton-Schulz escalation "
+                        "ceiling (samples dropped there and possibly in "
+                        "the chunk now in flight); demoting subsequent "
+                        "chunks to the XLA epoch.", 100 * hot_frac,
+                    )
+                    cfg = cfg.replace(fused_step="off")
+                    mega_guard = False
             if (
                 mega_guard
                 and not warm_up
@@ -324,23 +352,26 @@ class VJF:
                 and result.metrics.tau.shape[0] > cfg.ns_prefix
             ):
                 tau_seg = result.metrics.tau[cfg.ns_prefix:]
-                hot_frac = float(
-                    jnp.mean((tau_seg >= NS_TAU_MAX).astype(jnp.float32))
-                )
-                if hot_frac > 0.01:
-                    logger.warning(
-                        "streaming filter: %.1f%% of this chunk's steps "
-                        "exceeded the Newton-Schulz escalation ceiling "
-                        "(samples dropped); demoting subsequent chunks to "
-                        "the XLA epoch and re-running this chunk.",
-                        100 * hot_frac,
-                    )
-                    cfg = cfg.replace(fused_step="off")
-                    mega_guard = False
-                    result = run(
-                        cfg, flags, self.state, chunk, us, k,
-                        jnp.asarray(self._lr, cfg.jdtype), q0=q,
-                    )
+                hot = jnp.mean((tau_seg >= NS_TAU_MAX).astype(jnp.float32))
+                if first_checked:
+                    pending_hot = hot          # fetched next iteration
+                else:
+                    first_checked = True
+                    hot_frac = float(hot)
+                    if hot_frac > 0.01:
+                        logger.warning(
+                            "streaming filter: %.1f%% of this chunk's steps "
+                            "exceeded the Newton-Schulz escalation ceiling "
+                            "(samples dropped); demoting subsequent chunks "
+                            "to the XLA epoch and re-running this chunk.",
+                            100 * hot_frac,
+                        )
+                        cfg = cfg.replace(fused_step="off")
+                        mega_guard = False
+                        result = run(
+                            cfg, flags, self.state, chunk, us, k,
+                            jnp.asarray(self._lr, cfg.jdtype), q0=q,
+                        )
             self.state = result.state
             q = Gaussian(result.q_means[-1], result.q_logvars[-1])
             yield result
@@ -432,10 +463,20 @@ class VJF:
             epochs_per_dispatch=epochs_per_dispatch,
             mask=mask,
             channel_mask=channel_mask,
+            # continue the ExponentialLR schedule across fit() calls (the
+            # reference's scheduler is instance state, vjf/model.py:69-78)
+            lr0=self._lr,
         )
         self.state = result.state
         if not result.warm_up:
             self._decoder_frozen = True
+        # carry the ExponentialLR schedule position forward so subsequent
+        # filter()/fit() calls (and save()) see the decayed lr, not the
+        # construction-time cfg.lr
+        import math
+
+        if math.isfinite(result.lr):
+            self._lr = float(result.lr)
         if lengths is not None:
             from .utils.ragged import split_trials
 

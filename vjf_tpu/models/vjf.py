@@ -577,6 +577,11 @@ class FitResult:
     state: TrainState
     warm_up: bool = True   # False once the plateau fired (decoder frozen —
                            # persists like requires_grad_(False), model.py:283)
+    lr: float = float("nan")     # learning rate AFTER the run's decay steps —
+                                 # the ExponentialLR schedule position, for
+                                 # exact resume (vjf/model.py:78)
+    epochs_run: int = 0          # epochs actually executed (early convergence
+                                 # breaks out before max_iter)
 
 
 def _promote_y(y: Array) -> Array:
@@ -644,8 +649,15 @@ def fit(
     epochs_per_dispatch: int = 1,
     mask: Optional[Array] = None,
     channel_mask: Optional[Array] = None,
+    lr0: Optional[float] = None,
 ) -> FitResult:
     """Epoch training loop with warm-up — ``VJF.fit`` (``vjf/model.py:223-307``).
+
+    ``lr0`` overrides the schedule's starting learning rate (default
+    ``cfg.lr``): the reference holds its optimizer + ExponentialLR as
+    instance state so a second ``fit()`` CONTINUES the decayed schedule
+    (``vjf/model.py:69-78``) — the OO facade passes its current lr here;
+    ``FitResult.lr`` reports the post-run schedule position.
 
     Two-phase semantics preserved exactly: during warm-up the dynamics term
     is excluded from the loss, RLS is skipped, and the decoder trains; when
@@ -680,7 +692,7 @@ def fit(
         return _fit_blocked(
             cfg, state, y, u, key=key, max_iter=max_iter, beta=beta,
             rtol=rtol, callback=callback, k_block=int(epochs_per_dispatch),
-            mask=mask, channel_mask=channel_mask,
+            mask=mask, channel_mask=channel_mask, lr0=lr0,
         )
 
     y = _promote_y(jnp.asarray(y, dtype=cfg.jdtype))
@@ -718,7 +730,7 @@ def fit(
     )
 
     warm_up = True
-    lr = cfg.lr
+    lr = cfg.lr if lr0 is None else float(lr0)
     running_loss = float("nan")
     epoch_loss = float("nan")
     result: Optional[EpochResult] = None
@@ -787,7 +799,11 @@ def fit(
                     jnp.asarray(lr, cfg.jdtype), noise=noise,
                 )
                 epoch_loss = float(jnp.mean(result.metrics.loss))
-            elif max_tau >= _fused.NS_TAU_MAX:
+            elif hot_frac > 0:
+                # max_tau alone can't witness a ceiling hit: the kernel
+                # reports tau = inf for every skipped step, so the max
+                # FINITE tau is < NS_TAU_MAX by construction — gate the
+                # log on the inf-marker fraction instead
                 logger.info(
                     "Rare Newton-Schulz ceiling hits (%.2f%% of steps, "
                     "max finite tau=%.3f, epoch %d): samples dropped "
@@ -834,7 +850,7 @@ def fit(
     assert result is not None
     return FitResult(
         mu=result.q_means, logvar=result.q_logvars, loss=epoch_loss, state=state,
-        warm_up=warm_up,
+        warm_up=warm_up, lr=lr, epochs_run=epoch + 1,
     )
 
 
@@ -906,6 +922,7 @@ def _fit_blocked(
     k_block: int,
     mask: Optional[Array] = None,
     channel_mask: Optional[Array] = None,
+    lr0: Optional[float] = None,
 ) -> FitResult:
     """Block-dispatch fit: K epochs per device round-trip via
     :func:`run_epochs`, with ``fit``'s plateau state machine replayed on the
@@ -945,7 +962,7 @@ def _fit_blocked(
     )
 
     warm_up = True
-    lr = cfg.lr
+    lr = cfg.lr if lr0 is None else float(lr0)
     running_loss = float("nan")
     epoch_loss = float("nan")
     res: Optional[EpochsResult] = None
@@ -1057,7 +1074,7 @@ def _fit_blocked(
     assert res is not None
     return FitResult(
         mu=res.q_means, logvar=res.q_logvars, loss=epoch_loss, state=state,
-        warm_up=warm_up,
+        warm_up=warm_up, lr=lr, epochs_run=epoch,
     )
 
 

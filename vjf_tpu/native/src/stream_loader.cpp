@@ -80,31 +80,54 @@ struct RingStream {
     struct stat st;
     const bool is_fifo = fstat(fd, &st) == 0 && S_ISFIFO(st.st_mode);
     bool saw_data = false;
+    // Whether a writer has EVER been observed attached. Needed because a
+    // FIFO read()==0 means "no writer connected NOW" both before the first
+    // writer arrives (not EOF) and after the last one leaves (EOF): without
+    // this, a writer that opened and closed without delivering data would
+    // be mistaken for "no writer yet" forever and the consumer would hang.
+    bool writer_seen = false;
     while (!closed.load()) {
       struct pollfd pfds[2] = {{fd, POLLIN, 0}, {wake[0], POLLIN, 0}};
-      // a FIFO opened before any writer reports POLLHUP/read()==0, which is
-      // NOT EOF yet — and poll() on that fd returns POLLHUP *immediately*,
-      // so including it would turn the timeout into a busy spin. Poll only
-      // the wake pipe for 20 ms, then probe with a nonblocking read (a
-      // writer may have attached and written inside the sleep window).
-      const bool waiting_for_writer = is_fifo && !saw_data;
+      // a FIFO with no writer attached reports POLLHUP/read()==0 — and
+      // poll() on that fd returns POLLHUP *immediately*, so including it
+      // would turn the timeout into a busy spin. While no writer has ever
+      // attached: poll only the wake pipe for 20 ms, then SAMPLE writer
+      // presence with a zero-timeout poll on the fifo (POLLIN = data;
+      // no events = writer attached, nothing written yet; POLLHUP = still
+      // no writer). A writer that attaches and detaches with zero bytes
+      // entirely inside one 20 ms window remains undetectable — that is a
+      // fifo semantics limit; any byte written, or >20 ms attached, is
+      // caught.
+      const bool waiting_for_writer = is_fifo && !saw_data && !writer_seen;
       int pr = waiting_for_writer ? poll(pfds + 1, 1, 20) : poll(pfds, 2, -1);
       if (pr < 0) {
         if (errno == EINTR) continue;
         break;
       }
       if (pfds[1].revents != 0) return;  // stop() woke us
-      if (!waiting_for_writer &&
-          (pfds[0].revents & (POLLIN | POLLHUP | POLLERR)) == 0)
+      if (waiting_for_writer) {
+        struct pollfd pf = {fd, POLLIN, 0};
+        int wr = poll(&pf, 1, 0);
+        if (wr < 0) {
+          if (errno == EINTR) continue;
+          break;
+        }
+        if (wr == 0) {
+          writer_seen = true;  // attached, no data yet: block normally next
+          continue;
+        }
+        if ((pf.revents & (POLLIN | POLLERR)) == 0) continue;  // POLLHUP only
+        writer_seen = true;  // data (or error) ready: fall through to read
+      } else if ((pfds[0].revents & (POLLIN | POLLHUP | POLLERR)) == 0) {
         continue;
+      }
       ssize_t got = ::read(fd, step.data() + filled, step_bytes - filled);
       if (got < 0) {
         if (errno == EAGAIN || errno == EWOULDBLOCK || errno == EINTR) continue;
         got = 0;  // treat hard errors as EOF
       }
       if (got == 0) {
-        if (waiting_for_writer) continue;  // no writer yet, not EOF
-        eof.store(true);                   // EOF / FIFO writer closed
+        eof.store(true);  // EOF / FIFO writer closed (a writer was seen)
         cv_nonempty.notify_all();
         return;
       }

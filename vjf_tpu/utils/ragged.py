@@ -36,6 +36,15 @@ class PaddedTrials(NamedTuple):
     lengths: List[int]
 
 
+def _as_time_major(a) -> np.ndarray:
+    """Promote one trial to (T, d): a 1-D (T,) vector becomes (T, 1) —
+    NOT ``np.atleast_2d``'s (1, T)."""
+    a = np.asarray(a)
+    if a.ndim == 1:
+        return a[:, None]
+    return a
+
+
 def _stack_padded(seqs: Sequence[np.ndarray], t_max: int) -> np.ndarray:
     """Stack (T_i, d) arrays into (t_max, B, d), zero-padding the tails."""
     first = np.asarray(seqs[0])
@@ -64,7 +73,9 @@ def pad_trials(
     """
     if len(ys) == 0:
         raise ValueError("pad_trials: empty trial list")
-    ys = [np.atleast_2d(np.asarray(y)) for y in ys]
+    # a 1-D (T,) trial means ydim=1 — np.atleast_2d would silently
+    # transpose it to (1, T)
+    ys = [_as_time_major(y) for y in ys]
     ydim = ys[0].shape[-1]
     for i, y in enumerate(ys):
         if y.ndim != 2 or y.shape[-1] != ydim:
@@ -84,7 +95,7 @@ def pad_trials(
     if us is not None:
         if len(us) != len(ys):
             raise ValueError("pad_trials: len(us) != len(ys)")
-        us = [np.atleast_2d(np.asarray(u)) for u in us]
+        us = [_as_time_major(u) for u in us]
         for i, (u, n) in enumerate(zip(us, lengths)):
             if u.shape[0] != n:
                 raise ValueError(
@@ -97,7 +108,7 @@ def pad_trials(
     if channel_masks is not None:
         if len(channel_masks) != len(ys):
             raise ValueError("pad_trials: len(channel_masks) != len(ys)")
-        cms = [np.atleast_2d(np.asarray(cm)) for cm in channel_masks]
+        cms = [_as_time_major(cm) for cm in channel_masks]
         for i, (cm, n) in enumerate(zip(cms, lengths)):
             if cm.shape != (n, ydim):
                 raise ValueError(
