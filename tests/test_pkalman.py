@@ -486,3 +486,24 @@ def test_masked_smoothing_zero_gain_at_tiny_obs_noise(key):
     np.testing.assert_allclose(np.asarray(sm_masked.means),
                                np.asarray(sm_red.means),
                                rtol=1e-8, atol=1e-10)
+
+
+def test_smoothing_n_iter_validation():
+    """Review finding: smooth_poisson(n_iter=0) silently returned
+    (None, None); both iterated entry points now validate up front."""
+    from vjf_tpu.config import VJFConfig
+    from vjf_tpu.models import smoothing as SM
+    from vjf_tpu.models import vjf as core
+
+    cfg = VJFConfig(ydim=4, xdim=2, udim=0, n_rbf=8, hidden_sizes=(4,),
+                    likelihood="poisson", dtype="float64")
+    state = core.init_state(jax.random.PRNGKey(0), cfg)
+    y = np.zeros((10, 4))
+    with pytest.raises(ValueError, match="n_iter"):
+        SM.smooth_poisson(cfg, state, y, n_iter=0)
+    with pytest.raises(ValueError, match="n_iter"):
+        SM.smooth_iterated(cfg, state, y, n_iter=0)
+    # Poisson smooth_iterated honors the caller's n_iter exactly
+    _, s1 = SM.smooth_iterated(cfg, state, y, n_iter=1)
+    _, p1 = SM.smooth_poisson(cfg, state, y, n_iter=1)
+    np.testing.assert_array_equal(np.asarray(s1.means), np.asarray(p1.means))

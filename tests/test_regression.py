@@ -181,3 +181,60 @@ def test_one_shot_rls_matches_rls_when_well_conditioned(key):
         b = R.one_shot_rls(st, feat, y, jnp.asarray(0.1))
         np.testing.assert_allclose(np.asarray(b.w_mean), np.asarray(a.w_mean),
                                    rtol=1e-8, atol=1e-10)
+
+
+def test_one_shot_rls_f32_precision_backend_bounded(key):
+    """Review finding: the f32 PRECISION backend's incremental rls forms an
+    explicit triangular inverse (error ~cond), so the ill-conditioned
+    one-shot bootstrap Gram must route through the eigh floor there too —
+    and return a consistent PrecisionBLR factor pair."""
+    n, nf = 800, 40
+    t = jnp.linspace(0.0, 1.0, n, dtype=jnp.float32)[:, None]
+    rbf = init_rbf(key, 1, nf, 1.0, dtype=jnp.float32)
+    feat = apply_rbf(rbf, t)
+    dx = (0.05 * jnp.sin(4 * t) + 0.01 * jax.random.normal(key, (n, 1))
+          ).astype(jnp.float32)
+
+    st = R.init_precision(nf, 1, dtype=jnp.float32)
+    out = R.one_shot_rls(st, feat, dx, jnp.asarray(2.5e-3, jnp.float32),
+                         shrink=0.999, jitter=1e-3)
+    assert type(out).__name__ == "PrecisionBLR"
+    w = np.asarray(out.w_mean)
+    assert np.isfinite(w).all() and np.abs(w).max() < 1e3, np.abs(w).max()
+    resid = np.asarray(dx - feat @ out.w_mean)
+    assert np.sqrt(np.mean(resid**2)) < 0.5 * float(jnp.std(dx))
+    # factor pair consistency: chol @ chol.T == precision, U = inv(L)^T
+    chol = np.asarray(out.prec_chol)
+    prec = np.asarray(out.precision)
+    scale = np.abs(prec).max()
+    assert np.abs(chol @ chol.T - prec).max() < 1e-4 * scale
+    u = np.asarray(out.prec_chol_inv_t)
+    assert np.abs(u.T @ chol - np.eye(nf)).max() < 1e-2
+
+    # f64 precision stays on the reference-faithful incremental path
+    st64 = R.init_precision(nf, 1, dtype=jnp.float64)
+    a = R.rls(st64, feat.astype(jnp.float64), dx.astype(jnp.float64),
+              jnp.asarray(2.5e-3, jnp.float64), shrink=0.999, jitter=1e-3)
+    b = R.one_shot_rls(st64, feat.astype(jnp.float64),
+                       dx.astype(jnp.float64),
+                       jnp.asarray(2.5e-3, jnp.float64),
+                       shrink=0.999, jitter=1e-3)
+    np.testing.assert_array_equal(np.asarray(a.w_mean), np.asarray(b.w_mean))
+
+
+def test_covariance_jitter_rejected_at_config_time(key):
+    """Review finding: covariance + chol_jitter failed only at the first
+    jitted rls trace mid-fit; resolve_backend now rejects it up front."""
+    import pytest
+
+    from vjf_tpu.config import VJFConfig
+    from vjf_tpu.models import dynamics as dyn
+
+    cfg = VJFConfig(ydim=6, xdim=2, udim=0, n_rbf=8, hidden_sizes=(6,),
+                    likelihood="gaussian", dtype="float32",
+                    rls_backend="covariance", chol_jitter=1e-3)
+    with pytest.raises(ValueError, match="chol_jitter"):
+        dyn.resolve_backend(cfg)
+    with pytest.raises(ValueError, match="chol_jitter"):
+        from vjf_tpu.models import vjf as core
+        core.init_state(key, cfg)

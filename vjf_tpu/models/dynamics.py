@@ -41,6 +41,15 @@ def resolve_backend(cfg: VJFConfig, batch_hint: Optional[int] = None) -> str:
       inverse-tracking form whose hot loop is MXU matmuls only.
     """
     if cfg.rls_backend != "auto":
+        if cfg.rls_backend == "covariance" and cfg.chol_jitter:
+            # fail at model construction, not at the first jitted rls trace
+            # deep inside the fit loop (the kernel-level ValueError in
+            # models/regression.py remains as the backstop)
+            raise ValueError(
+                "rls_backend='covariance' cannot apply chol_jitter (a "
+                "full-rank precision ridge is not a rank-B Woodbury "
+                "update); use 'nsv' or 'precision', or set chol_jitter=0"
+            )
         return cfg.rls_backend
     if cfg.dtype == "float64":
         return "precision"

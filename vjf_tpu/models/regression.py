@@ -282,10 +282,14 @@ def one_shot_rls(
     any conditioning, exactly consistent for downstream Newton-Schulz
     tracking. Once per fit, outside the hot scan — the eigh cost is
     irrelevant here (and only here)."""
-    if not isinstance(state, NSVBLR):
-        # the precision path applies P^{-1} via triangular solves (never an
-        # explicit inverse) and is empirically stable on one-shot Grams;
-        # the covariance path factorizes only a B x B matrix
+    f32 = jnp.asarray(state.w_mean).dtype == jnp.float32
+    if not (
+        isinstance(state, NSVBLR) or (isinstance(state, PrecisionBLR) and f32)
+    ):
+        # covariance path factorizes only a B x B matrix; the f64 precision
+        # path is the golden-parity route and tolerates the one-shot Gram
+        # (the reference itself runs plain rls here in f64 torch,
+        # module.py:144-150) — both keep the incremental update
         return rls(state, feat, target, v, shrink=shrink, jitter=jitter)
     from ..ops.linalg import eigh_floor_inv_pair
 
@@ -302,6 +306,15 @@ def one_shot_rls(
         p_new = p_new + jitter * jnp.eye(p_new.shape[0], dtype=p_new.dtype)
     p_new, v_new = eigh_floor_inv_pair(p_new)
     w_new = jnp.matmul(v_new, g, precision=hp)
+    if isinstance(state, PrecisionBLR):
+        # f32 precision backend: its incremental rls forms an explicit
+        # triangular inverse (inv_tril_transpose) whose error grows with
+        # cond — fine per small step, not on a cond ~1e8 one-shot Gram.
+        # Rebuild the factor pair from the FLOORED precision (cond <= the
+        # floor's bound by construction, so the f32 triangular inverse of
+        # this chol is accurate).
+        chol = safe_cholesky(p_new)
+        return PrecisionBLR(w_new, p_new, chol, inv_tril_transpose(chol))
     return NSVBLR(w_new, p_new, v_new)
 
 

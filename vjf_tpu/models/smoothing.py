@@ -110,10 +110,17 @@ def smooth(
     return _smooth_affine(cfg, state, ys, a, c, channel_mask=channel_mask)
 
 
-def _system_matrices(cfg: VJFConfig, state: TrainState):
+def _system_matrices(cfg: VJFConfig, state: TrainState, with_r: bool = True):
+    """Shared LGSSM pieces. ``with_r=False`` for the Poisson/Laplace path,
+    whose working observation variance is per-step (and whose likelihood
+    params carry no ``logvar``)."""
     q = jnp.exp(state.dynamics.logvar) * jnp.eye(cfg.xdim, dtype=cfg.jdtype)
     h = state.params.decoder.w                       # (ydim, xdim)
-    r = jnp.exp(state.params.likelihood.logvar) * jnp.eye(cfg.ydim, dtype=cfg.jdtype)
+    r = None
+    if with_r:
+        r = jnp.exp(state.params.likelihood.logvar) * jnp.eye(
+            cfg.ydim, dtype=cfg.jdtype
+        )
     m0 = state.params.prior.mean
     p0 = jnp.diag(jnp.exp(state.params.prior.logvar))
     return q, h, r, m0, p0
@@ -168,6 +175,8 @@ def smooth_poisson(
     exactly nothing (infinite working variance = zero gain); stored values
     may be NaN.
     """
+    if n_iter < 1:
+        raise ValueError(f"smooth_poisson: n_iter must be >= 1, got {n_iter}")
     ys = jnp.asarray(ys, cfg.jdtype)
     if ys.ndim != 2:
         raise ValueError("smooth_poisson() takes one (T, ydim) sequence")
@@ -177,14 +186,7 @@ def smooth_poisson(
     t_len = ys.shape[0]
     c_mat = state.params.decoder.w                        # (ydim, xdim)
     d_vec = state.params.decoder.b
-    q = jnp.exp(state.dynamics.logvar) * jnp.eye(cfg.xdim, dtype=cfg.jdtype)
-    m0 = state.params.prior.mean
-    p0 = jnp.diag(jnp.exp(state.params.prior.logvar))
-    tr = _transition(cfg)
-
-    def mean_fn(x):
-        g = tr.transition_gaussian(state.dynamics, x[None, :], None, cfg.leak)
-        return g.mean[0]
+    q, _, _, m0, p0 = _system_matrices(cfg, state, with_r=False)
 
     a0, c0 = _linearize_for_sequence(cfg, state, x_ref, t_len)
     # working-response init: eta ~= log(y + 0.5) keeps lambda_hat sane for
@@ -208,12 +210,8 @@ def smooth_poisson(
         )
         eta_hat = smoothed.means @ c_mat.T + d_vec
         if relinearize_dynamics and it + 1 < n_iter:
-            pts = jnp.concatenate(
-                [state.params.prior.mean[None], smoothed.means[:-1]], axis=0
-            )
-            a_seq = jax.vmap(jax.jacfwd(mean_fn))(pts)
-            c_seq = jax.vmap(mean_fn)(pts) - jnp.einsum(
-                "tij,tj->ti", a_seq, pts
+            a_seq, c_seq = _linearize_for_sequence(
+                cfg, state, smoothed.means, t_len
             )
     return filtered, smoothed
 
@@ -231,33 +229,29 @@ def smooth_iterated(
     re-run the parallel smoother — the associative-scan analogue of the
     iterated extended Kalman smoother. Each pass is O(log T) depth.
 
-    Poisson dispatches to :func:`smooth_poisson`, whose iterated-Laplace
-    loop already re-linearizes the dynamics along the smoothed trajectory
-    each pass (``relinearize_dynamics=True``) — the same iterated-EKS move,
-    plus the observation re-linearization the log link needs."""
+    Poisson dispatches to :func:`smooth_poisson` with the SAME ``n_iter``:
+    its iterated-Laplace loop already re-linearizes the dynamics along the
+    smoothed trajectory each pass (``relinearize_dynamics=True``) — the
+    same iterated-EKS move, plus the observation re-linearization the log
+    link needs (so ``n_iter=1`` is one Laplace pass, like one plain
+    ``smooth`` for the Gaussian path)."""
+    if n_iter < 1:
+        raise ValueError(f"smooth_iterated: n_iter must be >= 1, got {n_iter}")
     if cfg.likelihood == "poisson":
         return smooth_poisson(
-            cfg, state, ys, n_iter=max(n_iter, 2), x_ref=x_ref,
+            cfg, state, ys, n_iter=n_iter, x_ref=x_ref,
             relinearize_dynamics=True, channel_mask=channel_mask,
         )
     if cfg.likelihood != "gaussian":
         raise NotImplementedError(f"unknown likelihood {cfg.likelihood}")
     ys = jnp.asarray(ys, cfg.jdtype)
-    tr = _transition(cfg)
-
-    def mean_fn(x):
-        g = tr.transition_gaussian(state.dynamics, x[None, :], None, cfg.leak)
-        return g.mean[0]
-
     filtered, smoothed = smooth(cfg, state, ys, x_ref,
                                 channel_mask=channel_mask)
-    for _ in range(max(0, n_iter - 1)):
+    for _ in range(n_iter - 1):
         # transition INTO t linearized at the smoothed mean of t-1
-        pts = jnp.concatenate(
-            [state.params.prior.mean[None], smoothed.means[:-1]], axis=0
+        a_seq, c_seq = _linearize_for_sequence(
+            cfg, state, smoothed.means, ys.shape[0]
         )
-        a_seq = jax.vmap(jax.jacfwd(mean_fn))(pts)          # (T, x, x)
-        c_seq = jax.vmap(mean_fn)(pts) - jnp.einsum("tij,tj->ti", a_seq, pts)
         filtered, smoothed = _smooth_affine(cfg, state, ys, a_seq, c_seq,
                                             channel_mask=channel_mask)
     return filtered, smoothed

@@ -277,10 +277,13 @@ def sequential_filter(a, q, h, r, m0, p0, ys, b=None) -> FilterResult:
     t_len = ys.shape[0]
     a_seq = _broadcast_a(a, t_len)
     b_seq = _broadcast_b(b, t_len, q.shape[0], q.dtype)
-    r_seq = jnp.broadcast_to(r, (t_len,) + r.shape) if r.ndim == 2 else r
+    # a time-invariant (ydim, ydim) R is closure-captured, NOT broadcast
+    # to a (T, ydim, ydim) scan input — XLA would materialize it, which at
+    # this module's own long-context scale (T=72k, ydim=200) is ~11.5 GB
+    time_varying_r = r.ndim == 3
 
     def step(carry, inp):
-        a_t, b_t, y, r_t = inp
+        a_t, b_t, y, r_t = inp if time_varying_r else (*inp, r)
         m, p = carry
         mp = a_t @ m + b_t
         pp = a_t @ p @ a_t.T + q
@@ -290,7 +293,8 @@ def sequential_filter(a, q, h, r, m0, p0, ys, b=None) -> FilterResult:
         p_new = (jnp.eye(q.shape[0], dtype=q.dtype) - k @ h) @ pp
         return (m_new, p_new), (m_new, p_new)
 
-    _, (ms, ps) = jax.lax.scan(step, (m0, p0), (a_seq, b_seq, ys, r_seq))
+    xs = (a_seq, b_seq, ys, r) if time_varying_r else (a_seq, b_seq, ys)
+    _, (ms, ps) = jax.lax.scan(step, (m0, p0), xs)
     return FilterResult(means=ms, covs=ps)
 
 

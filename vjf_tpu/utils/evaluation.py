@@ -10,10 +10,15 @@ module provides the two metrics the rebuild's quality gates use:
   map, so alignment-by-least-squares is the standard comparison.
 * :func:`forecast_rmse` — k-step-ahead forecast error in OBSERVATION space
   (alignment-free): from M start points along the fitted posterior, roll
-  the learned dynamics forward h steps (``vjf/model.py:342-361`` semantics,
-  mean dynamics), decode, and compare to the actually-observed future.
-  Reported next to the persistence baseline (y_{t+k} := y_t), the standard
-  "did the model learn any dynamics at all" reference point.
+  the learned dynamics forward h steps (``vjf/model.py:342-361`` semantics:
+  a fresh WEIGHT SAMPLE per step, the reference's ``sampling=True`` — so
+  the metric is stochastic in ``key``; ``noise=False`` only omits the
+  additive state noise), decode, and compare to the actually-observed
+  future. Poisson models are compared on the COUNT scale (the decode is
+  the log-rate; it is exponentiated with the rate clamp, matching
+  ``_impute_y``). Reported next to the persistence baseline
+  (y_{t+k} := y_t), the standard "did the model learn any dynamics at
+  all" reference point.
 """
 from __future__ import annotations
 
@@ -84,6 +89,11 @@ def forecast_rmse(
     # one batched rollout: forecast() vectorizes over the batch axis
     xf, yf = core.forecast(cfg, state, x0, key, n_step=horizon, u=uw, noise=False)
     yf = np.asarray(yf)[1:]                            # (h, M, ydim), drop t0
+    if cfg.likelihood == "poisson":
+        # the linear decode is the LOG-rate; compare on the count scale
+        # (persistence compares counts to counts) with the model's own
+        # rate clamp (likelihood.py:60 semantics, as _impute_y applies it)
+        yf = np.exp(np.minimum(yf, cfg.poisson_clamp))
 
     err_model = 0.0
     err_pers = 0.0
