@@ -412,3 +412,124 @@ def test_skip_gate_nonfinite_grad_finite_loss(key):
                     jax.tree_util.tree_leaves(state.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     assert np.all(np.isfinite(np.asarray(st_f.params.recognition.logvar.w)))
+
+
+# ---------------------------------------------------------------------------
+# Trial-mask (ragged) support on the fused/mega path
+# ---------------------------------------------------------------------------
+
+
+def test_fused_masked_epoch_matches_xla_masked(key):
+    """Ragged-trial masks ride the fused kernels now: the masked fused
+    epoch (both layouts) must reproduce the masked XLA epoch — same
+    injected noise, NaN padding on the dead trial, renormalized batch
+    means, frozen carries, gated RLS/noise counters."""
+    cfg = VJFConfig(ydim=14, xdim=2, udim=0, n_rbf=16, hidden_sizes=(10,),
+                    likelihood="gaussian", dtype="float32", rls_backend="nsv",
+                    fused_step="off", matmul_dtype="float32", ns_prefix=20)
+    state = core.init_state(key, cfg)
+    T, B, T2 = 60, 4, 35
+    ys = jax.random.normal(key, (T, B, cfg.ydim), jnp.float32)
+    ys = ys.at[T2:, 1].set(jnp.nan)                  # trial 1 ends at T2
+    mask = jnp.ones((T, B), jnp.float32).at[T2:, 1].set(0.0)
+    us = jnp.zeros((T, B, 0), jnp.float32)
+    eps = jax.random.normal(key, (2, T, B, cfg.xdim), jnp.float32)
+    lr = jnp.asarray(1e-3, jnp.float32)
+    flags = StepFlags()
+
+    ref = core.run_epoch(cfg, flags, state, ys, us, key, lr,
+                         noise=(eps[0], eps[1]), mask=mask)
+    for layout in ("stepwise", "mega"):
+        got = F.run_epoch_fused(cfg.replace(fused_epoch=layout), flags, state,
+                                ys, us, key, lr, noise=(eps[0], eps[1]),
+                                interpret=True, mask=mask)
+        np.testing.assert_allclose(np.asarray(got.metrics.loss),
+                                   np.asarray(ref.metrics.loss),
+                                   rtol=5e-4, atol=5e-4, err_msg=layout)
+        np.testing.assert_allclose(np.asarray(got.q_means),
+                                   np.asarray(ref.q_means),
+                                   rtol=1e-3, atol=1e-4, err_msg=layout)
+        np.testing.assert_allclose(np.asarray(got.state.dynamics.blr.w_mean),
+                                   np.asarray(ref.state.dynamics.blr.w_mean),
+                                   rtol=2e-3, atol=2e-3, err_msg=layout)
+        np.testing.assert_allclose(np.asarray(got.state.dynamics.logvar),
+                                   np.asarray(ref.state.dynamics.logvar),
+                                   rtol=1e-3, atol=1e-3, err_msg=layout)
+        # counters advance by the VALID count only
+        assert int(got.state.dynamics.n_sample) == int(ref.state.dynamics.n_sample)
+        np.testing.assert_allclose(float(got.state.lik_n_sample),
+                                   float(ref.state.lik_n_sample), rtol=1e-6)
+        # frozen carry over the dead trial's padding
+        last = np.asarray(got.q_means[T2 - 1, 1])
+        for t in range(T2, T):
+            np.testing.assert_array_equal(np.asarray(got.q_means[t, 1]), last)
+
+
+def test_fused_mask_all_ones_matches_unmasked(key):
+    """An all-ones mask through the fused path is numerically the unmasked
+    computation (selects no-op, inv_b identical)."""
+    cfg = VJFConfig(ydim=12, xdim=2, udim=0, n_rbf=12, hidden_sizes=(8,),
+                    likelihood="poisson", dtype="float32", rls_backend="nsv",
+                    fused_step="off", matmul_dtype="float32", ns_prefix=10)
+    state = core.init_state(key, cfg)
+    T, B = 30, 4
+    ys = jax.random.poisson(key, 1.0, (T, B, cfg.ydim)).astype(jnp.float32)
+    us = jnp.zeros((T, B, 0), jnp.float32)
+    eps = jax.random.normal(key, (2, T, B, cfg.xdim), jnp.float32)
+    lr = jnp.asarray(1e-3, jnp.float32)
+    flags = StepFlags()
+
+    for layout in ("stepwise", "mega"):
+        c = cfg.replace(fused_epoch=layout)
+        plain = F.run_epoch_fused(c, flags, state, ys, us, key, lr,
+                                  noise=(eps[0], eps[1]), interpret=True)
+        ones = F.run_epoch_fused(c, flags, state, ys, us, key, lr,
+                                 noise=(eps[0], eps[1]), interpret=True,
+                                 mask=jnp.ones((T, B), jnp.float32))
+        np.testing.assert_allclose(np.asarray(ones.metrics.loss),
+                                   np.asarray(plain.metrics.loss),
+                                   rtol=1e-6, atol=1e-6, err_msg=layout)
+        np.testing.assert_allclose(
+            np.asarray(ones.state.dynamics.blr.w_mean),
+            np.asarray(plain.state.dynamics.blr.w_mean),
+            rtol=1e-5, atol=1e-6, err_msg=layout,
+        )
+
+
+def test_fused_masked_padding_invariance_b1(key):
+    """B=1: a padded+masked fused run == the unpadded fused run bit-for-bit
+    on the valid prefix, with zero loss and frozen carry over the pad (the
+    fused analogue of the XLA padding-invariance contract)."""
+    cfg = VJFConfig(ydim=10, xdim=2, udim=0, n_rbf=12, hidden_sizes=(8,),
+                    likelihood="gaussian", dtype="float32", rls_backend="nsv",
+                    fused_step="off", matmul_dtype="float32", ns_prefix=10,
+                    fused_epoch="mega")
+    state = core.init_state(key, cfg)
+    t0, t_pad = 40, 56
+    k1, k2 = jax.random.split(key)
+    y_valid = jax.random.normal(k1, (t0, 1, cfg.ydim), jnp.float32)
+    ys = jnp.concatenate(
+        [y_valid, jnp.full((t_pad - t0, 1, cfg.ydim), jnp.nan, jnp.float32)]
+    )
+    us_p = jnp.zeros((t_pad, 1, 0), jnp.float32)
+    eps = jax.random.normal(k2, (t_pad, 2, 1, cfg.xdim), jnp.float32)
+    mask = jnp.concatenate([jnp.ones((t0, 1)), jnp.zeros((t_pad - t0, 1))])
+    lr = jnp.asarray(1e-3, jnp.float32)
+    flags = StepFlags()
+
+    ref = F.run_epoch_fused(cfg, flags, state, y_valid, us_p[:t0], key, lr,
+                            noise=(eps[:t0, 0], eps[:t0, 1]), interpret=True)
+    got = F.run_epoch_fused(cfg, flags, state, ys, us_p, key, lr,
+                            noise=(eps[:, 0], eps[:, 1]), interpret=True,
+                            mask=mask)
+
+    for a, b in zip(jax.tree_util.tree_leaves(ref.state),
+                    jax.tree_util.tree_leaves(got.state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(np.asarray(ref.q_means),
+                                  np.asarray(got.q_means[:t0]))
+    assert np.all(np.asarray(got.metrics.loss[t0:]) == 0.0)
+    last = np.asarray(got.q_means[t0 - 1])
+    for t in range(t0, t_pad):
+        np.testing.assert_array_equal(np.asarray(got.q_means[t]), last)
+    assert np.all(np.isfinite(np.asarray(got.q_means)))

@@ -106,8 +106,11 @@ def test_fully_masked_trial_equals_smaller_batch(key, backend):
 
 
 def test_mask_forces_xla_on_fused_config(key):
-    """A fused-eligible config with a mask routes to the XLA path (the
-    kernels assume lockstep batches) and still trains sanely."""
+    """A mask on a fused='auto' config off-TPU routes to the XLA path and
+    trains sanely. (Since round 2 the trial mask RIDES the fused/mega
+    kernels where they are enabled — equivalence pinned in
+    tests/test_fused_step.py::test_fused_masked_* — while channel masks
+    still force XLA.)"""
     cfg = _cfg(fused_step="auto", n_rbf=16)
     t_len, n_batch = 30, 8
     ys = jax.random.normal(key, (t_len, n_batch, cfg.ydim), jnp.float32)
@@ -451,3 +454,32 @@ def test_fit_ragged_nan_controls_bootstrap_finite(key):
             assert bool(jnp.all(jnp.isfinite(leaf))), "NaN leaked into dynamics"
     assert int(res.state.dynamics.n_sample) > 0   # RLS actually ran post-bootstrap
     assert np.isfinite(res.loss)
+
+
+def test_fit_ragged_on_fused_mega_path(key):
+    """End-to-end fit() with a ragged mask ON the fused mega path
+    (fused_step='on', interpret on CPU): warm-up, masked bootstrap, RLS —
+    the whole control loop over the kernelized masked epoch."""
+    rng = np.random.default_rng(12)
+    T, T2 = 160, 100
+    t = np.arange(T) * 0.08
+    x1 = np.stack([np.sin(t), np.cos(t)], -1)
+    C = rng.normal(size=(2, 10))
+    y = np.stack([x1 @ C, x1 @ C], axis=1).astype(np.float32)
+    y += 0.1 * rng.normal(size=y.shape).astype(np.float32)
+    y[T2:, 1, :] = np.nan
+    mask = np.ones((T, 2), np.float32)
+    mask[T2:, 1] = 0.0
+
+    cfg = _cfg(ydim=10, n_rbf=16, hidden_sizes=(10,), lr=3e-3, rtol=2e-3,
+               fused_step="on", fused_epoch="mega", ns_prefix=16,
+               matmul_dtype="float32", warmup_max=6)
+    state = core.init_state(key, cfg)
+    res = core.fit(cfg, state, y, key=key, max_iter=10, mask=mask)
+    assert not res.warm_up
+    assert np.isfinite(res.loss)
+    assert np.all(np.isfinite(np.asarray(res.mu)))
+    assert int(res.state.dynamics.n_sample) > 0
+    # frozen padding on the dead trial
+    last = np.asarray(res.mu[T2 - 1, 1])
+    np.testing.assert_array_equal(np.asarray(res.mu[-1, 1]), last)

@@ -417,17 +417,21 @@ def run_epoch(
     :param q0: posterior carried in from a previous chunk (streaming);
         defaults to the prior (``vjf/model.py:252``: ``q = None``)
     :param mask: optional (T, B) 0/1 trial-validity mask (ragged trials —
-        see :func:`filter_step`); forces the XLA path (the fused kernels
-        assume lockstep batches)
+        see :func:`filter_step`); rides the fused/mega kernels (they carry
+        the mask as an extra per-step input and renormalize over the valid
+        count — single-device only; the sharded path pins the XLA step)
     :param channel_mask: optional (T, B, ydim) 0/1 missing-observation mask
         (electrode dropout — see :func:`filter_step`); forces the XLA path
+        (the imputation feedback needs the full recognition input rewrite)
     """
     if (
-        mask is None and channel_mask is None
+        channel_mask is None
         and _fused.fused_enabled(cfg, state, n_batch=ys.shape[1])
     ):
+        if mask is not None:
+            mask = jnp.broadcast_to(jnp.asarray(mask, ys.dtype), ys.shape[:2])
         return _fused.run_epoch_fused(
-            cfg, flags, state, ys, us, key, lr, noise=noise, q0=q0
+            cfg, flags, state, ys, us, key, lr, noise=noise, q0=q0, mask=mask
         )
 
     t_len, n_batch, _ = ys.shape
@@ -715,7 +719,7 @@ def fit(
     # path (f64 parity, fused_step='off', small-batch SGP routing, CPU)
     # keep donating.
     mega_possible = (
-        mask is None and channel_mask is None
+        channel_mask is None
         and cfg.fused_epoch == "mega"
         and _fused.fused_enabled(cfg, state, n_batch=n_batch)
     )
@@ -797,6 +801,7 @@ def fit(
                 result = epoch_fn(
                     cfg_run, flags, backup, y, us, k_epoch,
                     jnp.asarray(lr, cfg.jdtype), noise=noise,
+                    mask=mask, channel_mask=channel_mask,
                 )
                 epoch_loss = float(jnp.mean(result.metrics.loss))
             elif hot_frac > 0:
@@ -952,7 +957,7 @@ def _fit_blocked(
     pair_w = (mask[1:] * mask[:-1]).reshape(-1) if mask is not None else None
 
     mega_possible = (
-        mask is None and channel_mask is None
+        channel_mask is None
         and cfg.fused_epoch == "mega"
         and _fused.fused_enabled(cfg, state, n_batch=n_batch)
     )

@@ -216,15 +216,35 @@ def step_forward_sums(
     eps_s: Array,
     eps_t: Array,
     inv_b: float,
+    mask: Optional[Array] = None,
 ) -> Tuple[FusedSums, PerTrial]:
     """Per-trial phase of the fused step: forward pass, hand-written
     backward, and trial-axis reductions. ``inv_b`` must be the GLOBAL
     1/batch so that summing :class:`FusedSums` across trial shards
-    reproduces the single-device values (see class docstring)."""
+    reproduces the single-device values (see class docstring).
+
+    ``mask``: optional (B, 1) 0/1 trial-validity column (ragged trials,
+    single-device only — the masked batch mean renormalizes over the LOCAL
+    valid count, so sharded callers must not pass one). Semantics mirror
+    the XLA path (models/vjf.py filter_step): masked rows are sanitized to
+    zero at the inputs, selected out of every reduction (loss, gradients,
+    RLS statistics, noise-update residuals), and the batch means divide by
+    ``max(sum(mask), 1)``. ``mask=None`` traces to the identical
+    computation as before."""
     f32 = qs_m.dtype
     slogvar = carry.state_logvar[0, 0]
     has_u = u is not None and u.shape[-1] > 0
     mm = _mm_fn(cfg, f32)
+
+    if mask is not None:
+        # sanitize (select, not multiply: NaN padding * 0 = NaN) and
+        # renormalize over the valid count — XLA batch_weighted_mean
+        m_col = (mask > 0).astype(f32)                        # (B, 1)
+        y = jnp.where(m_col > 0, y, 0.0)
+        if has_u:
+            u = jnp.where(m_col > 0, u, 0.0)
+        count = jnp.sum(m_col)
+        inv_b = 1.0 / jnp.maximum(count, 1.0)
 
     # ---------------- forward (vjf/model.py:97-122) ----------------
     xs = qs_m + eps_s * jnp.exp(0.5 * qs_lv)
@@ -285,12 +305,18 @@ def step_forward_sums(
     if cfg.likelihood == "poisson":
         pyc = jnp.minimum(py, cfg.poisson_clamp)
         exp_pyc = jnp.exp(pyc)
-        recon_batch = jnp.sum(exp_pyc - y * pyc) * inv_b
+        nll_rows = exp_pyc - y * pyc
+        if mask is not None:
+            nll_rows = nll_rows * m_col
+        recon_batch = jnp.sum(nll_rows) * inv_b
         sq_y = zero
     else:
         lik_lv = carry.lik_logvar[0, 0]
         resid_y = y - py
-        sq_y = jnp.sum(resid_y * resid_y)
+        sq_rows = resid_y * resid_y
+        if mask is not None:
+            sq_rows = sq_rows * m_col
+        sq_y = jnp.sum(sq_rows)
         recon_batch = zero
 
     inv_sv = jnp.exp(-slogvar)
@@ -299,10 +325,16 @@ def step_forward_sums(
         trace = jnp.exp(pt_lv + qt_lv - slogvar)
     else:
         trace = jnp.exp(pt_lv - slogvar) + jnp.exp(qt_lv - slogvar)
+    diff2 = diff * diff
+    ent_rows = qt_lv
+    if mask is not None:
+        diff2 = diff2 * m_col
+        trace = trace * m_col
+        ent_rows = ent_rows * m_col
     dyn_batch = (
-        jnp.sum(diff * diff) * inv_sv * inv_b + jnp.sum(trace) * inv_b
+        jnp.sum(diff2) * inv_sv * inv_b + jnp.sum(trace) * inv_b
     )
-    h_ent = 0.5 * jnp.sum(qt_lv) * inv_b
+    h_ent = 0.5 * jnp.sum(ent_rows) * inv_b
 
     # ---------------- manual backward (gradient batch-sums) ----------------
     xd = qt_m.shape[-1]
@@ -315,6 +347,8 @@ def step_forward_sums(
             g_py = -resid_y * jnp.exp(-lik_lv) * inv_b
             # batch part only; the +0.5*ydim constant is added in apply
             g_lik_lv_batch = -0.5 * sq_y * jnp.exp(-lik_lv) * inv_b
+        if mask is not None:
+            g_py = g_py * m_col
 
         g_xt = mm(g_py, carry.w_dec)                           # (B, xd)
         if flags.train_decoder:
@@ -338,6 +372,13 @@ def step_forward_sums(
         # the XLA path (models/vjf.py:162). Binding is a runaway regime, so
         # this mask is all-ones in any sane run.
         g_qt_lv = g_qt_lv * (jnp.abs(raw_qt_lv) < cfg.logvar_clamp)
+
+        if mask is not None:
+            # masked rows leave the gradient entirely (the entropy/dynamics
+            # terms above are per-row, so zeroing g_py alone is not enough);
+            # downstream weight grads inherit the zero rows
+            g_qt_m = g_qt_m * m_col
+            g_qt_lv = g_qt_lv * m_col
 
         g_wm = mm(g_qt_m.T, h_last)
         g_wlv = mm(g_qt_lv.T, h_last)
@@ -375,11 +416,24 @@ def step_forward_sums(
     # ---------------- RLS raw statistics ----------------
     dx = xt - xs
     if flags.update and flags.update_transition:
-        dx_sum = jnp.sum(dx)
-        dx2_sum = jnp.sum(dx * dx)
-        fvf_sum = jnp.sum(fvf)
-        ftf_raw = mm(feat.T, feat)
-        fxd_raw = mm(feat.T, dx)
+        if mask is not None:
+            # zeroed feature rows contribute nothing to F^T F / F^T dx —
+            # the XLA path's exact move (models/dynamics.py:190-191);
+            # dx/fvf sums are masked so the gates and the sharded-identity
+            # mse see only valid rows
+            feat_s = feat * m_col
+            dx_s = dx * m_col
+            dx_sum = jnp.sum(dx_s)
+            dx2_sum = jnp.sum(dx_s * dx)
+            fvf_sum = jnp.sum(fvf * m_col)
+            ftf_raw = mm(feat_s.T, feat_s)
+            fxd_raw = mm(feat_s.T, dx)
+        else:
+            dx_sum = jnp.sum(dx)
+            dx2_sum = jnp.sum(dx * dx)
+            fvf_sum = jnp.sum(fvf)
+            ftf_raw = mm(feat.T, feat)
+            fxd_raw = mm(feat.T, dx)
     else:
         dx_sum = dx2_sum = fvf_sum = zero
         ftf_raw = jnp.zeros_like(carry.p_mat)
@@ -423,6 +477,7 @@ def step_apply(
     ns_extra=None,
     ns_tau_max: Optional[float] = None,
     ns_iters: int = NS_ITERS,
+    mask: Optional[Array] = None,
 ) -> Tuple[FusedCarry, ScalarPack, Array]:
     """Batch-independent phase: reconstruct the ELBO from the (possibly
     all-reduced) sums, apply clipped SGD, then the closed-form updates.
@@ -433,9 +488,24 @@ def step_apply(
     the single-device path; when absent (sharded), the post-update residual
     MSE comes from the algebraic identity over the summed statistics
     ``|dx - F w|^2 = dx2 - 2<w, F^T dx> + <w, F^T F w>``.
+
+    ``mask``: optional (B, 1) trial-validity column matching the one given
+    to :func:`step_forward_sums` (single-device only). The batch size in
+    every count/denominator becomes the valid count; a fully-masked step
+    contributes zero loss, zero gradients, and must not advance the RLS
+    recursion (shrink would decay P with no data behind it) or the noise
+    counters — the XLA path's ``upd_ok &= sum(weights) > 0`` gate.
     """
     f32 = carry.w_dyn.dtype
-    b = b_total
+    if mask is not None:
+        m_col = (mask > 0).astype(f32)
+        count = jnp.sum(m_col)                 # raw count (0 allowed) for
+        b = jnp.maximum(count, 1.0)            # counters; guarded divisor
+        has_data = count > 0
+    else:
+        b = b_total
+        count = b
+        has_data = True
     inv_b = 1.0 / b
     slogvar = carry.state_logvar[0, 0]
     mm = _mm_fn(cfg, f32)
@@ -456,6 +526,13 @@ def step_apply(
         obs_mse = sums.sq_y * inv_b / ydim
     l_dyn = 0.5 * (sums.dyn_batch + xd * slogvar)
     h_ent = sums.ent
+    if mask is not None:
+        # a fully-masked step has no data and no loss (the per-trial sums
+        # are already zero, but the constants — ydim*lik_lv, xd*slogvar —
+        # would survive); matches the XLA batch_weighted_mean -> 0
+        l_recon = jnp.where(has_data, l_recon, 0.0)
+        l_dyn = jnp.where(has_data, l_dyn, 0.0)
+        h_ent = jnp.where(has_data, h_ent, 0.0)
 
     # the skip-step gate must see the RAW components: the zeroed loss is
     # always finite, but non-finite components mean non-finite gradients.
@@ -486,8 +563,15 @@ def step_apply(
         if cfg.likelihood == "poisson":
             lik_logvar_new = carry.lik_logvar
         else:
+            # the +0.5*ydim constant is d(0.5*ydim*lik_lv)/d(lik_lv): it is
+            # count-independent for any count >= 1 (the per-trial term
+            # averages to itself) but must vanish on a fully-masked step
+            g_lv_const = (
+                jnp.where(has_data, 0.5 * ydim, 0.0)
+                if mask is not None else 0.5 * ydim
+            )
             lik_logvar_new = upd(
-                carry.lik_logvar, sums.g_lik_lv_batch + 0.5 * ydim
+                carry.lik_logvar, sums.g_lik_lv_batch + g_lv_const
             )
         if flags.train_decoder:
             w_dec_new = upd(carry.w_dec, sums.g_w_dec)
@@ -520,10 +604,13 @@ def step_apply(
     g_vec = jnp.zeros_like(carry.w_dyn)
     if flags.update:
         if cfg.likelihood == "gaussian" and flags.update_likelihood:
-            # running-var overwrite with the POST-SGD logvar (vjf ordering)
+            # running-var overwrite with the POST-SGD logvar (vjf ordering);
+            # counts advance by the RAW valid count (0 on a fully-masked
+            # step: tot == lik_n keeps var/n unchanged, or NaN-gates at
+            # lik_n == 0 — both match the XLA running_var semantics)
             lik_n = jnp.minimum(new.lik_n[0, 0], float(cfg.obs_var_cap))
-            tot = lik_n + b
-            var = (lik_n / tot) * jnp.exp(new.lik_logvar[0, 0]) + (b / tot) * obs_mse
+            tot = lik_n + count
+            var = (lik_n / tot) * jnp.exp(new.lik_logvar[0, 0]) + (count / tot) * obs_mse
             lik_lv_new = jnp.clip(jnp.log(var), -cfg.logvar_clamp, cfg.logvar_clamp)
             # gate on the VARIANCE, not the clipped log: an inf/NaN running
             # var (overflowing residual) must be SKIPPED, while var == 0
@@ -536,6 +623,11 @@ def step_apply(
 
     if flags.update and flags.update_transition:
         dyn_ok = jnp.isfinite(sums.dx_sum)
+        if mask is not None:
+            # a fully-masked step must not advance the recursion (shrink
+            # would decay P with no data behind it) — filter_step's
+            # `upd_ok &= sum(weights) > 0` gate
+            dyn_ok = jnp.logical_and(dyn_ok, has_data)
         w_dyn_new = carry.w_dyn
         if not flags.warm_up:
             # forgetting factor + per-step jitter (vjf/module.py:80-96
@@ -632,7 +724,11 @@ def step_apply(
 
         if feat is not None:
             resid = dx - mm(feat, w_dyn_new)                   # vjf/model.py:372
-            mse_dyn = jnp.mean(resid * resid)
+            if mask is not None:
+                # weighted mean over the valid rows (batch_weighted_mean)
+                mse_dyn = jnp.sum(resid * resid * m_col) / (b * xd)
+            else:
+                mse_dyn = jnp.mean(resid * resid)
         else:
             quad = jnp.sum(
                 w_dyn_new
@@ -642,8 +738,8 @@ def step_apply(
                 sums.dx2_sum - 2.0 * jnp.sum(w_dyn_new * sums.fxd_raw) + quad
             ) / (b * xd)
         dyn_n = jnp.minimum(new.dyn_n[0, 0], float(cfg.state_var_cap))
-        tot_d = dyn_n + b
-        var_d = (dyn_n / tot_d) * jnp.exp(slogvar) + (b / tot_d) * mse_dyn
+        tot_d = dyn_n + count
+        var_d = (dyn_n / tot_d) * jnp.exp(slogvar) + (count / tot_d) * mse_dyn
         slv_new = jnp.clip(jnp.log(var_d), -cfg.logvar_clamp, cfg.logvar_clamp)
         # gate on the VARIANCE: an overflowing residual (inf mse from
         # finite-huge w, the trap-12/14 class) must be SKIPPED, not
@@ -678,6 +774,7 @@ def step_math(
     ns_extra=None,
     ns_tau_max: Optional[float] = None,
     ns_iters: int = NS_ITERS,
+    mask: Optional[Array] = None,
 ) -> StepOut:
     """Pure-jnp fused step on padded arrays: forward-and-reduce
     (:func:`step_forward_sums`) composed with the batch-independent apply
@@ -689,17 +786,29 @@ def step_math(
     gates the V/w update on ``tau < ns_tau_max`` for cond-free segments that
     have no exact-inverse fallback (the skipped-step tau is visible in the
     scalar stream).
+
+    ``mask``: optional (B, 1) 0/1 trial-validity column (ragged trials,
+    single-device only). Masked rows contribute nothing and their returned
+    posterior is FROZEN at ``(qs_m, qs_lv)`` — the carry convention of the
+    XLA path (filter_step's frozen-carry select).
     """
     b = y.shape[0]
     sums, per = step_forward_sums(
-        cfg, flags, carry, qs_m, qs_lv, y, u, eps_s, eps_t, 1.0 / b
+        cfg, flags, carry, qs_m, qs_lv, y, u, eps_s, eps_t, 1.0 / b,
+        mask=mask,
     )
     new, scal, g_vec = step_apply(
         cfg, flags, carry, sums, lr, b, feat=per.feat, dx=per.dx,
         ns_extra=ns_extra, ns_tau_max=ns_tau_max, ns_iters=ns_iters,
+        mask=mask,
     )
+    qt_m, qt_lv = per.qt_m, per.qt_lv
+    if mask is not None:
+        keep = mask > 0
+        qt_m = jnp.where(keep, qt_m, qs_m)
+        qt_lv = jnp.where(keep, qt_lv, qs_lv)
     return StepOut(
-        carry=new, qt_mean=per.qt_m, qt_logvar=per.qt_lv, g_vec=g_vec,
+        carry=new, qt_mean=qt_m, qt_logvar=qt_lv, g_vec=g_vec,
         xt=per.xt, xs=per.xs, scal=scal,
     )
 
@@ -740,9 +849,14 @@ def _box_muller_latents(b: int, xd: int, dtype):
 
 
 def _make_kernel(cfg: VJFConfig, flags: StepFlags, carry_treedef, n_carry: int,
-                 has_u: bool, internal_rng: bool, xd: int):
-    # data layout: qs_m, qs_lv, y, [u], [eps_s, eps_t unless internal_rng]
-    n_data = 3 + (1 if has_u else 0) + (0 if internal_rng else 2)
+                 has_u: bool, internal_rng: bool, xd: int,
+                 has_mask: bool = False):
+    # data layout: qs_m, qs_lv, y, [u], [eps_s, eps_t unless internal_rng],
+    # [mask]
+    n_data = (
+        3 + (1 if has_u else 0) + (0 if internal_rng else 2)
+        + (1 if has_mask else 0)
+    )
 
     def kernel(*refs):
         lr_ref = refs[0]
@@ -765,9 +879,11 @@ def _make_kernel(cfg: VJFConfig, flags: StepFlags, carry_treedef, n_carry: int,
         else:
             eps_s = next(it)[:]
             eps_t = next(it)[:]
+        mask = next(it)[:] if has_mask else None
 
         out = step_math(
-            cfg, flags, carry, qs_m, qs_lv, y, u, eps_s, eps_t, lr_ref[0]
+            cfg, flags, carry, qs_m, qs_lv, y, u, eps_s, eps_t, lr_ref[0],
+            mask=mask,
         )
         out = out._replace(
             carry=out.carry._replace(rng_count=out.carry.rng_count + 1)
@@ -820,23 +936,27 @@ def fused_step_call(
     eps_t: Optional[Array],
     lr: Array,
     interpret: bool = False,
+    mask: Optional[Array] = None,
 ) -> PackedStepOut:
     """Run the fused kernel once. ``eps_s``/``eps_t`` None selects in-kernel
-    Box-Muller RNG (seeded from the carry's rng_seed/rng_count)."""
+    Box-Muller RNG (seeded from the carry's rng_seed/rng_count). ``mask``:
+    optional (B, 1) trial-validity column (see :func:`step_math`)."""
     carry_leaves, carry_treedef = jax.tree_util.tree_flatten(carry)
     has_u = u is not None and u.shape[-1] > 0
     internal_rng = eps_s is None
+    has_mask = mask is not None
     b = y.shape[0]
     xd = cfg.xdim
     dtype = qs_m.dtype
     nfp = carry.p_mat.shape[0]
 
     kernel = _make_kernel(
-        cfg, flags, carry_treedef, len(carry_leaves), has_u, internal_rng, xd
+        cfg, flags, carry_treedef, len(carry_leaves), has_u, internal_rng, xd,
+        has_mask=has_mask,
     )
     data = [qs_m, qs_lv, y] + ([u] if has_u else []) + (
         [] if internal_rng else [eps_s, eps_t]
-    )
+    ) + ([mask] if has_mask else [])
     n_in = 1 + len(carry_leaves) + len(data)
 
     out_shape = (
@@ -1055,7 +1175,8 @@ def _exact_inverse_repair(cfg, c, prev_carry, g_vec, b, mse_fn):
 
 
 def exact_v_fallback(
-    cfg: VJFConfig, out, prev_carry: FusedCarry, u: Optional[Array] = None
+    cfg: VJFConfig, out, prev_carry: FusedCarry, u: Optional[Array] = None,
+    mask: Optional[Array] = None,
 ):
     """Replace the NS-tracked V with the exact Cholesky inverse when the
     kernel's tau says Newton-Schulz hadn't contracted (early steps only).
@@ -1069,9 +1190,18 @@ def exact_v_fallback(
     construction, and ``safe_cholesky``'s eigh-repair branch nested inside
     this cond measured ~1 ms/step on v5e (TPU conditionals do not reliably
     skip an eigh-heavy untaken branch).
+
+    ``mask``: optional (B, 1) trial-validity column matching the kernel's —
+    the residual MSE and the sample count run over the valid rows only
+    (a fully-masked step reports tau = 0, so the cond never fires there).
     """
     c = out.carry
-    b = out.xt.shape[0]
+    if mask is not None:
+        m_col = (mask > 0).astype(out.xt.dtype)
+        count = jnp.sum(m_col)
+        b = count                               # raw count for the counter
+    else:
+        b = out.xt.shape[0]
 
     def exact(_):
         hp = jax.lax.Precision.HIGHEST
@@ -1091,6 +1221,10 @@ def exact_v_fallback(
             if c.w_white is not None:
                 feat = jnp.matmul(feat, c.w_white, precision=hp)  # SGP whitening
             resid = (out.xt - out.xs) - jnp.matmul(feat, w_new, precision=hp)
+            if mask is not None:
+                return jnp.sum(resid * resid * m_col) / (
+                    jnp.maximum(count, 1.0) * resid.shape[-1]
+                )
             return jnp.mean(resid * resid)
 
         return _exact_inverse_repair(cfg, c, prev_carry, out.g_vec, b, mse_fn)
@@ -1283,8 +1417,12 @@ def _make_mega_kernel(
     internal_rng: bool,
     xd: int,
     scal_rows: int,
+    has_mask: bool = False,
 ):
-    n_data = 1 + (1 if has_u else 0) + (0 if internal_rng else 2)
+    n_data = (
+        1 + (1 if has_u else 0) + (0 if internal_rng else 2)
+        + (1 if has_mask else 0)
+    )
 
     def kernel(*refs):
         lr_ref = refs[0]
@@ -1320,6 +1458,7 @@ def _make_mega_kernel(
         else:
             eps_s = next(it)[:]
             eps_t = next(it)[:]
+        mask = next(it)[:] if has_mask else None
 
         def ns_extra(x_ns, p_new, eye2, tau):
             # escalation runs on scalar-unit branches: the common case
@@ -1352,7 +1491,7 @@ def _make_mega_kernel(
         out = step_math(
             cfg, flags, carry, qm_s[:], qlv_s[:], y, u, eps_s, eps_t,
             lr_ref[0], ns_extra=ns_extra, ns_tau_max=NS_TAU_MAX,
-            ns_iters=NS_ITERS - 1,
+            ns_iters=NS_ITERS - 1, mask=mask,
         )
         out = out._replace(
             carry=out.carry._replace(rng_count=out.carry.rng_count + 1)
@@ -1399,16 +1538,20 @@ def mega_epoch_call(
     eps_t: Optional[Array],
     lr: Array,
     interpret: bool = False,
+    mask: Optional[Array] = None,
 ):
     """Run ``T = ys.shape[0]`` fused steps as ONE grid-over-time pallas_call.
 
     Returns ``(carry, q_pack (T, 2, B, xd), scal (T, 8))``. ``eps_s=None``
     selects in-kernel Box-Muller RNG (stream index = the carried rng_count,
     so a mega segment continues a per-step prefix bit-identically).
+    ``mask``: optional (T, B, 1) trial-validity blocks (ragged trials,
+    single-device only — see :func:`step_math`).
     """
     carry_leaves, carry_treedef = jax.tree_util.tree_flatten(carry)
     has_u = us is not None and us.shape[-1] > 0
     internal_rng = eps_s is None
+    has_mask = mask is not None
     t_total, b, yd = ys.shape
     xd = cfg.xdim
     dtype = qs_m.dtype
@@ -1417,11 +1560,11 @@ def mega_epoch_call(
     scal_rows = 8 if t_total >= 8 else t_total
     kernel = _make_mega_kernel(
         cfg, flags, carry_treedef, len(carry_leaves), has_u, internal_rng, xd,
-        scal_rows,
+        scal_rows, has_mask=has_mask,
     )
     data = [ys] + ([us] if has_u else []) + (
         [] if internal_rng else [eps_s, eps_t]
-    )
+    ) + ([mask] if has_mask else [])
     data_specs = [
         pl.BlockSpec((None,) + d.shape[1:], lambda t, _n=d.ndim - 1: (t,) + (0,) * _n)
         for d in data
@@ -1504,7 +1647,7 @@ def fused_enabled(cfg: VJFConfig, state, n_batch: Optional[int] = None) -> bool:
 
 
 def run_epoch_fused(cfg, flags, state, ys, us, key, lr, noise=None, q0=None,
-                    interpret: Optional[bool] = None):
+                    interpret: Optional[bool] = None, mask=None):
     """One epoch through the fused kernel — same contract as
     ``models.vjf.run_epoch`` (pad once, run the segments, unpad once).
 
@@ -1543,6 +1686,11 @@ def run_epoch_fused(cfg, flags, state, ys, us, key, lr, noise=None, q0=None,
         seed = jax.random.randint(key, (1, 1), 0, jnp.iinfo(jnp.int32).max, jnp.int32)
         carry0 = carry0._replace(rng_seed=seed)
     has_u = cfg.udim > 0
+    has_mask = mask is not None
+    if has_mask:
+        # (T, B) -> (T, B, 1): the kernels take a per-step (B, 1) column
+        # (Mosaic blocks want >= 2-D); sanitize to exact 0/1 once here
+        mask3 = (jnp.asarray(mask, ys.dtype) > 0).astype(ys.dtype)[:, :, None]
     do_fallback = flags.update and flags.update_transition and not flags.warm_up
 
     if cfg.fused_epoch == "mega":
@@ -1556,16 +1704,20 @@ def run_epoch_fused(cfg, flags, state, ys, us, key, lr, noise=None, q0=None,
         y = next(it)
         u = next(it) if has_u else None
         e1, e2 = (next(it), next(it)) if not internal_rng else (None, None)
+        m = next(it) if has_mask else None
         out = fused_step_call(
-            cfg, flags, carry, qm, qlv, y, u, e1, e2, lr, interpret=interpret
+            cfg, flags, carry, qm, qlv, y, u, e1, e2, lr,
+            interpret=interpret, mask=m,
         )
         if do_fallback:
-            out = exact_v_fallback(cfg, out, carry, u)
+            out = exact_v_fallback(cfg, out, carry, u, mask=m)
         return (out.carry, out.q_pack[0], out.q_pack[1]), (out.q_pack, out.scal)
 
     def seg_inputs(lo, hi):
-        return (ys[lo:hi],) + ((us[lo:hi],) if has_u else ()) + (
-            (noise[0][lo:hi], noise[1][lo:hi]) if not internal_rng else ()
+        return (
+            (ys[lo:hi],) + ((us[lo:hi],) if has_u else ()) + (
+                (noise[0][lo:hi], noise[1][lo:hi]) if not internal_rng else ()
+            ) + ((mask3[lo:hi],) if has_mask else ())
         )
 
     q_segs, scal_segs = [], []
@@ -1585,6 +1737,7 @@ def run_epoch_fused(cfg, flags, state, ys, us, key, lr, noise=None, q0=None,
         carry_f, q_seq_b, scal_b = mega_epoch_call(
             cfg, flags, carry_f, qm_f, qlv_f, ys[prefix:],
             us[prefix:] if has_u else None, e1, e2, lr, interpret=interpret,
+            mask=mask3[prefix:] if has_mask else None,
         )
         q_segs.append(q_seq_b)
         scal_segs.append(scal_b)
