@@ -533,3 +533,140 @@ def test_fused_masked_padding_invariance_b1(key):
     for t in range(t0, t_pad):
         np.testing.assert_array_equal(np.asarray(got.q_means[t]), last)
     assert np.all(np.isfinite(np.asarray(got.q_means)))
+
+
+# ---------------------------------------------------------------------------
+# Channel-mask (missing observations) support on the fused/mega path
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("lik", ["gaussian", "poisson"])
+def test_fused_channel_masked_epoch_matches_xla(key, lik):
+    """Electrode dropout rides the fused kernels: the channel-masked fused
+    epoch (both layouts) must reproduce the channel-masked XLA epoch —
+    NaN holes sanitized, masked entries out of the likelihood sum and its
+    gradient, in-kernel imputation feedback into the recognition input,
+    and (Gaussian) the per-observed-entry logvar constant + fractional
+    obs-noise sample count."""
+    cfg = VJFConfig(ydim=14, xdim=2, udim=0, n_rbf=16, hidden_sizes=(10,),
+                    likelihood=lik, dtype="float32", rls_backend="nsv",
+                    fused_step="off", matmul_dtype="float32", ns_prefix=20)
+    state = core.init_state(key, cfg)
+    T, B = 50, 4
+    if lik == "poisson":
+        ys = jax.random.poisson(key, 1.0, (T, B, cfg.ydim)).astype(jnp.float32)
+    else:
+        ys = jax.random.normal(key, (T, B, cfg.ydim), jnp.float32)
+    rng = np.random.default_rng(3)
+    cm = jnp.asarray((rng.uniform(size=(T, B, cfg.ydim)) > 0.3).astype(np.float32))
+    ys = jnp.where(cm > 0, ys, jnp.nan)          # NaN at every missing entry
+    us = jnp.zeros((T, B, 0), jnp.float32)
+    eps = jax.random.normal(key, (2, T, B, cfg.xdim), jnp.float32)
+    lr = jnp.asarray(1e-3, jnp.float32)
+    flags = StepFlags()
+
+    ref = core.run_epoch(cfg, flags, state, ys, us, key, lr,
+                         noise=(eps[0], eps[1]), channel_mask=cm)
+    for layout in ("stepwise", "mega"):
+        got = F.run_epoch_fused(cfg.replace(fused_epoch=layout), flags, state,
+                                ys, us, key, lr, noise=(eps[0], eps[1]),
+                                interpret=True, channel_mask=cm)
+        np.testing.assert_allclose(np.asarray(got.metrics.loss),
+                                   np.asarray(ref.metrics.loss),
+                                   rtol=5e-4, atol=5e-4, err_msg=layout)
+        np.testing.assert_allclose(np.asarray(got.q_means),
+                                   np.asarray(ref.q_means),
+                                   rtol=1e-3, atol=1e-3, err_msg=layout)
+        np.testing.assert_allclose(np.asarray(got.state.dynamics.blr.w_mean),
+                                   np.asarray(ref.state.dynamics.blr.w_mean),
+                                   rtol=2e-3, atol=2e-3, err_msg=layout)
+        np.testing.assert_allclose(np.asarray(got.state.dynamics.logvar),
+                                   np.asarray(ref.state.dynamics.logvar),
+                                   rtol=1e-3, atol=1e-3, err_msg=layout)
+        # fractional obs-noise sample count (sum(cm)/ydim per step)
+        np.testing.assert_allclose(float(got.state.lik_n_sample),
+                                   float(ref.state.lik_n_sample), rtol=1e-5)
+        if lik == "gaussian":
+            np.testing.assert_allclose(
+                np.asarray(got.state.params.likelihood.logvar),
+                np.asarray(ref.state.params.likelihood.logvar),
+                rtol=1e-4, err_msg=layout)
+
+
+def test_fused_channel_mask_all_ones_matches_unmasked(key):
+    """An all-ones channel mask through the fused path is numerically the
+    unmasked computation (selection no-ops, cm_sum == B * ydim)."""
+    cfg = VJFConfig(ydim=12, xdim=2, udim=0, n_rbf=12, hidden_sizes=(8,),
+                    likelihood="gaussian", dtype="float32", rls_backend="nsv",
+                    fused_step="off", matmul_dtype="float32", ns_prefix=10)
+    state = core.init_state(key, cfg)
+    T, B = 30, 4
+    ys = jax.random.normal(key, (T, B, cfg.ydim), jnp.float32)
+    us = jnp.zeros((T, B, 0), jnp.float32)
+    eps = jax.random.normal(key, (2, T, B, cfg.xdim), jnp.float32)
+    lr = jnp.asarray(1e-3, jnp.float32)
+    flags = StepFlags()
+
+    for layout in ("stepwise", "mega"):
+        c = cfg.replace(fused_epoch=layout)
+        plain = F.run_epoch_fused(c, flags, state, ys, us, key, lr,
+                                  noise=(eps[0], eps[1]), interpret=True)
+        ones = F.run_epoch_fused(c, flags, state, ys, us, key, lr,
+                                 noise=(eps[0], eps[1]), interpret=True,
+                                 channel_mask=jnp.ones_like(ys))
+        np.testing.assert_allclose(np.asarray(ones.metrics.loss),
+                                   np.asarray(plain.metrics.loss),
+                                   rtol=1e-6, atol=1e-6, err_msg=layout)
+        np.testing.assert_allclose(
+            np.asarray(ones.state.dynamics.blr.w_mean),
+            np.asarray(plain.state.dynamics.blr.w_mean),
+            rtol=1e-5, atol=1e-6, err_msg=layout,
+        )
+        np.testing.assert_allclose(
+            np.asarray(ones.state.params.likelihood.logvar),
+            np.asarray(plain.state.params.likelihood.logvar),
+            rtol=1e-6, err_msg=layout,
+        )
+
+
+def test_fused_combined_masks_match_xla(key):
+    """Trial mask + channel mask together on the fused kernels: dropped
+    channels AND a ragged trial, vs the XLA epoch. The per-entry validity
+    folds the trial column into the channel statistics (cm_sum runs over
+    valid trials only)."""
+    cfg = VJFConfig(ydim=14, xdim=2, udim=0, n_rbf=16, hidden_sizes=(10,),
+                    likelihood="gaussian", dtype="float32", rls_backend="nsv",
+                    fused_step="off", matmul_dtype="float32", ns_prefix=20)
+    state = core.init_state(key, cfg)
+    T, B, T2 = 50, 4, 30
+    ys = jax.random.normal(key, (T, B, cfg.ydim), jnp.float32)
+    rng = np.random.default_rng(9)
+    cm = jnp.asarray((rng.uniform(size=(T, B, cfg.ydim)) > 0.25).astype(np.float32))
+    ys = jnp.where(cm > 0, ys, jnp.nan)
+    ys = ys.at[T2:, 2].set(jnp.nan)
+    mask = jnp.ones((T, B), jnp.float32).at[T2:, 2].set(0.0)
+    us = jnp.zeros((T, B, 0), jnp.float32)
+    eps = jax.random.normal(key, (2, T, B, cfg.xdim), jnp.float32)
+    lr = jnp.asarray(1e-3, jnp.float32)
+    flags = StepFlags()
+
+    ref = core.run_epoch(cfg, flags, state, ys, us, key, lr,
+                         noise=(eps[0], eps[1]), mask=mask, channel_mask=cm)
+    for layout in ("stepwise", "mega"):
+        got = F.run_epoch_fused(cfg.replace(fused_epoch=layout), flags, state,
+                                ys, us, key, lr, noise=(eps[0], eps[1]),
+                                interpret=True, mask=mask, channel_mask=cm)
+        np.testing.assert_allclose(np.asarray(got.metrics.loss),
+                                   np.asarray(ref.metrics.loss),
+                                   rtol=5e-4, atol=5e-4, err_msg=layout)
+        np.testing.assert_allclose(np.asarray(got.q_means),
+                                   np.asarray(ref.q_means),
+                                   rtol=1e-3, atol=1e-3, err_msg=layout)
+        np.testing.assert_allclose(np.asarray(got.state.dynamics.blr.w_mean),
+                                   np.asarray(ref.state.dynamics.blr.w_mean),
+                                   rtol=2e-3, atol=2e-3, err_msg=layout)
+        np.testing.assert_allclose(float(got.state.lik_n_sample),
+                                   float(ref.state.lik_n_sample), rtol=1e-5)
+        # frozen carry over the ragged trial's padding
+        last = np.asarray(got.q_means[T2 - 1, 2])
+        np.testing.assert_array_equal(np.asarray(got.q_means[-1, 2]), last)

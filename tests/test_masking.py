@@ -107,10 +107,11 @@ def test_fully_masked_trial_equals_smaller_batch(key, backend):
 
 def test_mask_forces_xla_on_fused_config(key):
     """A mask on a fused='auto' config off-TPU routes to the XLA path and
-    trains sanely. (Since round 2 the trial mask RIDES the fused/mega
-    kernels where they are enabled — equivalence pinned in
-    tests/test_fused_step.py::test_fused_masked_* — while channel masks
-    still force XLA.)"""
+    trains sanely. (Since round 2 BOTH masks RIDE the fused/mega kernels
+    where they are enabled — equivalence pinned in
+    tests/test_fused_step.py::test_fused_masked_* /
+    test_fused_channel_masked_* — this test keeps the off-TPU 'auto'
+    routing honest.)"""
     cfg = _cfg(fused_step="auto", n_rbf=16)
     t_len, n_batch = 30, 8
     ys = jax.random.normal(key, (t_len, n_batch, cfg.ydim), jnp.float32)
@@ -483,3 +484,30 @@ def test_fit_ragged_on_fused_mega_path(key):
     # frozen padding on the dead trial
     last = np.asarray(res.mu[T2 - 1, 1])
     np.testing.assert_array_equal(np.asarray(res.mu[-1, 1]), last)
+
+
+def test_fit_channel_mask_on_fused_mega_path(key):
+    """End-to-end fit() with 25% electrode dropout ON the fused mega path
+    (fused_step='on', interpret on CPU): the in-kernel imputation feedback,
+    masked likelihood, and fractional obs-noise counts through the whole
+    control loop."""
+    rng = np.random.default_rng(21)
+    T = 160
+    t = np.arange(T) * 0.08
+    x1 = np.stack([np.sin(t), np.cos(t)], -1)
+    C = rng.normal(size=(2, 10))
+    y = np.stack([x1 @ C, x1 @ C], axis=1).astype(np.float32)
+    y += 0.1 * rng.normal(size=y.shape).astype(np.float32)
+    cm = (rng.uniform(size=y.shape) > 0.25).astype(np.float32)
+    y = np.where(cm > 0, y, np.nan)
+
+    cfg = _cfg(ydim=10, n_rbf=16, hidden_sizes=(10,), lr=3e-3, rtol=2e-3,
+               fused_step="on", fused_epoch="mega", ns_prefix=16,
+               matmul_dtype="float32", warmup_max=6)
+    state = core.init_state(key, cfg)
+    res = core.fit(cfg, state, y, key=key, max_iter=10, channel_mask=cm)
+    assert not res.warm_up
+    assert np.isfinite(res.loss)
+    assert np.all(np.isfinite(np.asarray(res.mu)))
+    assert int(res.state.dynamics.n_sample) > 0
+    assert float(res.state.lik_n_sample) > 0

@@ -350,3 +350,95 @@ def test_sharded_mask_promotion_matches_core(key, mesh8):
             np.asarray(got.q_means), np.asarray(ref.q_means),
             rtol=1e-8, atol=1e-10,
         )
+
+
+def test_sharded_fused_masked_epoch_matches_single_device(key, mesh8):
+    """Ragged trial masks on the SHARDED fused path: each device's phase-1
+    kernel renormalizes its masked local sums by the GLOBAL per-step valid
+    count (computed outside the shard_map), so the psum + replicated apply
+    must reproduce the single-device masked fused epoch — including NaN
+    padding, shard-asymmetric valid counts, frozen carries, and
+    count-gated RLS/noise counters."""
+    from vjf_tpu.ops.pallas import fused_step as F
+    from vjf_tpu.parallel.sharded import run_epoch_fused_sharded
+
+    cfg = VJFConfig(ydim=12, xdim=3, udim=0, n_rbf=20, hidden_sizes=(10,),
+                    likelihood="poisson", dtype="float32", rls_backend="nsv",
+                    fused_step="on", matmul_dtype="float32")
+    state = core.init_state(key, cfg)
+    T, B = 40, 16
+    ys = jax.random.poisson(key, 1.0, (T, B, cfg.ydim)).astype(jnp.float32)
+    # ragged ends spread across shards (B=16 over 8 devices -> 2 per shard):
+    # trial 1 ends at t=25, trial 9 at t=10, trial 15 at t=32 — local valid
+    # counts differ per shard per step, so a local renormalization would
+    # diverge from the global one
+    mask = jnp.ones((T, B), jnp.float32)
+    for trial, t_end in ((1, 25), (9, 10), (15, 32)):
+        ys = ys.at[t_end:, trial].set(jnp.nan)
+        mask = mask.at[t_end:, trial].set(0.0)
+    us = jnp.zeros((T, B, 0), jnp.float32)
+    eps = jax.random.normal(key, (2, T, B, cfg.xdim), jnp.float32)
+    lr = jnp.asarray(1e-3, jnp.float32)
+    flags = StepFlags()
+
+    dp_mesh = make_mesh(8, axis_names=("dp",))
+    got = run_epoch_fused_sharded(cfg, flags, state, ys, us, key, lr, dp_mesh,
+                                  noise=(eps[0], eps[1]), interpret=True,
+                                  mask=mask)
+    ref = F.run_epoch_fused(cfg.replace(fused_epoch="stepwise"), flags, state,
+                            ys, us, key, lr, noise=(eps[0], eps[1]),
+                            interpret=True, mask=mask)
+    np.testing.assert_allclose(np.asarray(got.metrics.loss),
+                               np.asarray(ref.metrics.loss),
+                               rtol=5e-4, atol=5e-4)
+    np.testing.assert_allclose(np.asarray(got.q_means), np.asarray(ref.q_means),
+                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got.state.dynamics.blr.w_mean),
+                               np.asarray(ref.state.dynamics.blr.w_mean),
+                               rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(got.state.dynamics.logvar),
+                               np.asarray(ref.state.dynamics.logvar), rtol=1e-3)
+    # counters advance by the GLOBAL valid count on both paths
+    assert int(got.state.dynamics.n_sample) == int(ref.state.dynamics.n_sample)
+    np.testing.assert_allclose(float(got.state.lik_n_sample),
+                               float(ref.state.lik_n_sample), rtol=1e-6)
+    # frozen carry over a dead trial's padding
+    last = np.asarray(got.q_means[25 - 1, 1])
+    np.testing.assert_array_equal(np.asarray(got.q_means[-1, 1]), last)
+
+
+def test_make_sharded_epoch_routes_trial_mask_to_fused(key, mesh8):
+    """make_sharded_epoch with a trial mask (no channel mask) on a
+    fused-eligible f32 config routes to the sharded fused path and matches
+    the single-device masked fused epoch (not just the XLA one)."""
+    from vjf_tpu.ops.pallas import fused_step as F
+
+    cfg = VJFConfig(ydim=10, xdim=2, udim=0, n_rbf=16, hidden_sizes=(8,),
+                    likelihood="gaussian", dtype="float32", rls_backend="nsv",
+                    fused_step="on", matmul_dtype="float32")
+    state = core.init_state(key, cfg)
+    T, B = 24, 16
+    ys = jax.random.normal(key, (T, B, cfg.ydim), jnp.float32)
+    ys = ys.at[15:, 3].set(jnp.nan)
+    mask = jnp.ones((T, B), jnp.float32).at[15:, 3].set(0.0)
+    us = jnp.zeros((T, B, 0), jnp.float32)
+    flags = StepFlags()
+    lr = jnp.asarray(1e-3, jnp.float32)
+
+    dp_mesh = make_mesh(8, axis_names=("dp",))
+    epoch = make_sharded_epoch(cfg, flags, dp_mesh, donate=False)
+    got = epoch(state, ys, us, key, lr, mask=mask)
+    # the sharded path with noise=None draws host threefry eps from `key`
+    # (run_epoch_fused_sharded) — hand the identical stream to the
+    # single-device reference (whose None default is in-kernel RNG)
+    eps = jax.random.normal(key, (T, 2, B, cfg.xdim), jnp.float32)
+    ref = F.run_epoch_fused(cfg.replace(fused_epoch="stepwise"), flags, state,
+                            ys, us, key, lr, interpret=True, mask=mask,
+                            noise=(eps[:, 0], eps[:, 1]))
+    np.testing.assert_allclose(np.asarray(got.metrics.loss),
+                               np.asarray(ref.metrics.loss),
+                               rtol=5e-4, atol=5e-4)
+    np.testing.assert_allclose(np.asarray(got.state.dynamics.blr.w_mean),
+                               np.asarray(ref.state.dynamics.blr.w_mean),
+                               rtol=2e-3, atol=2e-3)
+    assert np.all(np.isfinite(np.asarray(got.q_means)))

@@ -419,19 +419,23 @@ def run_epoch(
     :param mask: optional (T, B) 0/1 trial-validity mask (ragged trials —
         see :func:`filter_step`); rides the fused/mega kernels (they carry
         the mask as an extra per-step input and renormalize over the valid
-        count — single-device only; the sharded path pins the XLA step)
+        count; the sharded path rides it too — see
+        ``parallel.sharded.run_epoch_fused_sharded(mask=...)``)
     :param channel_mask: optional (T, B, ydim) 0/1 missing-observation mask
-        (electrode dropout — see :func:`filter_step`); forces the XLA path
-        (the imputation feedback needs the full recognition input rewrite)
+        (electrode dropout — see :func:`filter_step`); rides the fused/mega
+        kernels too (the imputation feedback is one extra in-kernel decoder
+        matmul from the previous posterior mean)
     """
-    if (
-        channel_mask is None
-        and _fused.fused_enabled(cfg, state, n_batch=ys.shape[1])
-    ):
+    if _fused.fused_enabled(cfg, state, n_batch=ys.shape[1]):
         if mask is not None:
             mask = jnp.broadcast_to(jnp.asarray(mask, ys.dtype), ys.shape[:2])
+        if channel_mask is not None:
+            channel_mask = jnp.broadcast_to(
+                jnp.asarray(channel_mask, ys.dtype), ys.shape
+            )
         return _fused.run_epoch_fused(
-            cfg, flags, state, ys, us, key, lr, noise=noise, q0=q0, mask=mask
+            cfg, flags, state, ys, us, key, lr, noise=noise, q0=q0, mask=mask,
+            channel_mask=channel_mask,
         )
 
     t_len, n_batch, _ = ys.shape
@@ -675,7 +679,8 @@ def fit(
     ``mask`` (optional (T,) / (T, B) 0/1): ragged-trial support — see
     :func:`filter_step`. Masked entries contribute nothing anywhere
     (including the warm-up-end bootstrap, where only pairs with both
-    endpoints observed enter the re-init); forces the XLA path.
+    endpoints observed enter the re-init). Both masks ride the fused/mega
+    kernels where enabled (:func:`run_epoch` dispatch).
 
     ``epochs_per_dispatch > 1`` switches to the block-dispatch production
     mode (:func:`_fit_blocked`): K epochs per device dispatch through
@@ -719,8 +724,7 @@ def fit(
     # path (f64 parity, fused_step='off', small-batch SGP routing, CPU)
     # keep donating.
     mega_possible = (
-        channel_mask is None
-        and cfg.fused_epoch == "mega"
+        cfg.fused_epoch == "mega"
         and _fused.fused_enabled(cfg, state, n_batch=n_batch)
     )
     donate = donate and not mega_possible
@@ -957,8 +961,7 @@ def _fit_blocked(
     pair_w = (mask[1:] * mask[:-1]).reshape(-1) if mask is not None else None
 
     mega_possible = (
-        channel_mask is None
-        and cfg.fused_epoch == "mega"
+        cfg.fused_epoch == "mega"
         and _fused.fused_enabled(cfg, state, n_batch=n_batch)
     )
     epochs_fn = jax.jit(run_epochs, static_argnames=("cfg", "flags"))

@@ -173,6 +173,12 @@ class FusedSums(NamedTuple):
     fvf_sum: Array            # ()
     dx_sum: Array             # ()
     dx2_sum: Array            # ()
+    # () count of OBSERVED (channel-mask x trial-mask) y entries, or None
+    # when no channel mask rides the step — the gaussian likelihood's
+    # per-observed-entry logvar constant and the fractional obs-noise
+    # sample count (sum(cm)/ydim) both need it (models/likelihoods.py:
+    # gaussian_lik_update channel_mask branch)
+    cm_sum: Optional[Array] = None
 
 
 class PerTrial(NamedTuple):
@@ -215,27 +221,43 @@ def step_forward_sums(
     u: Optional[Array],
     eps_s: Array,
     eps_t: Array,
-    inv_b: float,
+    inv_b,
     mask: Optional[Array] = None,
+    local_renorm: bool = True,
+    cmask: Optional[Array] = None,
 ) -> Tuple[FusedSums, PerTrial]:
     """Per-trial phase of the fused step: forward pass, hand-written
     backward, and trial-axis reductions. ``inv_b`` must be the GLOBAL
     1/batch so that summing :class:`FusedSums` across trial shards
     reproduces the single-device values (see class docstring).
 
-    ``mask``: optional (B, 1) 0/1 trial-validity column (ragged trials,
-    single-device only — the masked batch mean renormalizes over the LOCAL
-    valid count, so sharded callers must not pass one). Semantics mirror
-    the XLA path (models/vjf.py filter_step): masked rows are sanitized to
-    zero at the inputs, selected out of every reduction (loss, gradients,
-    RLS statistics, noise-update residuals), and the batch means divide by
-    ``max(sum(mask), 1)``. ``mask=None`` traces to the identical
-    computation as before."""
+    ``mask``: optional (B, 1) 0/1 trial-validity column (ragged trials).
+    Semantics mirror the XLA path (models/vjf.py filter_step): masked rows
+    are sanitized to zero at the inputs, selected out of every reduction
+    (loss, gradients, RLS statistics, noise-update residuals), and the
+    batch means divide by the valid count. With ``local_renorm=True``
+    (single-device) that count is computed here from the LOCAL mask; a
+    sharded caller passes ``local_renorm=False`` plus the traced GLOBAL
+    ``inv_b = 1/max(valid count over all shards, 1)`` so the local
+    contributions still sum to the single-device values across the psum.
+    ``mask=None`` traces to the identical computation as before.
+
+    ``cmask``: optional (B, ydim) 0/1 missing-observation mask (electrode
+    dropout — :func:`models.vjf.filter_step` channel_mask). Masked entries
+    are sanitized to zero, dropped from the likelihood channel sum and its
+    gradient, and the recognition input sees the model's imputation (the
+    decoder's prediction from ``qs_m`` — one extra MXU matmul; Poisson on
+    the count scale, matching ``_impute_y``). Composes with ``mask``."""
     f32 = qs_m.dtype
     slogvar = carry.state_logvar[0, 0]
     has_u = u is not None and u.shape[-1] > 0
     mm = _mm_fn(cfg, f32)
 
+    if cmask is not None:
+        # channel holes first (select, not multiply: NaN-safe), matching
+        # filter_step's sanitize order
+        cm = (cmask > 0).astype(f32)                          # (B, ydim)
+        y = jnp.where(cm > 0, y, 0.0)
     if mask is not None:
         # sanitize (select, not multiply: NaN padding * 0 = NaN) and
         # renormalize over the valid count — XLA batch_weighted_mean
@@ -243,8 +265,17 @@ def step_forward_sums(
         y = jnp.where(m_col > 0, y, 0.0)
         if has_u:
             u = jnp.where(m_col > 0, u, 0.0)
-        count = jnp.sum(m_col)
-        inv_b = 1.0 / jnp.maximum(count, 1.0)
+        if local_renorm:
+            count = jnp.sum(m_col)
+            inv_b = 1.0 / jnp.maximum(count, 1.0)
+    if cmask is not None:
+        # effective per-entry validity: a masked TRIAL's entries leave the
+        # channel statistics too (likelihoods.py folds weights into m)
+        cm_eff = cm * m_col if mask is not None else cm
+        cm_sum = jnp.sum(cm_eff)
+    else:
+        cm_eff = None
+        cm_sum = None
 
     # ---------------- forward (vjf/model.py:97-122) ----------------
     xs = qs_m + eps_s * jnp.exp(0.5 * qs_lv)
@@ -281,7 +312,19 @@ def step_forward_sums(
         pt_lv = jnp.log(fvf)                                  # (B, 1), broadcast xd
     pt_m = (1.0 - cfg.leak) * xs + mm(feat, carry.w_dyn)
 
-    a0 = mm(y, carry.w_in_y.T) + mm(qs_m, carry.w_in_m.T) + mm(
+    if cmask is not None:
+        # model-based imputation for the recognition input only (_impute_y,
+        # models/vjf.py): masked entries see the decoder's prediction from
+        # the PREVIOUS posterior mean (count scale for Poisson). The manual
+        # backward never differentiates y_rec, which is exactly the XLA
+        # path's stop_gradient.
+        pred = mm(qs_m, carry.w_dec.T) + carry.b_dec
+        if cfg.likelihood == "poisson":
+            pred = jnp.exp(jnp.minimum(pred, cfg.poisson_clamp))
+        y_rec = jnp.where(cm > 0, y, pred)
+    else:
+        y_rec = y
+    a0 = mm(y_rec, carry.w_in_y.T) + mm(qs_m, carry.w_in_m.T) + mm(
         qs_lv, carry.w_in_lv.T
     )
     if has_u:
@@ -306,7 +349,9 @@ def step_forward_sums(
         pyc = jnp.minimum(py, cfg.poisson_clamp)
         exp_pyc = jnp.exp(pyc)
         nll_rows = exp_pyc - y * pyc
-        if mask is not None:
+        if cm_eff is not None:
+            nll_rows = nll_rows * cm_eff
+        elif mask is not None:
             nll_rows = nll_rows * m_col
         recon_batch = jnp.sum(nll_rows) * inv_b
         sq_y = zero
@@ -314,7 +359,9 @@ def step_forward_sums(
         lik_lv = carry.lik_logvar[0, 0]
         resid_y = y - py
         sq_rows = resid_y * resid_y
-        if mask is not None:
+        if cm_eff is not None:
+            sq_rows = sq_rows * cm_eff
+        elif mask is not None:
             sq_rows = sq_rows * m_col
         sq_y = jnp.sum(sq_rows)
         recon_batch = zero
@@ -346,8 +393,13 @@ def step_forward_sums(
         else:
             g_py = -resid_y * jnp.exp(-lik_lv) * inv_b
             # batch part only; the +0.5*ydim constant is added in apply
+            # (sq_y is already channel-masked, so this term needs no mask)
             g_lik_lv_batch = -0.5 * sq_y * jnp.exp(-lik_lv) * inv_b
-        if mask is not None:
+        if cm_eff is not None:
+            # masked entries leave the likelihood sum, so nothing flows
+            # back through them (= jax.grad through the where-select)
+            g_py = g_py * cm_eff
+        elif mask is not None:
             g_py = g_py * m_col
 
         g_xt = mm(g_py, carry.w_dec)                           # (B, xd)
@@ -396,7 +448,7 @@ def step_forward_sums(
         g_a0 = g_h * (1.0 - hs[0] * hs[0])                     # first layer
         g_b_hidden[0] = jnp.sum(g_a0, axis=0, keepdims=True)
         g_w_in_u = mm(g_a0.T, u) if has_u else None
-        g_w_in_y = mm(g_a0.T, y)
+        g_w_in_y = mm(g_a0.T, y_rec)      # the layer SAW the imputed input
         g_w_in_m = mm(g_a0.T, qs_m)
         g_w_in_lv = mm(g_a0.T, qs_lv)
     else:
@@ -459,7 +511,7 @@ def step_forward_sums(
         recon_batch=recon_batch, dyn_batch=dyn_batch, ent=h_ent, sq_y=sq_y,
         grad_check=grad_check,
         ftf_raw=ftf_raw, fxd_raw=fxd_raw, fvf_sum=fvf_sum,
-        dx_sum=dx_sum, dx2_sum=dx2_sum,
+        dx_sum=dx_sum, dx2_sum=dx2_sum, cm_sum=cm_sum,
     )
     per = PerTrial(qt_m=qt_m, qt_lv=qt_lv, xt=xt, xs=xs, feat=feat, dx=dx)
     return sums, per
@@ -478,6 +530,7 @@ def step_apply(
     ns_tau_max: Optional[float] = None,
     ns_iters: int = NS_ITERS,
     mask: Optional[Array] = None,
+    valid_count: Optional[Array] = None,
 ) -> Tuple[FusedCarry, ScalarPack, Array]:
     """Batch-independent phase: reconstruct the ELBO from the (possibly
     all-reduced) sums, apply clipped SGD, then the closed-form updates.
@@ -495,6 +548,13 @@ def step_apply(
     contributes zero loss, zero gradients, and must not advance the RLS
     recursion (shrink would decay P with no data behind it) or the noise
     counters — the XLA path's ``upd_ok &= sum(weights) > 0`` gate.
+
+    ``valid_count``: the sharded-masked alternative to ``mask`` — the
+    traced GLOBAL valid count (replicated scalar, the sum the phase-1
+    kernels renormalized by). Same count/gate semantics as ``mask``
+    without the local column (which would undercount across shards);
+    ``feat``/``dx`` must be absent (the stats-identity MSE already runs
+    over valid rows only — masked feature rows are zero).
     """
     f32 = carry.w_dyn.dtype
     if mask is not None:
@@ -502,10 +562,16 @@ def step_apply(
         count = jnp.sum(m_col)                 # raw count (0 allowed) for
         b = jnp.maximum(count, 1.0)            # counters; guarded divisor
         has_data = count > 0
+    elif valid_count is not None:
+        assert feat is None, "valid_count is the sharded (stats-MSE) mode"
+        count = valid_count.astype(f32)
+        b = jnp.maximum(count, 1.0)
+        has_data = count > 0
     else:
         b = b_total
         count = b
         has_data = True
+    masked = mask is not None or valid_count is not None
     inv_b = 1.0 / b
     slogvar = carry.state_logvar[0, 0]
     mm = _mm_fn(cfg, f32)
@@ -517,16 +583,28 @@ def step_apply(
     hi = jax.lax.Precision.HIGHEST
 
     # ---------------- ELBO components with their constants -----------------
+    has_cm = sums.cm_sum is not None
     if cfg.likelihood == "poisson":
         l_recon = sums.recon_batch
         obs_mse = jnp.zeros((), f32)
     else:
         lik_lv = carry.lik_logvar[0, 0]
-        l_recon = 0.5 * (sums.sq_y * jnp.exp(-lik_lv) * inv_b + ydim * lik_lv)
-        obs_mse = sums.sq_y * inv_b / ydim
+        if has_cm:
+            # the logvar constant is per OBSERVED entry (gaussian_loss
+            # selects masked entries out of the channel sum), and the
+            # running-var mse averages over observed entries only
+            # (gaussian_lik_update channel_mask branch)
+            l_recon = 0.5 * (
+                sums.sq_y * jnp.exp(-lik_lv) * inv_b
+                + sums.cm_sum * inv_b * lik_lv
+            )
+            obs_mse = sums.sq_y / jnp.maximum(sums.cm_sum, 1.0)
+        else:
+            l_recon = 0.5 * (sums.sq_y * jnp.exp(-lik_lv) * inv_b + ydim * lik_lv)
+            obs_mse = sums.sq_y * inv_b / ydim
     l_dyn = 0.5 * (sums.dyn_batch + xd * slogvar)
     h_ent = sums.ent
-    if mask is not None:
+    if masked:
         # a fully-masked step has no data and no loss (the per-trial sums
         # are already zero, but the constants — ydim*lik_lv, xd*slogvar —
         # would survive); matches the XLA batch_weighted_mean -> 0
@@ -565,11 +643,16 @@ def step_apply(
         else:
             # the +0.5*ydim constant is d(0.5*ydim*lik_lv)/d(lik_lv): it is
             # count-independent for any count >= 1 (the per-trial term
-            # averages to itself) but must vanish on a fully-masked step
-            g_lv_const = (
-                jnp.where(has_data, 0.5 * ydim, 0.0)
-                if mask is not None else 0.5 * ydim
-            )
+            # averages to itself) but must vanish on a fully-masked step;
+            # under a channel mask it is per OBSERVED entry
+            # (0.5 * cm_sum * inv_b — zero at cm_sum == 0 automatically)
+            if has_cm:
+                g_lv_const = 0.5 * sums.cm_sum * inv_b
+            else:
+                g_lv_const = (
+                    jnp.where(has_data, 0.5 * ydim, 0.0)
+                    if masked else 0.5 * ydim
+                )
             lik_logvar_new = upd(
                 carry.lik_logvar, sums.g_lik_lv_batch + g_lv_const
             )
@@ -607,10 +690,13 @@ def step_apply(
             # running-var overwrite with the POST-SGD logvar (vjf ordering);
             # counts advance by the RAW valid count (0 on a fully-masked
             # step: tot == lik_n keeps var/n unchanged, or NaN-gates at
-            # lik_n == 0 — both match the XLA running_var semantics)
+            # lik_n == 0 — both match the XLA running_var semantics). Under
+            # a channel mask the count is the FRACTIONAL row count
+            # sum(cm)/ydim (gaussian_lik_update channel_mask branch).
+            adv = sums.cm_sum / ydim if has_cm else count
             lik_n = jnp.minimum(new.lik_n[0, 0], float(cfg.obs_var_cap))
-            tot = lik_n + count
-            var = (lik_n / tot) * jnp.exp(new.lik_logvar[0, 0]) + (count / tot) * obs_mse
+            tot = lik_n + adv
+            var = (lik_n / tot) * jnp.exp(new.lik_logvar[0, 0]) + (adv / tot) * obs_mse
             lik_lv_new = jnp.clip(jnp.log(var), -cfg.logvar_clamp, cfg.logvar_clamp)
             # gate on the VARIANCE, not the clipped log: an inf/NaN running
             # var (overflowing residual) must be SKIPPED, while var == 0
@@ -623,7 +709,7 @@ def step_apply(
 
     if flags.update and flags.update_transition:
         dyn_ok = jnp.isfinite(sums.dx_sum)
-        if mask is not None:
+        if masked:
             # a fully-masked step must not advance the recursion (shrink
             # would decay P with no data behind it) — filter_step's
             # `upd_ok &= sum(weights) > 0` gate
@@ -775,6 +861,7 @@ def step_math(
     ns_tau_max: Optional[float] = None,
     ns_iters: int = NS_ITERS,
     mask: Optional[Array] = None,
+    cmask: Optional[Array] = None,
 ) -> StepOut:
     """Pure-jnp fused step on padded arrays: forward-and-reduce
     (:func:`step_forward_sums`) composed with the batch-independent apply
@@ -791,11 +878,15 @@ def step_math(
     single-device only). Masked rows contribute nothing and their returned
     posterior is FROZEN at ``(qs_m, qs_lv)`` — the carry convention of the
     XLA path (filter_step's frozen-carry select).
+
+    ``cmask``: optional (B, ydim) 0/1 missing-observation mask (see
+    :func:`step_forward_sums`); the carry does NOT freeze — a fully-masked
+    row is a pure prediction step (filter_step channel_mask semantics).
     """
     b = y.shape[0]
     sums, per = step_forward_sums(
         cfg, flags, carry, qs_m, qs_lv, y, u, eps_s, eps_t, 1.0 / b,
-        mask=mask,
+        mask=mask, cmask=cmask,
     )
     new, scal, g_vec = step_apply(
         cfg, flags, carry, sums, lr, b, feat=per.feat, dx=per.dx,
@@ -850,12 +941,12 @@ def _box_muller_latents(b: int, xd: int, dtype):
 
 def _make_kernel(cfg: VJFConfig, flags: StepFlags, carry_treedef, n_carry: int,
                  has_u: bool, internal_rng: bool, xd: int,
-                 has_mask: bool = False):
+                 has_mask: bool = False, has_cmask: bool = False):
     # data layout: qs_m, qs_lv, y, [u], [eps_s, eps_t unless internal_rng],
-    # [mask]
+    # [mask], [cmask]
     n_data = (
         3 + (1 if has_u else 0) + (0 if internal_rng else 2)
-        + (1 if has_mask else 0)
+        + (1 if has_mask else 0) + (1 if has_cmask else 0)
     )
 
     def kernel(*refs):
@@ -880,10 +971,11 @@ def _make_kernel(cfg: VJFConfig, flags: StepFlags, carry_treedef, n_carry: int,
             eps_s = next(it)[:]
             eps_t = next(it)[:]
         mask = next(it)[:] if has_mask else None
+        cmask = next(it)[:] if has_cmask else None
 
         out = step_math(
             cfg, flags, carry, qs_m, qs_lv, y, u, eps_s, eps_t, lr_ref[0],
-            mask=mask,
+            mask=mask, cmask=cmask,
         )
         out = out._replace(
             carry=out.carry._replace(rng_count=out.carry.rng_count + 1)
@@ -937,14 +1029,17 @@ def fused_step_call(
     lr: Array,
     interpret: bool = False,
     mask: Optional[Array] = None,
+    cmask: Optional[Array] = None,
 ) -> PackedStepOut:
     """Run the fused kernel once. ``eps_s``/``eps_t`` None selects in-kernel
     Box-Muller RNG (seeded from the carry's rng_seed/rng_count). ``mask``:
-    optional (B, 1) trial-validity column (see :func:`step_math`)."""
+    optional (B, 1) trial-validity column; ``cmask``: optional (B, ydim)
+    missing-observation mask (see :func:`step_math`)."""
     carry_leaves, carry_treedef = jax.tree_util.tree_flatten(carry)
     has_u = u is not None and u.shape[-1] > 0
     internal_rng = eps_s is None
     has_mask = mask is not None
+    has_cmask = cmask is not None
     b = y.shape[0]
     xd = cfg.xdim
     dtype = qs_m.dtype
@@ -952,11 +1047,11 @@ def fused_step_call(
 
     kernel = _make_kernel(
         cfg, flags, carry_treedef, len(carry_leaves), has_u, internal_rng, xd,
-        has_mask=has_mask,
+        has_mask=has_mask, has_cmask=has_cmask,
     )
     data = [qs_m, qs_lv, y] + ([u] if has_u else []) + (
         [] if internal_rng else [eps_s, eps_t]
-    ) + ([mask] if has_mask else [])
+    ) + ([mask] if has_mask else []) + ([cmask] if has_cmask else [])
     n_in = 1 + len(carry_leaves) + len(data)
 
     out_shape = (
@@ -1264,24 +1359,34 @@ def forward_sums_call(
     u: Optional[Array],
     eps_s: Array,
     eps_t: Array,
-    inv_b: float,
+    inv_b,
     interpret: bool = False,
+    mask: Optional[Array] = None,
 ) -> Tuple[FusedSums, Array, Array]:
     """Run the per-trial phase as ONE pallas kernel on this device's trial
     shard: forward, hand-written backward, and the trial reductions. Returns
     ``(sums, qt_mean, qt_logvar)`` — everything the cross-device ``psum`` +
     :func:`step_apply` needs. Scalar sums ride one packed (1, 128) row
-    (Mosaic cannot store scalars to VMEM)."""
+    (Mosaic cannot store scalars to VMEM).
+
+    ``mask``: optional (B, 1) trial-validity column for this device's local
+    shard (ragged trials under sharding). ``inv_b`` must then be the traced
+    GLOBAL ``1/max(valid count, 1)`` — it rides into the kernel as a (1, 1)
+    operand — so that the masked local sums still psum to the single-device
+    values (``local_renorm=False`` mode of :func:`step_forward_sums`)."""
     carry_leaves, carry_treedef = jax.tree_util.tree_flatten(carry)
     has_u = u is not None and u.shape[-1] > 0
+    has_mask = mask is not None
     b = y.shape[0]
     xd = cfg.xdim
     dtype = qs_m.dtype
+    n_data = 5 + (1 if has_u else 0) + (2 if has_mask else 0)
 
-    # probe shapes once (abstract eval) to build the output layout
+    # probe shapes once (abstract eval) to build the output layout (mask
+    # does not change any leaf shape)
     sums_shape = jax.eval_shape(
         lambda c, qm, qlv, yy, uu, e1, e2: step_forward_sums(
-            cfg, flags, c, qm, qlv, yy, uu, e1, e2, inv_b
+            cfg, flags, c, qm, qlv, yy, uu, e1, e2, 1.0 / b
         )[0],
         carry, qs_m, qs_lv, y, u if has_u else None, eps_s, eps_t,
     )
@@ -1289,8 +1394,8 @@ def forward_sums_call(
 
     def kernel(*refs):
         carry_refs = refs[: len(carry_leaves)]
-        data_refs = refs[len(carry_leaves) : len(carry_leaves) + 5 + (1 if has_u else 0)]
-        out_refs = refs[len(carry_leaves) + 5 + (1 if has_u else 0) :]
+        data_refs = refs[len(carry_leaves) : len(carry_leaves) + n_data]
+        out_refs = refs[len(carry_leaves) + n_data :]
 
         c = jax.tree_util.tree_unflatten(carry_treedef, [r[:] for r in carry_refs])
         it = iter(data_refs)
@@ -1300,8 +1405,16 @@ def forward_sums_call(
         uu = next(it)[:] if has_u else None
         e1 = next(it)[:]
         e2 = next(it)[:]
+        if has_mask:
+            m = next(it)[:]
+            inv_b_k = next(it)[0, 0]
+        else:
+            m, inv_b_k = None, inv_b
 
-        sums, per = step_forward_sums(cfg, flags, c, qm, qlv, yy, uu, e1, e2, inv_b)
+        sums, per = step_forward_sums(
+            cfg, flags, c, qm, qlv, yy, uu, e1, e2, inv_b_k,
+            mask=m, local_renorm=False,
+        )
         leaves = jax.tree_util.tree_leaves(sums)
         n_arr = len(array_idx)
         for ref, i in zip(out_refs[:n_arr], array_idx):
@@ -1315,6 +1428,8 @@ def forward_sums_call(
         out_refs[n_arr + 1][1] = per.qt_lv
 
     data = [qs_m, qs_lv, y] + ([u] if has_u else []) + [eps_s, eps_t]
+    if has_mask:
+        data += [mask, jnp.asarray(inv_b, dtype).reshape(1, 1)]
     out_shape = (
         tuple(
             jax.ShapeDtypeStruct(leaves_s[i].shape, leaves_s[i].dtype)
@@ -1352,14 +1467,19 @@ def exact_v_fallback_sums(
     sums: FusedSums,
     g_vec: Array,
     tau: Array,
-    b_total: int,
+    b_total,
 ):
     """Stats-based exact-inverse fallback for the sharded path: identical
     semantics to :func:`exact_v_fallback`, but the post-update residual MSE
     comes from the all-reduced statistics (the per-trial features never
-    leave their device)."""
+    leave their device).
+
+    ``b_total``: the batch size — a static int, or the traced GLOBAL valid
+    count under a trial mask (the masked stats already run over valid rows
+    only; a fully-masked step reports tau = 0, so the cond never fires)."""
     c = carry_new
     b = b_total
+    b_div = jnp.maximum(jnp.asarray(b_total, c.w_dyn.dtype), 1.0)
     xd = c.w_dyn.shape[-1]
     hp = jax.lax.Precision.HIGHEST
 
@@ -1368,7 +1488,7 @@ def exact_v_fallback_sums(
             quad = jnp.sum(w_new * jnp.matmul(sums.ftf_raw, w_new, precision=hp))
             return (
                 sums.dx2_sum - 2.0 * jnp.sum(w_new * sums.fxd_raw) + quad
-            ) / (b * xd)
+            ) / (b_div * xd)
 
         return _exact_inverse_repair(cfg, c, prev_carry, g_vec, b, mse_fn)
 
@@ -1418,10 +1538,11 @@ def _make_mega_kernel(
     xd: int,
     scal_rows: int,
     has_mask: bool = False,
+    has_cmask: bool = False,
 ):
     n_data = (
         1 + (1 if has_u else 0) + (0 if internal_rng else 2)
-        + (1 if has_mask else 0)
+        + (1 if has_mask else 0) + (1 if has_cmask else 0)
     )
 
     def kernel(*refs):
@@ -1459,6 +1580,7 @@ def _make_mega_kernel(
             eps_s = next(it)[:]
             eps_t = next(it)[:]
         mask = next(it)[:] if has_mask else None
+        cmask = next(it)[:] if has_cmask else None
 
         def ns_extra(x_ns, p_new, eye2, tau):
             # escalation runs on scalar-unit branches: the common case
@@ -1491,7 +1613,7 @@ def _make_mega_kernel(
         out = step_math(
             cfg, flags, carry, qm_s[:], qlv_s[:], y, u, eps_s, eps_t,
             lr_ref[0], ns_extra=ns_extra, ns_tau_max=NS_TAU_MAX,
-            ns_iters=NS_ITERS - 1, mask=mask,
+            ns_iters=NS_ITERS - 1, mask=mask, cmask=cmask,
         )
         out = out._replace(
             carry=out.carry._replace(rng_count=out.carry.rng_count + 1)
@@ -1539,6 +1661,7 @@ def mega_epoch_call(
     lr: Array,
     interpret: bool = False,
     mask: Optional[Array] = None,
+    cmask: Optional[Array] = None,
 ):
     """Run ``T = ys.shape[0]`` fused steps as ONE grid-over-time pallas_call.
 
@@ -1546,12 +1669,14 @@ def mega_epoch_call(
     selects in-kernel Box-Muller RNG (stream index = the carried rng_count,
     so a mega segment continues a per-step prefix bit-identically).
     ``mask``: optional (T, B, 1) trial-validity blocks (ragged trials,
-    single-device only — see :func:`step_math`).
+    single-device only — see :func:`step_math`); ``cmask``: optional
+    (T, B, ydim) missing-observation blocks (streamed like ``ys``).
     """
     carry_leaves, carry_treedef = jax.tree_util.tree_flatten(carry)
     has_u = us is not None and us.shape[-1] > 0
     internal_rng = eps_s is None
     has_mask = mask is not None
+    has_cmask = cmask is not None
     t_total, b, yd = ys.shape
     xd = cfg.xdim
     dtype = qs_m.dtype
@@ -1560,11 +1685,11 @@ def mega_epoch_call(
     scal_rows = 8 if t_total >= 8 else t_total
     kernel = _make_mega_kernel(
         cfg, flags, carry_treedef, len(carry_leaves), has_u, internal_rng, xd,
-        scal_rows, has_mask=has_mask,
+        scal_rows, has_mask=has_mask, has_cmask=has_cmask,
     )
     data = [ys] + ([us] if has_u else []) + (
         [] if internal_rng else [eps_s, eps_t]
-    ) + ([mask] if has_mask else [])
+    ) + ([mask] if has_mask else []) + ([cmask] if has_cmask else [])
     data_specs = [
         pl.BlockSpec((None,) + d.shape[1:], lambda t, _n=d.ndim - 1: (t,) + (0,) * _n)
         for d in data
@@ -1647,7 +1772,8 @@ def fused_enabled(cfg: VJFConfig, state, n_batch: Optional[int] = None) -> bool:
 
 
 def run_epoch_fused(cfg, flags, state, ys, us, key, lr, noise=None, q0=None,
-                    interpret: Optional[bool] = None, mask=None):
+                    interpret: Optional[bool] = None, mask=None,
+                    channel_mask=None):
     """One epoch through the fused kernel — same contract as
     ``models.vjf.run_epoch`` (pad once, run the segments, unpad once).
 
@@ -1691,6 +1817,13 @@ def run_epoch_fused(cfg, flags, state, ys, us, key, lr, noise=None, q0=None,
         # (T, B) -> (T, B, 1): the kernels take a per-step (B, 1) column
         # (Mosaic blocks want >= 2-D); sanitize to exact 0/1 once here
         mask3 = (jnp.asarray(mask, ys.dtype) > 0).astype(ys.dtype)[:, :, None]
+    has_cmask = channel_mask is not None
+    if has_cmask:
+        # (T, B, ydim), streamed into the kernels like ys
+        cmask3 = (
+            jnp.broadcast_to(jnp.asarray(channel_mask, ys.dtype), ys.shape)
+            > 0
+        ).astype(ys.dtype)
     do_fallback = flags.update and flags.update_transition and not flags.warm_up
 
     if cfg.fused_epoch == "mega":
@@ -1705,9 +1838,10 @@ def run_epoch_fused(cfg, flags, state, ys, us, key, lr, noise=None, q0=None,
         u = next(it) if has_u else None
         e1, e2 = (next(it), next(it)) if not internal_rng else (None, None)
         m = next(it) if has_mask else None
+        cm = next(it) if has_cmask else None
         out = fused_step_call(
             cfg, flags, carry, qm, qlv, y, u, e1, e2, lr,
-            interpret=interpret, mask=m,
+            interpret=interpret, mask=m, cmask=cm,
         )
         if do_fallback:
             out = exact_v_fallback(cfg, out, carry, u, mask=m)
@@ -1718,6 +1852,7 @@ def run_epoch_fused(cfg, flags, state, ys, us, key, lr, noise=None, q0=None,
             (ys[lo:hi],) + ((us[lo:hi],) if has_u else ()) + (
                 (noise[0][lo:hi], noise[1][lo:hi]) if not internal_rng else ()
             ) + ((mask3[lo:hi],) if has_mask else ())
+            + ((cmask3[lo:hi],) if has_cmask else ())
         )
 
     q_segs, scal_segs = [], []
@@ -1738,6 +1873,7 @@ def run_epoch_fused(cfg, flags, state, ys, us, key, lr, noise=None, q0=None,
             cfg, flags, carry_f, qm_f, qlv_f, ys[prefix:],
             us[prefix:] if has_u else None, e1, e2, lr, interpret=interpret,
             mask=mask3[prefix:] if has_mask else None,
+            cmask=cmask3[prefix:] if has_cmask else None,
         )
         q_segs.append(q_seq_b)
         scal_segs.append(scal_b)

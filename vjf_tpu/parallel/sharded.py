@@ -84,6 +84,7 @@ def run_epoch_fused_sharded(
     noise=None,
     q0=None,
     interpret: Optional[bool] = None,
+    mask=None,
 ):
     """The fused kernel under multi-chip sharding (``shard_map`` over dp).
 
@@ -107,6 +108,15 @@ def run_epoch_fused_sharded(
     cannot run inside a pallas grid iteration), so the sharded path scans
     the two-phase step; per-chip overhead is two kernel invocations + one
     psum per step.
+
+    ``mask``: optional (T, B) 0/1 trial-validity mask (ragged trials). The
+    per-step GLOBAL valid counts are computed once OUTSIDE the shard_map
+    (the mask is replicated along time) and ride the scan as replicated
+    scalars: each device's phase-1 kernel renormalizes its masked local
+    sums by the global ``1/count`` (so the psum still reproduces the
+    single-device masked values), and :func:`...fused_step.step_apply`
+    gates counters/recursion on the same global count. Masked rows keep
+    the frozen-posterior carry convention of the single-device path.
     """
     from ..ops.pallas import fused_step as F
 
@@ -128,23 +138,42 @@ def run_epoch_fused_sharded(
     inv_b = 1.0 / n_batch
     has_u = cfg.udim > 0
     do_fallback = flags.update and flags.update_transition and not flags.warm_up
+    has_mask = mask is not None
+    if has_mask:
+        mask = core._promote_mask(mask, t_len, n_batch, ys.dtype)
+        mask3 = (mask > 0).astype(ys.dtype)[:, :, None]        # (T, B, 1)
+        counts = jnp.sum(mask3[:, :, 0], axis=1)               # (T,) GLOBAL
+        inv_bs = 1.0 / jnp.maximum(counts, 1.0)
+    else:
+        # dummy replicated scan inputs keep ONE scan/body signature
+        mask3 = jnp.ones((t_len, 1, 1), ys.dtype)
+        counts = jnp.full((t_len,), float(n_batch), ys.dtype)
+        inv_bs = jnp.full((t_len,), inv_b, ys.dtype)
 
-    def local_epoch(carry0, qm0, qlv0, ys_l, us_l, e1_l, e2_l, lr):
+    def local_epoch(carry0, qm0, qlv0, ys_l, us_l, e1_l, e2_l, m_l, cnt, ib, lr):
         def body(c, inp):
             carry, qm, qlv = c
-            y, u, e1, e2 = inp
+            y, u, e1, e2, m, cnt_t, ib_t = inp
             sums, qt_m, qt_lv = F.forward_sums_call(
                 cfg, flags, carry, qm, qlv, y, u if has_u else None,
-                e1, e2, inv_b, interpret=interpret,
+                e1, e2, ib_t if has_mask else inv_b, interpret=interpret,
+                mask=m if has_mask else None,
             )
             sums = jax.lax.psum(sums, dp)
             new_carry, scal, g_vec = F.step_apply(
-                cfg, flags, carry, sums, lr, n_batch
+                cfg, flags, carry, sums, lr, n_batch,
+                valid_count=cnt_t if has_mask else None,
             )
             if do_fallback:
                 new_carry = F.exact_v_fallback_sums(
-                    cfg, new_carry, carry, sums, g_vec, scal.tau[0, 0], n_batch
+                    cfg, new_carry, carry, sums, g_vec, scal.tau[0, 0],
+                    cnt_t if has_mask else n_batch,
                 )
+            if has_mask:
+                # frozen-posterior carry over masked rows (filter_step)
+                keep = m > 0
+                qt_m = jnp.where(keep, qt_m, qm)
+                qt_lv = jnp.where(keep, qt_lv, qlv)
             q_pack = jnp.stack([qt_m, qt_lv])
             srow = jnp.concatenate(
                 [scal.loss, scal.recon, scal.dyn, scal.ent, scal.tau], axis=1
@@ -152,7 +181,7 @@ def run_epoch_fused_sharded(
             return (new_carry, qt_m, qt_lv), (q_pack, srow)
 
         (carry_f, _, _), (q_seq, scal_seq) = jax.lax.scan(
-            body, (carry0, qm0, qlv0), (ys_l, us_l, e1_l, e2_l)
+            body, (carry0, qm0, qlv0), (ys_l, us_l, e1_l, e2_l, m_l, cnt, ib)
         )
         return carry_f, q_seq, scal_seq
 
@@ -162,13 +191,15 @@ def run_epoch_fused_sharded(
         mesh=mesh,
         in_specs=(
             carry_spec, P(dp), P(dp),
-            P(None, dp), P(None, dp), P(None, dp), P(None, dp), P(),
+            P(None, dp), P(None, dp), P(None, dp), P(None, dp),
+            P(None, dp) if has_mask else P(), P(), P(), P(),
         ),
         out_specs=(carry_spec, P(None, None, dp), P()),
         check_vma=False,
     )
     carry_f, q_seq, scal_seq = fn(
         carry0, q0.mean, q0.logvar, ys, us, noise[0], noise[1],
+        mask3, counts, inv_bs,
         jnp.asarray(lr, ys.dtype),
     )
     metrics = core.Metrics(
@@ -199,8 +230,12 @@ def make_sharded_epoch(cfg: VJFConfig, flags: StepFlags, mesh: Mesh, donate: boo
     with the rls learner, f32)
     the epoch runs :func:`run_epoch_fused_sharded` — the per-step pallas
     kernel inside ``shard_map`` with one explicit psum of the sufficient
-    statistics. Otherwise the XLA step runs under GSPMD annotations (whose
-    sufficient-statistic contractions auto-insert the same collectives).
+    statistics — including under a trial mask (ragged trials; the mask
+    column rides into each device's kernel with the global per-step valid
+    count). Otherwise — and always under a channel mask, whose imputation
+    feedback the lockstep kernel does not carry — the XLA step runs under
+    GSPMD annotations (whose sufficient-statistic contractions auto-insert
+    the same collectives).
     """
     st_shard = None
 
@@ -251,11 +286,17 @@ def make_sharded_epoch(cfg: VJFConfig, flags: StepFlags, mesh: Mesh, donate: boo
             donate_argnums=(0,) if donate else (),
         )
 
-    def build_fused():
-        def fused_fn(state, ys, us, key, lr):
-            return run_epoch_fused_sharded(
-                cfg, flags, state, ys, us, key, lr, mesh
-            )
+    def build_fused(masked=False):
+        if masked:
+            def fused_fn(state, ys, us, key, lr, mask):
+                return run_epoch_fused_sharded(
+                    cfg, flags, state, ys, us, key, lr, mesh, mask=mask
+                )
+        else:
+            def fused_fn(state, ys, us, key, lr):
+                return run_epoch_fused_sharded(
+                    cfg, flags, state, ys, us, key, lr, mesh
+                )
 
         return jax.jit(fused_fn, donate_argnums=(0,) if donate else ())
 
@@ -264,11 +305,25 @@ def make_sharded_epoch(cfg: VJFConfig, flags: StepFlags, mesh: Mesh, donate: boo
     def call(state, ys, us, key, lr, mask=None, channel_mask=None):
         from ..ops.pallas import fused_step as F
 
+        if (
+            mask is not None and channel_mask is None
+            and F.fused_enabled(cfg, state, n_batch=ys.shape[1])
+        ):
+            # ragged trials ride the sharded fused path: the mask column
+            # enters each device's phase-1 kernel, renormalized by the
+            # GLOBAL per-step valid count (run_epoch_fused_sharded)
+            if "fused_masked" not in cache:
+                cache["fused_masked"] = build_fused(masked=True)
+            from ..models.vjf import _promote_mask
+
+            m = _promote_mask(mask, ys.shape[0], ys.shape[1], ys.dtype)
+            return cache["fused_masked"](state, ys, us, key, lr, m)
         if mask is not None or channel_mask is not None:
-            # ragged trials / missing observations: XLA path (the fused
-            # kernels assume lockstep, fully-observed batches) with each
-            # mask sharded alongside the data it gates; the masked batch
-            # reductions auto-insert the same collectives
+            # channel masks (missing observations) force the XLA path —
+            # the imputation feedback rewrites the recognition input, which
+            # the lockstep kernel does not carry; each mask shards
+            # alongside the data it gates and the masked batch reductions
+            # auto-insert the same collectives.
             # promote with the same shape semantics as core.fit — a (T,)
             # trial mask gains a trial axis and a (T, ydim) channel mask a
             # batch axis (bare right-aligned broadcast_to would silently
