@@ -442,3 +442,137 @@ def test_make_sharded_epoch_routes_trial_mask_to_fused(key, mesh8):
                                np.asarray(ref.state.dynamics.blr.w_mean),
                                rtol=2e-3, atol=2e-3)
     assert np.all(np.isfinite(np.asarray(got.q_means)))
+
+
+def test_sharded_fused_channel_masked_epoch_matches_single_device(key, mesh8):
+    """Channel masks (electrode dropout) on the SHARDED fused path: the
+    (B, ydim) mask shards with the data, its cm_sum statistic rides the
+    FusedSums psum, and the replicated apply reproduces the single-device
+    channel-masked fused epoch — including the in-kernel imputation
+    feedback, the per-observed-entry logvar constant, and the fractional
+    obs-noise counts. Also exercises the combined trial+channel case."""
+    from vjf_tpu.ops.pallas import fused_step as F
+    from vjf_tpu.parallel.sharded import run_epoch_fused_sharded
+
+    cfg = VJFConfig(ydim=12, xdim=3, udim=0, n_rbf=20, hidden_sizes=(10,),
+                    likelihood="gaussian", dtype="float32", rls_backend="nsv",
+                    fused_step="on", matmul_dtype="float32")
+    state = core.init_state(key, cfg)
+    T, B = 30, 16
+    ys = jax.random.normal(key, (T, B, cfg.ydim), jnp.float32)
+    rng = np.random.default_rng(11)
+    cm = jnp.asarray((rng.uniform(size=(T, B, cfg.ydim)) > 0.3).astype(np.float32))
+    ys = jnp.where(cm > 0, ys, jnp.nan)
+    us = jnp.zeros((T, B, 0), jnp.float32)
+    eps = jax.random.normal(key, (2, T, B, cfg.xdim), jnp.float32)
+    lr = jnp.asarray(1e-3, jnp.float32)
+    flags = StepFlags()
+    dp_mesh = make_mesh(8, axis_names=("dp",))
+
+    # trial mask for the combined case: two ragged trials on different shards
+    mask = jnp.ones((T, B), jnp.float32)
+    ys_m = ys
+    for trial, t_end in ((2, 18), (13, 9)):
+        ys_m = ys_m.at[t_end:, trial].set(jnp.nan)
+        mask = mask.at[t_end:, trial].set(0.0)
+
+    for kw_s, kw_r, y_in in (
+        ({"channel_mask": cm}, {"channel_mask": cm}, ys),
+        ({"channel_mask": cm, "mask": mask},
+         {"channel_mask": cm, "mask": mask}, ys_m),
+    ):
+        got = run_epoch_fused_sharded(cfg, flags, state, y_in, us, key, lr,
+                                      dp_mesh, noise=(eps[0], eps[1]),
+                                      interpret=True, **kw_s)
+        ref = F.run_epoch_fused(cfg.replace(fused_epoch="stepwise"), flags,
+                                state, y_in, us, key, lr,
+                                noise=(eps[0], eps[1]), interpret=True,
+                                **kw_r)
+        label = str(sorted(kw_s))
+        np.testing.assert_allclose(np.asarray(got.metrics.loss),
+                                   np.asarray(ref.metrics.loss),
+                                   rtol=5e-4, atol=5e-4, err_msg=label)
+        np.testing.assert_allclose(np.asarray(got.q_means),
+                                   np.asarray(ref.q_means),
+                                   rtol=1e-3, atol=1e-3, err_msg=label)
+        np.testing.assert_allclose(np.asarray(got.state.dynamics.blr.w_mean),
+                                   np.asarray(ref.state.dynamics.blr.w_mean),
+                                   rtol=2e-3, atol=2e-3, err_msg=label)
+        np.testing.assert_allclose(
+            np.asarray(got.state.params.likelihood.logvar),
+            np.asarray(ref.state.params.likelihood.logvar),
+            rtol=1e-4, err_msg=label)
+        np.testing.assert_allclose(float(got.state.lik_n_sample),
+                                   float(ref.state.lik_n_sample),
+                                   rtol=1e-5, err_msg=label)
+
+
+def test_fit_over_mesh_matches_single_device(key, mesh8):
+    """fit(mesh=...): the whole host control loop (warm-up plateau forced
+    at warmup_max, bootstrap, RLS epochs) dispatching every epoch through
+    the sharded fused path must reproduce the single-device fit — same
+    per-epoch keys, same threefry noise draws, one psum per step."""
+    rng = np.random.default_rng(17)
+    T, B = 60, 16
+    t = np.arange(T) * 0.1
+    lat = np.stack([np.sin(t[:, None] + rng.uniform(0, 6.3, B)),
+                    np.cos(t[:, None] + rng.uniform(0, 6.3, B))], -1)
+    C = rng.normal(size=(2, 10))
+    y = (lat @ C + 0.1 * rng.normal(size=(T, B, 10))).astype(np.float32)
+
+    cfg = VJFConfig(ydim=10, xdim=2, udim=0, n_rbf=16, hidden_sizes=(8,),
+                    likelihood="gaussian", dtype="float32",
+                    rls_backend="nsv", fused_step="on",
+                    matmul_dtype="float32", lr=3e-3, rtol=1e-12,
+                    warmup_max=3)
+    state = core.init_state(key, cfg)
+    dp_mesh = make_mesh(8, axis_names=("dp",))
+
+    ref = core.fit(cfg, state, y, key=key, max_iter=6, donate=False)
+    got = core.fit(cfg, state, y, key=key, max_iter=6, donate=False,
+                   mesh=dp_mesh)
+    assert got.epochs_run == ref.epochs_run
+    assert got.warm_up == ref.warm_up
+    # Single-EPOCH equivalence is pinned to 5e-4 by the tests above. Over
+    # a multi-epoch FIT the co-adapting recognition/dynamics amplify the
+    # sharded path's f32 drift (stats-identity MSE is cancellation-prone)
+    # into a different — equally good — latent representation (the model
+    # is identifiable only up to an affine latent map), so assert the
+    # control flow, the loss, and AFFINE-ALIGNED latent agreement.
+    from vjf_tpu.utils.evaluation import latent_r2
+
+    np.testing.assert_allclose(got.loss, ref.loss, rtol=1e-2)
+    r2 = latent_r2(np.asarray(got.mu).reshape(-1, 2),
+                   np.asarray(ref.mu).reshape(-1, 2))
+    assert r2 > 0.99, r2
+
+
+def test_fit_over_mesh_masked(key, mesh8):
+    """fit(mesh=...) with a ragged trial mask: the masked sharded fused
+    epoch inside the full control loop (masked bootstrap pair weights
+    included) trains finitely and freezes the dead trial's carry."""
+    rng = np.random.default_rng(23)
+    T, B, T2 = 60, 16, 35
+    t = np.arange(T) * 0.1
+    lat = np.stack([np.sin(t[:, None] + rng.uniform(0, 6.3, B)),
+                    np.cos(t[:, None] + rng.uniform(0, 6.3, B))], -1)
+    C = rng.normal(size=(2, 10))
+    y = (lat @ C + 0.1 * rng.normal(size=(T, B, 10))).astype(np.float32)
+    y[T2:, 5] = np.nan
+    mask = np.ones((T, B), np.float32)
+    mask[T2:, 5] = 0.0
+
+    cfg = VJFConfig(ydim=10, xdim=2, udim=0, n_rbf=16, hidden_sizes=(8,),
+                    likelihood="gaussian", dtype="float32",
+                    rls_backend="nsv", fused_step="on",
+                    matmul_dtype="float32", lr=3e-3, rtol=1e-12,
+                    warmup_max=3)
+    state = core.init_state(key, cfg)
+    dp_mesh = make_mesh(8, axis_names=("dp",))
+    res = core.fit(cfg, state, y, key=key, max_iter=6, donate=False,
+                   mesh=dp_mesh, mask=mask)
+    assert not res.warm_up
+    assert np.isfinite(res.loss)
+    mu = np.asarray(res.mu)
+    assert np.all(np.isfinite(mu))
+    np.testing.assert_array_equal(mu[-1, 5], mu[T2 - 1, 5])

@@ -390,6 +390,7 @@ class VJF:
         epochs_per_dispatch: int = 1,
         mask: Optional[Array] = None,
         channel_mask: Optional[Array] = None,
+        mesh=None,
     ) -> Tuple[Array, Array, float]:
         """Epoch training with warm-up — ``VJF.fit`` (``vjf/model.py:223-307``).
 
@@ -407,13 +408,19 @@ class VJF:
         reference, which trains only lockstep batches). Masked entries
         contribute nothing (loss / gradients / RLS / noise updates /
         bootstrap), their posterior carry freezes, and padding values are
-        ignored entirely. Runs on the XLA path.
+        ignored entirely.
 
         ``channel_mask``: optional (T, ydim) / (T, B, ydim) 0/1
         missing-observation mask (electrode dropout): masked entries drop
         out of the likelihood/noise updates, the recognition input sees
         the model's imputation, and missing ``y`` values may be NaN.
-        Composes with ``mask``. Runs on the XLA path.
+        Composes with ``mask``. Both masks ride the fused/mega kernels
+        where those are enabled.
+
+        ``mesh``: optional ``jax.sharding.Mesh`` — multi-chip training in
+        one call (trials shard over ``dp``; the fused kernel runs inside
+        ``shard_map`` with one sufficient-statistics psum; masks
+        included). See ``models.vjf.fit``.
 
         RAGGED CONVENIENCE: ``y`` may be a *list* of (T_i, ydim) trials of
         unequal lengths — they are zero-padded to a common T and the trial
@@ -463,6 +470,7 @@ class VJF:
             epochs_per_dispatch=epochs_per_dispatch,
             mask=mask,
             channel_mask=channel_mask,
+            mesh=mesh,
             # continue the ExponentialLR schedule across fit() calls (the
             # reference's scheduler is instance state, vjf/model.py:69-78)
             lr0=self._lr,

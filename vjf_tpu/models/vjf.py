@@ -658,6 +658,7 @@ def fit(
     mask: Optional[Array] = None,
     channel_mask: Optional[Array] = None,
     lr0: Optional[float] = None,
+    mesh=None,
 ) -> FitResult:
     """Epoch training loop with warm-up — ``VJF.fit`` (``vjf/model.py:223-307``).
 
@@ -689,9 +690,27 @@ def fit(
     fits over a high-latency link) at the documented cost of block-granular
     phase transitions — NOT for parity runs (K=1 reproduces the reference's
     per-epoch control flow exactly).
+
+    ``mesh`` (optional ``jax.sharding.Mesh``): multi-chip training in one
+    call — the SAME host control loop (warm-up plateau, decoder freeze,
+    bootstrap, convergence), with every epoch dispatched through
+    ``parallel.make_sharded_epoch`` (trials sharded over ``dp``, state
+    replicated via the one sufficient-statistics collective; the fused
+    kernel rides inside ``shard_map`` where eligible, masks included).
+    The bootstrap/SGP-adapt steps run on the replicated result. Not
+    composable with ``noise_hook`` (parity is a single-device concern) or
+    ``epochs_per_dispatch > 1``. Hot-tau demotion does not apply: the
+    sharded fused path keeps the per-step exact-inverse fallback.
     """
     beta = cfg.beta if beta is None else beta
     rtol = cfg.rtol if rtol is None else rtol
+    if mesh is not None and noise_hook is not None:
+        raise ValueError("mesh and noise_hook are mutually exclusive")
+    if mesh is not None and epochs_per_dispatch > 1:
+        raise ValueError(
+            "mesh does not compose with epochs_per_dispatch yet; "
+            "multi-chip runs amortize dispatch over the mesh instead"
+        )
     if epochs_per_dispatch > 1:
         if noise_hook is not None:
             raise ValueError(
@@ -724,15 +743,36 @@ def fit(
     # path (f64 parity, fused_step='off', small-batch SGP routing, CPU)
     # keep donating.
     mega_possible = (
-        cfg.fused_epoch == "mega"
+        mesh is None
+        and cfg.fused_epoch == "mega"
         and _fused.fused_enabled(cfg, state, n_batch=n_batch)
     )
     donate = donate and not mega_possible
-    epoch_fn = jax.jit(
-        run_epoch,
-        static_argnames=("cfg", "flags"),
-        donate_argnames=("state",) if donate else (),
-    )
+    if mesh is not None:
+        # multi-chip: every epoch through make_sharded_epoch (one builder
+        # per (cfg, flags) — warm-up and main phase use different flags)
+        from ..parallel import make_sharded_epoch, shard_data, shard_state
+
+        state = shard_state(cfg, state, mesh)
+        y, us = shard_data(mesh, y, us)
+        _sharded_cache = {}
+
+        def epoch_fn(cfg_run, flags, st, y_, us_, k_, lr_, noise=None,
+                     mask=None, channel_mask=None):
+            assert noise is None
+            kk = (cfg_run, flags)
+            if kk not in _sharded_cache:
+                _sharded_cache[kk] = make_sharded_epoch(
+                    cfg_run, flags, mesh, donate=donate
+                )
+            return _sharded_cache[kk](st, y_, us_, k_, lr_, mask=mask,
+                                      channel_mask=channel_mask)
+    else:
+        epoch_fn = jax.jit(
+            run_epoch,
+            static_argnames=("cfg", "flags"),
+            donate_argnames=("state",) if donate else (),
+        )
     init_fn = jax.jit(
         _transition(cfg).dynamics_initialize, static_argnames=("cfg",)
     )

@@ -1362,6 +1362,7 @@ def forward_sums_call(
     inv_b,
     interpret: bool = False,
     mask: Optional[Array] = None,
+    cmask: Optional[Array] = None,
 ) -> Tuple[FusedSums, Array, Array]:
     """Run the per-trial phase as ONE pallas kernel on this device's trial
     shard: forward, hand-written backward, and the trial reductions. Returns
@@ -1373,22 +1374,34 @@ def forward_sums_call(
     shard (ragged trials under sharding). ``inv_b`` must then be the traced
     GLOBAL ``1/max(valid count, 1)`` — it rides into the kernel as a (1, 1)
     operand — so that the masked local sums still psum to the single-device
-    values (``local_renorm=False`` mode of :func:`step_forward_sums`)."""
+    values (``local_renorm=False`` mode of :func:`step_forward_sums`).
+
+    ``cmask``: optional (B, ydim) missing-observation mask for the local
+    shard. Needs no count plumbing of its own: the per-observed-entry
+    statistic ``cm_sum`` is a raw local sum that rides the FusedSums psum,
+    and every cm-derived term in :func:`step_apply` (logvar constant,
+    obs-mse, fractional count) is computed from the summed value."""
     carry_leaves, carry_treedef = jax.tree_util.tree_flatten(carry)
     has_u = u is not None and u.shape[-1] > 0
     has_mask = mask is not None
+    has_cmask = cmask is not None
     b = y.shape[0]
     xd = cfg.xdim
     dtype = qs_m.dtype
-    n_data = 5 + (1 if has_u else 0) + (2 if has_mask else 0)
+    n_data = (
+        5 + (1 if has_u else 0) + (2 if has_mask else 0)
+        + (1 if has_cmask else 0)
+    )
 
-    # probe shapes once (abstract eval) to build the output layout (mask
-    # does not change any leaf shape)
+    # probe shapes once (abstract eval) to build the output layout (the
+    # masks do not change existing leaf shapes, but a channel mask ADDS
+    # the cm_sum scalar leaf — probe with the same arguments)
     sums_shape = jax.eval_shape(
-        lambda c, qm, qlv, yy, uu, e1, e2: step_forward_sums(
-            cfg, flags, c, qm, qlv, yy, uu, e1, e2, 1.0 / b
+        lambda c, qm, qlv, yy, uu, e1, e2, cmk: step_forward_sums(
+            cfg, flags, c, qm, qlv, yy, uu, e1, e2, 1.0 / b, cmask=cmk
         )[0],
         carry, qs_m, qs_lv, y, u if has_u else None, eps_s, eps_t,
+        cmask if has_cmask else None,
     )
     leaves_s, treedef_s, scalar_idx, array_idx = _split_sums(sums_shape)
 
@@ -1410,10 +1423,11 @@ def forward_sums_call(
             inv_b_k = next(it)[0, 0]
         else:
             m, inv_b_k = None, inv_b
+        cmk = next(it)[:] if has_cmask else None
 
         sums, per = step_forward_sums(
             cfg, flags, c, qm, qlv, yy, uu, e1, e2, inv_b_k,
-            mask=m, local_renorm=False,
+            mask=m, local_renorm=False, cmask=cmk,
         )
         leaves = jax.tree_util.tree_leaves(sums)
         n_arr = len(array_idx)
@@ -1430,6 +1444,8 @@ def forward_sums_call(
     data = [qs_m, qs_lv, y] + ([u] if has_u else []) + [eps_s, eps_t]
     if has_mask:
         data += [mask, jnp.asarray(inv_b, dtype).reshape(1, 1)]
+    if has_cmask:
+        data += [cmask]
     out_shape = (
         tuple(
             jax.ShapeDtypeStruct(leaves_s[i].shape, leaves_s[i].dtype)

@@ -85,6 +85,7 @@ def run_epoch_fused_sharded(
     q0=None,
     interpret: Optional[bool] = None,
     mask=None,
+    channel_mask=None,
 ):
     """The fused kernel under multi-chip sharding (``shard_map`` over dp).
 
@@ -117,6 +118,13 @@ def run_epoch_fused_sharded(
     single-device masked values), and :func:`...fused_step.step_apply`
     gates counters/recursion on the same global count. Masked rows keep
     the frozen-posterior carry convention of the single-device path.
+
+    ``channel_mask``: optional (T, B, ydim) 0/1 missing-observation mask,
+    sharded exactly like ``ys``. Needs no count plumbing: the observed-
+    entry statistic ``cm_sum`` is a raw local sum that rides the FusedSums
+    psum, so every cm-derived term in ``step_apply`` (per-observed-entry
+    logvar constant, obs-mse, fractional sample count) is computed from
+    the summed GLOBAL value. Composes with ``mask``.
     """
     from ..ops.pallas import fused_step as F
 
@@ -149,15 +157,25 @@ def run_epoch_fused_sharded(
         mask3 = jnp.ones((t_len, 1, 1), ys.dtype)
         counts = jnp.full((t_len,), float(n_batch), ys.dtype)
         inv_bs = jnp.full((t_len,), inv_b, ys.dtype)
+    has_cmask = channel_mask is not None
+    if has_cmask:
+        cmask3 = (
+            jnp.broadcast_to(jnp.asarray(channel_mask, ys.dtype), ys.shape)
+            > 0
+        ).astype(ys.dtype)
+    else:
+        cmask3 = jnp.ones((t_len, 1, 1), ys.dtype)   # dummy, unread
 
-    def local_epoch(carry0, qm0, qlv0, ys_l, us_l, e1_l, e2_l, m_l, cnt, ib, lr):
+    def local_epoch(carry0, qm0, qlv0, ys_l, us_l, e1_l, e2_l, m_l, cm_l,
+                    cnt, ib, lr):
         def body(c, inp):
             carry, qm, qlv = c
-            y, u, e1, e2, m, cnt_t, ib_t = inp
+            y, u, e1, e2, m, cmk, cnt_t, ib_t = inp
             sums, qt_m, qt_lv = F.forward_sums_call(
                 cfg, flags, carry, qm, qlv, y, u if has_u else None,
                 e1, e2, ib_t if has_mask else inv_b, interpret=interpret,
                 mask=m if has_mask else None,
+                cmask=cmk if has_cmask else None,
             )
             sums = jax.lax.psum(sums, dp)
             new_carry, scal, g_vec = F.step_apply(
@@ -181,7 +199,8 @@ def run_epoch_fused_sharded(
             return (new_carry, qt_m, qt_lv), (q_pack, srow)
 
         (carry_f, _, _), (q_seq, scal_seq) = jax.lax.scan(
-            body, (carry0, qm0, qlv0), (ys_l, us_l, e1_l, e2_l, m_l, cnt, ib)
+            body, (carry0, qm0, qlv0),
+            (ys_l, us_l, e1_l, e2_l, m_l, cm_l, cnt, ib),
         )
         return carry_f, q_seq, scal_seq
 
@@ -192,14 +211,16 @@ def run_epoch_fused_sharded(
         in_specs=(
             carry_spec, P(dp), P(dp),
             P(None, dp), P(None, dp), P(None, dp), P(None, dp),
-            P(None, dp) if has_mask else P(), P(), P(), P(),
+            P(None, dp) if has_mask else P(),
+            P(None, dp) if has_cmask else P(),
+            P(), P(), P(),
         ),
         out_specs=(carry_spec, P(None, None, dp), P()),
         check_vma=False,
     )
     carry_f, q_seq, scal_seq = fn(
         carry0, q0.mean, q0.logvar, ys, us, noise[0], noise[1],
-        mask3, counts, inv_bs,
+        mask3, cmask3, counts, inv_bs,
         jnp.asarray(lr, ys.dtype),
     )
     metrics = core.Metrics(
@@ -232,8 +253,8 @@ def make_sharded_epoch(cfg: VJFConfig, flags: StepFlags, mesh: Mesh, donate: boo
     kernel inside ``shard_map`` with one explicit psum of the sufficient
     statistics — including under a trial mask (ragged trials; the mask
     column rides into each device's kernel with the global per-step valid
-    count). Otherwise — and always under a channel mask, whose imputation
-    feedback the lockstep kernel does not carry — the XLA step runs under
+    count) and a channel mask (missing observations; sharded like the data,
+    its cm_sum statistic rides the psum). Otherwise the XLA step runs under
     GSPMD annotations (whose sufficient-statistic contractions auto-insert
     the same collectives).
     """
@@ -286,11 +307,16 @@ def make_sharded_epoch(cfg: VJFConfig, flags: StepFlags, mesh: Mesh, donate: boo
             donate_argnums=(0,) if donate else (),
         )
 
-    def build_fused(masked=False):
-        if masked:
-            def fused_fn(state, ys, us, key, lr, mask):
+    def build_fused(masked=False, chmasked=False):
+        if masked or chmasked:
+            def fused_fn(state, ys, us, key, lr, *rest):
+                kw = {}
+                if masked:
+                    kw["mask"] = rest[0]
+                if chmasked:
+                    kw["channel_mask"] = rest[-1]
                 return run_epoch_fused_sharded(
-                    cfg, flags, state, ys, us, key, lr, mesh, mask=mask
+                    cfg, flags, state, ys, us, key, lr, mesh, **kw
                 )
         else:
             def fused_fn(state, ys, us, key, lr):
@@ -306,24 +332,33 @@ def make_sharded_epoch(cfg: VJFConfig, flags: StepFlags, mesh: Mesh, donate: boo
         from ..ops.pallas import fused_step as F
 
         if (
-            mask is not None and channel_mask is None
+            (mask is not None or channel_mask is not None)
             and F.fused_enabled(cfg, state, n_batch=ys.shape[1])
         ):
-            # ragged trials ride the sharded fused path: the mask column
-            # enters each device's phase-1 kernel, renormalized by the
-            # GLOBAL per-step valid count (run_epoch_fused_sharded)
-            if "fused_masked" not in cache:
-                cache["fused_masked"] = build_fused(masked=True)
-            from ..models.vjf import _promote_mask
+            # masks ride the sharded fused path: the trial column enters
+            # each device's phase-1 kernel renormalized by the GLOBAL
+            # per-step valid count; the channel mask shards like ys and
+            # its cm_sum statistic rides the psum (run_epoch_fused_sharded)
+            from ..models.vjf import _promote_channel_mask, _promote_mask
 
-            m = _promote_mask(mask, ys.shape[0], ys.shape[1], ys.dtype)
-            return cache["fused_masked"](state, ys, us, key, lr, m)
+            k = ("fused_masked", mask is not None, channel_mask is not None)
+            if k not in cache:
+                cache[k] = build_fused(masked=mask is not None,
+                                       chmasked=channel_mask is not None)
+            rest = []
+            if mask is not None:
+                rest.append(_promote_mask(
+                    mask, ys.shape[0], ys.shape[1], ys.dtype
+                ))
+            if channel_mask is not None:
+                rest.append(_promote_channel_mask(
+                    channel_mask, ys.shape, ys.dtype
+                ))
+            return cache[k](state, ys, us, key, lr, *rest)
         if mask is not None or channel_mask is not None:
-            # channel masks (missing observations) force the XLA path —
-            # the imputation feedback rewrites the recognition input, which
-            # the lockstep kernel does not carry; each mask shards
-            # alongside the data it gates and the masked batch reductions
-            # auto-insert the same collectives.
+            # non-fused configs: the XLA path under GSPMD — each mask
+            # shards alongside the data it gates and the masked batch
+            # reductions auto-insert the same collectives.
             # promote with the same shape semantics as core.fit — a (T,)
             # trial mask gains a trial axis and a (T, ydim) channel mask a
             # batch axis (bare right-aligned broadcast_to would silently
