@@ -670,3 +670,49 @@ def test_fused_combined_masks_match_xla(key):
         # frozen carry over the ragged trial's padding
         last = np.asarray(got.q_means[T2 - 1, 2])
         np.testing.assert_array_equal(np.asarray(got.q_means[-1, 2]), last)
+
+
+def test_mega_large_batch_single_ns_iteration_matches_xla(key):
+    """B >= 64 auto-selects ONE base Newton-Schulz iteration in the mega
+    kernel (batch-adaptive: post-prefix tau is provably tiny at large B).
+    The single-iteration steady state must still match the XLA epoch (3
+    fixed iterations) within the standard fused tolerances."""
+    from vjf_tpu.ops.pallas.fused_step import NS_ONE_ITER_MIN_BATCH
+
+    cfg = VJFConfig(ydim=8, xdim=2, udim=0, n_rbf=8, hidden_sizes=(6,),
+                    likelihood="gaussian", dtype="float32", rls_backend="nsv",
+                    fused_step="off", matmul_dtype="float32", ns_prefix=64,
+                    fused_epoch="mega")
+    state = core.init_state(key, cfg)
+    # tau decays like 1/(steps so far): the prefix must be long enough
+    # that the mega segment starts genuinely contracted (tau < ~0.02),
+    # which is the regime the 1-iteration steady state is designed for
+    T, B = 200, NS_ONE_ITER_MIN_BATCH
+    ys = jax.random.normal(key, (T, B, cfg.ydim), jnp.float32)
+    us = jnp.zeros((T, B, 0), jnp.float32)
+    eps = jax.random.normal(key, (2, T, B, cfg.xdim), jnp.float32)
+    lr = jnp.asarray(1e-3, jnp.float32)
+    flags = StepFlags()
+
+    ref = core.run_epoch(cfg, flags, state, ys, us, key, lr,
+                         noise=(eps[0], eps[1]))
+    got = F.run_epoch_fused(cfg, flags, state, ys, us, key, lr,
+                            noise=(eps[0], eps[1]), interpret=True)
+    np.testing.assert_allclose(np.asarray(got.metrics.loss),
+                               np.asarray(ref.metrics.loss),
+                               rtol=5e-4, atol=5e-4)
+    # 5e-3 (vs the 2-iteration tests' 2e-3): the single-iteration polish
+    # carries an O(tau^2) V residual that biases w slightly over the
+    # 136-step mega segment; at flagship scale (tau ~ 1e-9) the A/B epoch
+    # losses are identical — this small config runs at tau ~ 1e-2
+    np.testing.assert_allclose(np.asarray(got.state.dynamics.blr.w_mean),
+                               np.asarray(ref.state.dynamics.blr.w_mean),
+                               rtol=5e-3, atol=5e-3)
+    np.testing.assert_allclose(np.asarray(got.state.dynamics.blr.cov),
+                               np.asarray(ref.state.dynamics.blr.cov),
+                               rtol=5e-3, atol=5e-3)
+    # no step hit the skip ceiling, and the segment ends contracted (the
+    # 0.05-0.25 band early in the segment is the +1-escalation's job)
+    tau = np.asarray(got.metrics.tau[cfg.ns_prefix:])
+    assert np.all(np.isfinite(tau)) and tau.max() < 0.25, tau.max()
+    assert tau[-16:].max() < 0.05, tau[-16:].max()

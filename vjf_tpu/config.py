@@ -95,6 +95,16 @@ class VJFConfig:
     # segment self-reports its max tau so fit() can warn if this is ever
     # too short for a new regime.
     ns_prefix: int = 512
+    # base Newton-Schulz iterations per step in the cond-free mega segment
+    # (each f32 128^3 iteration is 2 MXU matmuls ~0.55 us on v5e — the
+    # single largest per-step line item at steady state). 0 = auto: 1 when
+    # the padded batch is >= 64 trials (measured post-prefix tau < 1e-6
+    # there — the single-iteration residual tau^2 is below f32 noise;
+    # flagship losses identical at ~8% more throughput), else 2 (the B=1 +
+    # shrink regime sits at the tracking scheme's stability margin — see
+    # ops/pallas/fused_step.py NS_TAU_ESCALATE). In-kernel escalation adds
+    # +1 at tau >= 0.05 and +2 more at tau >= 0.25 regardless.
+    mega_ns_iters: int = 0
     # bf16 MXU inputs (f32 accumulate) for the fused kernel's activation /
     # gradient / sufficient-statistic matmuls; the error-feedback-critical
     # chain (P w, Newton-Schulz polish, V g) always stays f32. 'float32'

@@ -54,13 +54,26 @@ NS_TAU_THRESHOLD = 0.25
 # config, so neither branch fires in steady state.
 NS_TAU_MAX = 0.7
 NS_EXTRA_ITERS = 2
-# The mega kernel runs 2 base Newton-Schulz iterations (error tau^4, i.e.
-# < 6e-6 once tau < 0.05 — steady-state tau on the flagship is < 0.01) and
-# escalates behind hardware branches: +1 iteration at tau >= 0.05 (matching
-# the XLA path's fixed 3) and +2 more at tau >= NS_TAU_THRESHOLD. Each f32
-# 128x128x128 iteration costs ~0.7 us on v5e, so the common case saves the
-# third iteration without giving up accuracy anywhere.
+# The mega kernel runs its base Newton-Schulz iterations (batch-adaptive,
+# see mega_epoch_call: 1 at B >= NS_ONE_ITER_MIN_BATCH, else 2) and
+# escalates behind hardware branches: +1 iteration at tau >= 0.05
+# (matching the XLA path's fixed 3) and +2 more at tau >= NS_TAU_THRESHOLD.
+# Each f32 128x128x128 iteration costs ~0.55 us on v5e, so the large-batch
+# common case saves one iteration without giving up accuracy: steady-state
+# tau at B = 256 measured 2e-9 (single-iteration residual tau^2 ~ 5e-18;
+# flagship epoch losses identical to 4 decimals at ~8% more throughput).
+# DO NOT touch the small-batch banding: the B = 1 + shrink regime sits
+# exactly at this scheme's stability margin — empirically, EITHER dropping
+# to 1 base iteration OR lowering the escalation threshold to 0.01 (even
+# with MORE total iterations) tips a previously-clean Van der Pol fit into
+# the hot-tau demotion path (the safety net catches it, at the cost of an
+# XLA recompile and a demoted epoch layout).
 NS_TAU_ESCALATE = 0.05
+# Minimum per-step trial count for the 1-base-iteration steady state: tau
+# scales like (per-step update)/(accumulated P), i.e. ~1/stream-length x
+# batch-normalized — at B >= 64 the measured post-prefix tau is < 1e-6 on
+# every config; at B = 1 it hovers near the escalation threshold.
+NS_ONE_ITER_MIN_BATCH = 64
 
 
 def _round_up(x: int, m: int = 128) -> int:
@@ -1555,6 +1568,7 @@ def _make_mega_kernel(
     scal_rows: int,
     has_mask: bool = False,
     has_cmask: bool = False,
+    ns_base_iters: int = 2,
 ):
     n_data = (
         1 + (1 if has_u else 0) + (0 if internal_rng else 2)
@@ -1629,7 +1643,7 @@ def _make_mega_kernel(
         out = step_math(
             cfg, flags, carry, qm_s[:], qlv_s[:], y, u, eps_s, eps_t,
             lr_ref[0], ns_extra=ns_extra, ns_tau_max=NS_TAU_MAX,
-            ns_iters=NS_ITERS - 1, mask=mask, cmask=cmask,
+            ns_iters=ns_base_iters, mask=mask, cmask=cmask,
         )
         out = out._replace(
             carry=out.carry._replace(rng_count=out.carry.rng_count + 1)
@@ -1699,9 +1713,16 @@ def mega_epoch_call(
     nfp = carry.p_mat.shape[0]
 
     scal_rows = 8 if t_total >= 8 else t_total
+    # batch-adaptive base Newton-Schulz iterations (see NS_TAU_ESCALATE
+    # block comment): large batches run 1 (tau provably tiny), small ones
+    # keep the round-2 scheme's 2 — cfg.mega_ns_iters != 0 overrides.
+    ns_base_iters = int(cfg.mega_ns_iters) or (
+        1 if b >= NS_ONE_ITER_MIN_BATCH else 2
+    )
     kernel = _make_mega_kernel(
         cfg, flags, carry_treedef, len(carry_leaves), has_u, internal_rng, xd,
         scal_rows, has_mask=has_mask, has_cmask=has_cmask,
+        ns_base_iters=ns_base_iters,
     )
     data = [ys] + ([us] if has_u else []) + (
         [] if internal_rng else [eps_s, eps_t]
