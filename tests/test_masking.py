@@ -511,3 +511,114 @@ def test_fit_channel_mask_on_fused_mega_path(key):
     assert np.all(np.isfinite(np.asarray(res.mu)))
     assert int(res.state.dynamics.n_sample) > 0
     assert float(res.state.lik_n_sample) > 0
+
+
+def test_run_epoch_time_mask_promotion_at_t_equals_b(key):
+    """A (T,) per-TIME trial mask passed directly to run_epoch when T == B
+    must gain a trial axis (every trial invalid past t0), not be silently
+    transposed into a per-trial mask by right-aligned broadcasting — the
+    promotion-helper trap documented at parallel/sharded.py."""
+    T = B = 8
+    cfg = _cfg(ydim=6, n_rbf=8, hidden_sizes=(5,))
+    state = core.init_state(key, cfg)
+    ys = jax.random.normal(key, (T, B, cfg.ydim), jnp.float32)
+    us = jnp.zeros((T, B, 0), jnp.float32)
+    eps = jax.random.normal(key, (2, T, B, cfg.xdim), jnp.float32)
+    lr = jnp.asarray(1e-3, jnp.float32)
+    t_mask = jnp.asarray(np.r_[np.ones(5), np.zeros(3)], jnp.float32)  # (T,)
+
+    got = core.run_epoch(cfg, StepFlags(), state, ys, us, key, lr,
+                         noise=(eps[0], eps[1]), mask=t_mask)
+    full = jnp.broadcast_to(t_mask[:, None], (T, B))
+    ref = core.run_epoch(cfg, StepFlags(), state, ys, us, key, lr,
+                         noise=(eps[0], eps[1]), mask=full)
+    np.testing.assert_allclose(np.asarray(got.metrics.loss),
+                               np.asarray(ref.metrics.loss), rtol=1e-7)
+    np.testing.assert_allclose(np.asarray(got.q_means),
+                               np.asarray(ref.q_means), rtol=1e-7, atol=1e-9)
+    # the transposed interpretation would keep steps 5..7 live
+    assert np.all(np.asarray(got.metrics.loss[5:]) == 0.0)
+
+
+def test_fit_demotes_masked_small_effective_batch_sgp(key):
+    """A ragged SGP fit whose PADDED batch passes the fused gate but whose
+    effective per-step valid count is tiny must route to the XLA epoch
+    up front (host-side mask inspection) instead of compiling the mega
+    kernel only to go tau-hot and demote."""
+    from vjf_tpu.models.vjf import _demote_masked_small_sgp
+    from vjf_tpu.config import VJFConfig
+
+    cfg = VJFConfig(ydim=8, xdim=2, udim=0, dynamics="sgp", n_inducing=8,
+                    hidden_sizes=(6,), likelihood="gaussian",
+                    dtype="float32", rls_backend="nsv", fused_step="auto",
+                    sgp_fused_min_batch=8)
+    T, B = 20, 16
+    mask = np.ones((T, B), np.float32)
+    mask[5:, 2:] = 0.0                       # most steps have 2 valid trials
+    out = _demote_masked_small_sgp(cfg, jnp.asarray(mask))
+    assert out.fused_step == "off"
+    # lockstep-equivalent mask keeps the fused routing
+    out2 = _demote_masked_small_sgp(cfg, jnp.ones((T, B), jnp.float32))
+    assert out2.fused_step == "auto"
+    # explicit 'on' is respected
+    out3 = _demote_masked_small_sgp(cfg.replace(fused_step="on"),
+                                    jnp.asarray(mask))
+    assert out3.fused_step == "on"
+    # rbf dynamics untouched
+    out4 = _demote_masked_small_sgp(cfg.replace(dynamics="rbf"),
+                                    jnp.asarray(mask))
+    assert out4.fused_step == "auto"
+
+
+def test_filter_stream_with_channel_masks(key):
+    """Live electrode dropout through filter_stream: per-chunk channel
+    masks (NaN holes) train finitely, carry the posterior across chunk
+    boundaries, and match the one-shot fit-free filter over the
+    concatenated stream with the concatenated mask."""
+    from vjf_tpu.api import VJF
+
+    rng = np.random.default_rng(31)
+    T, B, ydim, n_chunks = 60, 2, 8, 3
+    t = np.arange(T) * 0.1
+    lat = np.stack([np.sin(t), np.cos(t)], -1)
+    C = rng.normal(size=(2, ydim))
+    y = (lat[:, None, :] @ C + 0.1 * rng.normal(size=(T, B, ydim))).astype(np.float32)
+    cm = (rng.uniform(size=(T, B, ydim)) > 0.25).astype(np.float32)
+    y = np.where(cm > 0, y, np.nan)
+
+    cfg = _cfg(ydim=ydim, n_rbf=12, hidden_sizes=(8,))
+    model = VJF(cfg, seed=3)
+    chunks = np.split(y, n_chunks)
+    cms = np.split(cm, n_chunks)
+    outs = list(model.filter_stream(iter(chunks), channel_masks=iter(cms)))
+    assert len(outs) == n_chunks
+    mu = np.concatenate([np.asarray(o.q_means) for o in outs])
+    assert mu.shape == (T, B, cfg.xdim)
+    assert np.all(np.isfinite(mu))
+    for o in outs:
+        assert np.all(np.isfinite(np.asarray(o.metrics.loss)))
+    # obs-noise counter advanced by fractional counts (channel-masked)
+    assert float(outs[-1].state.lik_n_sample) > 0
+
+
+def test_filter_stream_with_trial_masks(key):
+    """Mid-stream trial dropout: per-chunk (chunk_len, B) masks freeze the
+    dead trial's carry across chunks and keep training the live one."""
+    from vjf_tpu.api import VJF
+
+    rng = np.random.default_rng(33)
+    T, B, ydim = 60, 2, 8
+    y = rng.normal(size=(T, B, ydim)).astype(np.float32)
+    mask = np.ones((T, B), np.float32)
+    mask[30:, 1] = 0.0                       # trial 1 drops mid-stream
+    y[30:, 1] = np.nan
+
+    cfg = _cfg(ydim=ydim, n_rbf=12, hidden_sizes=(8,))
+    model = VJF(cfg, seed=4)
+    chunks = np.split(y, 3)
+    ms = np.split(mask, 3)
+    outs = list(model.filter_stream(iter(chunks), masks=iter(ms)))
+    mu = np.concatenate([np.asarray(o.q_means) for o in outs])
+    assert np.all(np.isfinite(mu))
+    # frozen carry across the chunk boundary: trial 1 identical from t=30 on
+    np.testing.assert_array_equal(mu[-1, 1], mu[29, 1])

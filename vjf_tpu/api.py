@@ -256,6 +256,8 @@ class VJF:
         *,
         warm_up: bool = False,
         valid_fn=None,
+        masks=None,
+        channel_masks=None,
     ):
         """Stream chunks of observations through the fused filter-then-learn
         scan, carrying the posterior across chunk boundaries.
@@ -267,7 +269,17 @@ class VJF:
         (posterior means/logvars + per-step metrics). ``valid_fn()`` may
         report the number of valid steps in the latest chunk (a final
         partial chunk is truncated to it).
+
+        ``masks`` / ``channel_masks``: optional iterables yielding one
+        trial-validity mask ((chunk_len, B)) / missing-observation mask
+        ((chunk_len, B, ydim) or (chunk_len, ydim)) per chunk — live
+        electrode dropout or mid-stream trial dropout. Same semantics as
+        ``fit(mask=..., channel_mask=...)``; masked ``y`` entries may be
+        NaN. Mask presence must be stable across the stream (each
+        combination compiles its own chunk trace).
         """
+        from itertools import repeat
+
         from .models import vjf as core
 
         cfg = self.cfg
@@ -296,9 +308,17 @@ class VJF:
         # before the demotion sticks — logged when it happens.
         first_checked = False
         pending_hot = None                     # device scalar, prev chunk
+        m_it = iter(masks) if masks is not None else repeat(None)
+        cm_it = iter(channel_masks) if channel_masks is not None else repeat(None)
         for chunk in chunks:
             chunk = jnp.asarray(chunk, dtype=cfg.jdtype)
             t_len, n_batch = chunk.shape[0], chunk.shape[1]
+            m = next(m_it, None)
+            cm = next(cm_it, None)
+            if m is not None:
+                m = jnp.asarray(m, dtype=cfg.jdtype)
+            if cm is not None:
+                cm = core._promote_channel_mask(cm, chunk.shape, cfg.jdtype)
             n_valid = valid_fn() if valid_fn is not None else t_len
             if n_valid < t_len:
                 # tail chunk: step only the valid prefix (never train on
@@ -310,13 +330,15 @@ class VJF:
                 q_means, q_logvars, per_step = [], [], []
                 for t in range(n_valid):
                     q, loss, recon, dyn, ent = self.filter(
-                        chunk[t], qs=q, warm_up=warm_up, verbose=True
+                        chunk[t], qs=q, warm_up=warm_up, verbose=True,
+                        mask=m[t] if m is not None else None,
+                        channel_mask=cm[t] if cm is not None else None,
                     )
                     q_means.append(q.mean)
                     q_logvars.append(q.logvar)
                     per_step.append((loss, recon, dyn, ent))
                 metrics = core.Metrics(
-                    *(jnp.stack([m[i] for m in per_step]) for i in range(4))
+                    *(jnp.stack([m_[i] for m_ in per_step]) for i in range(4))
                 )
                 yield core.EpochResult(
                     state=self.state,
@@ -330,6 +352,7 @@ class VJF:
             result = run(
                 cfg, flags, self.state, chunk, us, k,
                 jnp.asarray(self._lr, cfg.jdtype), q0=q,
+                mask=m, channel_mask=cm,
             )
             if pending_hot is not None:
                 # resolve the PREVIOUS chunk's check now that this chunk is
@@ -371,6 +394,7 @@ class VJF:
                         result = run(
                             cfg, flags, self.state, chunk, us, k,
                             jnp.asarray(self._lr, cfg.jdtype), q0=q,
+                            mask=m, channel_mask=cm,
                         )
             self.state = result.state
             q = Gaussian(result.q_means[-1], result.q_logvars[-1])

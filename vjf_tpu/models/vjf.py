@@ -426,19 +426,18 @@ def run_epoch(
         kernels too (the imputation feedback is one extra in-kernel decoder
         matmul from the previous posterior mean)
     """
-    if _fused.fused_enabled(cfg, state, n_batch=ys.shape[1]):
-        if mask is not None:
-            mask = jnp.broadcast_to(jnp.asarray(mask, ys.dtype), ys.shape[:2])
-        if channel_mask is not None:
-            channel_mask = jnp.broadcast_to(
-                jnp.asarray(channel_mask, ys.dtype), ys.shape
-            )
+    t_len, n_batch, _ = ys.shape
+    # promotion helpers, not bare broadcast_to: a (T,) per-time trial mask
+    # must gain a TRIAL axis — right-aligned broadcasting raises at T != B
+    # and silently transposes it into a per-trial mask at T == B (the same
+    # trap documented at parallel/sharded.py's call path)
+    mask = _promote_mask(mask, t_len, n_batch, ys.dtype)
+    channel_mask = _promote_channel_mask(channel_mask, ys.shape, ys.dtype)
+    if _fused.fused_enabled(cfg, state, n_batch=n_batch):
         return _fused.run_epoch_fused(
             cfg, flags, state, ys, us, key, lr, noise=noise, q0=q0, mask=mask,
             channel_mask=channel_mask,
         )
-
-    t_len, n_batch, _ = ys.shape
     xdim = cfg.xdim
     if q0 is None:
         q0 = prior(state.params, n_batch)
@@ -450,16 +449,15 @@ def run_epoch(
         noise = (eps[:, 0], eps[:, 1])
 
     # mask-free trace: identical to the pre-mask computation (None-ness is
-    # preserved into filter_step so the unmasked path is untouched)
+    # preserved into filter_step so the unmasked path is untouched); the
+    # masks were already promoted to (T, B) / (T, B, ydim) above
     have_m = mask is not None
     have_cm = channel_mask is not None
     scan_elems = [ys, us, noise[0], noise[1]]
     if have_m:
-        scan_elems.append(jnp.broadcast_to(jnp.asarray(mask), (t_len, n_batch)))
+        scan_elems.append(mask)
     if have_cm:
-        scan_elems.append(
-            jnp.broadcast_to(jnp.asarray(channel_mask), ys.shape)
-        )
+        scan_elems.append(channel_mask)
 
     def body(carry, inp):
         st, q = carry
@@ -732,6 +730,7 @@ def fit(
         pair_w = (mask[1:] * mask[:-1]).reshape(-1)  # bootstrap pair validity
     else:
         pair_w = None
+    cfg = _demote_masked_small_sgp(cfg, mask)
 
     # Donation is skipped while hot-tau demotion is possible (mega layout
     # AND the fused path actually eligible for this cfg/state/batch): the
@@ -903,6 +902,28 @@ def fit(
     )
 
 
+def _demote_masked_small_sgp(cfg: VJFConfig, mask) -> VJFConfig:
+    """The fused gate's small-batch SGP routing (`fused_enabled`,
+    ops/pallas/fused_step.py) sizes itself on the PADDED batch, but with a
+    ragged trial mask it is the EFFECTIVE per-step valid count that keeps
+    the NSV trace bound hot (tiny-batch SGP is hot forever — the mega
+    layout would only demote after a wasted compile). The mask is concrete
+    at the fit() boundary, so size the decision host-side and route the
+    whole fit to the XLA epoch when any step's valid count is below the
+    gate. Explicit ``fused_step='on'``/'off' is respected."""
+    if mask is None or cfg.dynamics != "sgp" or cfg.fused_step != "auto":
+        return cfg
+    eff = int(np.min(np.sum(np.asarray(mask), axis=1)))
+    if eff < cfg.sgp_fused_min_batch:
+        logger.info(
+            "ragged SGP fit: min per-step valid count %d < "
+            "sgp_fused_min_batch %d — routing to the XLA epoch (per-step "
+            "exact-inverse fallback).", eff, cfg.sgp_fused_min_batch,
+        )
+        return cfg.replace(fused_step="off")
+    return cfg
+
+
 def _bootstrap_dynamics(cfg, state, init_fn, q_means, us, key, pair_w=None):
     """Warm-up-end phase transition (``vjf/model.py:283-291``): re-init the
     dynamics from the pooled posterior means — shared by the per-epoch and
@@ -999,6 +1020,7 @@ def _fit_blocked(
     mask = _promote_mask(mask, t_len, n_batch, cfg.jdtype)
     channel_mask = _promote_channel_mask(channel_mask, y.shape, cfg.jdtype)
     pair_w = (mask[1:] * mask[:-1]).reshape(-1) if mask is not None else None
+    cfg = _demote_masked_small_sgp(cfg, mask)
 
     mega_possible = (
         cfg.fused_epoch == "mega"

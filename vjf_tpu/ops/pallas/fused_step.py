@@ -1716,8 +1716,12 @@ def mega_epoch_call(
     # batch-adaptive base Newton-Schulz iterations (see NS_TAU_ESCALATE
     # block comment): large batches run 1 (tau provably tiny), small ones
     # keep the round-2 scheme's 2 — cfg.mega_ns_iters != 0 overrides.
+    # A trial mask disqualifies the shortcut: the padded B says nothing
+    # about the EFFECTIVE per-step valid count (a ragged tail can be
+    # B~1 — the regime the 2-iteration banding protects), and the mask is
+    # traced here so the count cannot steer a trace-time constant.
     ns_base_iters = int(cfg.mega_ns_iters) or (
-        1 if b >= NS_ONE_ITER_MIN_BATCH else 2
+        1 if (b >= NS_ONE_ITER_MIN_BATCH and mask is None) else 2
     )
     kernel = _make_mega_kernel(
         cfg, flags, carry_treedef, len(carry_leaves), has_u, internal_rng, xd,
