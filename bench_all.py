@@ -154,7 +154,10 @@ def bench_streaming():
 
     T, B, ydim = 20000, 16, 200
     rng = np.random.default_rng(0)
-    data = rng.poisson(0.12, size=(T, B, ydim)).astype(np.float32)
+    # spike counts ship as uint8 (the production wire format): 64 MB over
+    # the host->device tunnel instead of 256 MB of f32 — run_epoch upcasts
+    # on device (bit-identical results, test-pinned in test_native_loader)
+    data = np.minimum(rng.poisson(0.12, size=(T, B, ydim)), 255).astype(np.uint8)
     path = os.path.join(tempfile.mkdtemp(), "stream.bin")
     data.tofile(path)
 
@@ -163,7 +166,7 @@ def bench_streaming():
     model = VJF(cfg)
     # warm the compile BEFORE constructing the timed loader (its native
     # reader thread starts prefetching at construction — built early, it
-    # would fill its 8-chunk ring (~205 MB of the 256 MB file) during the
+    # would fill its 8-chunk ring (~51 MB of the 64 MB file) during the
     # multi-second warm compile, turning the "host IO in the loop" bench
     # into a RAM drain). Two warm chunks: chunk 1 compiles the q0=None
     # trace, chunk 2 the q0=Gaussian carry trace the steady state uses —
@@ -171,7 +174,8 @@ def bench_streaming():
     # The model is then restored so the timed stream starts cold (the warm
     # pass trains; without the snapshot the first steps would be seen twice
     # from a pre-warmed state).
-    warm_loader = StreamingLoader(path, ydim=ydim, batch=B, chunk=2000)
+    warm_loader = StreamingLoader(path, ydim=ydim, batch=B, chunk=2000,
+                                  dtype=np.uint8)
     first = next(iter(warm_loader))
     warm_loader.close()  # else its native reader thread keeps streaming the
     # same 256 MB file in the background, contending with the timed loop's
@@ -180,7 +184,8 @@ def bench_streaming():
     list(model.filter_stream(iter([first, first])))
     model.state, model.key = state0, key0
 
-    loader = StreamingLoader(path, ydim=ydim, batch=B, chunk=2000)
+    loader = StreamingLoader(path, ydim=ydim, batch=B, chunk=2000,
+                              dtype=np.uint8)
     was_native = loader.is_native            # close() clears the handle
     t0 = time.perf_counter()
     n = 0
@@ -191,7 +196,7 @@ def bench_streaming():
             "steps": n, "wall_s": round(wall, 2),
             "steps_per_s": round(n / wall, 1),
             "native_loader": was_native,
-            "note": "host->device of 256 MB rides the env tunnel (~2.5 s of the wall)"}
+            "note": "uint8 count ingest: 64 MB over the tunnel (vs 256 MB f32), upcast on device"}
 
 
 def bench_flagship():

@@ -335,3 +335,40 @@ def test_native_build_failure_cached(tmp_path, monkeypatch):
     monkeypatch.setattr(L, "_lib_tried", False)
     assert L._load_native() is None
     assert len(calls) == 2
+
+
+def test_uint8_wire_dtype_matches_f32(tmp_path):
+    """Integer ingest (uint8 spike counts, 1/4 the f32 bytes over the
+    host->device link) must be bit-identical to shipping f32: run_epoch /
+    fit / filter_stream upcast to cfg.jdtype ON DEVICE, so the post-cast
+    computation is the same graph."""
+    import jax
+    import jax.numpy as jnp
+
+    from vjf_tpu import VJF
+    from vjf_tpu.config import VJFConfig
+    from vjf_tpu.models import vjf as core
+
+    rng = np.random.default_rng(3)
+    T, B, ydim = 64, 2, 8
+    counts = rng.poisson(0.5, size=(T, B, ydim)).astype(np.uint8)
+    cfg = VJFConfig(ydim=ydim, xdim=2, udim=0, n_rbf=10, hidden_sizes=(6,),
+                    likelihood="poisson", dtype="float32", rls_backend="nsv")
+
+    # streaming path (jitted run_epoch receives the wire dtype)
+    m8, m32 = VJF(cfg, seed=5), VJF(cfg, seed=5)
+    outs8 = list(m8.filter_stream(iter(np.split(counts, 2))))
+    outs32 = list(m32.filter_stream(iter(np.split(counts.astype(np.float32), 2))))
+    for a, b in zip(outs8, outs32):
+        np.testing.assert_array_equal(np.asarray(a.q_means), np.asarray(b.q_means))
+        np.testing.assert_array_equal(np.asarray(a.metrics.loss),
+                                      np.asarray(b.metrics.loss))
+
+    # fit path (host-level two-step ingest)
+    key = jax.random.PRNGKey(0)
+    # fresh state per fit: fit() donates its state buffers
+    r8 = core.fit(cfg, core.init_state(key, cfg), counts, key=key, max_iter=3)
+    r32 = core.fit(cfg, core.init_state(key, cfg),
+                   counts.astype(np.float32), key=key, max_iter=3)
+    np.testing.assert_array_equal(np.asarray(r8.mu), np.asarray(r32.mu))
+    assert r8.loss == r32.loss

@@ -311,12 +311,16 @@ class VJF:
         m_it = iter(masks) if masks is not None else repeat(None)
         cm_it = iter(channel_masks) if channel_masks is not None else repeat(None)
         for chunk in chunks:
-            chunk = jnp.asarray(chunk, dtype=cfg.jdtype)
+            # device_put in the WIRE dtype (uint8 spike counts ride the
+            # host->device tunnel at 1/4 the f32 bytes — the dominant cost
+            # of streaming through a remote runtime); run_epoch upcasts to
+            # cfg.jdtype on device, inside the jitted graph
+            chunk = jnp.asarray(chunk)
             t_len, n_batch = chunk.shape[0], chunk.shape[1]
             m = next(m_it, None)
             cm = next(cm_it, None)
             if m is not None:
-                m = jnp.asarray(m, dtype=cfg.jdtype)
+                m = jnp.asarray(m)  # promoted/cast on device in run_epoch
             if cm is not None:
                 cm = core._promote_channel_mask(cm, chunk.shape, cfg.jdtype)
             n_valid = valid_fn() if valid_fn is not None else t_len

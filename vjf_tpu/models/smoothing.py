@@ -102,7 +102,10 @@ def smooth(
                               channel_mask=channel_mask)
     if cfg.likelihood != "gaussian":
         raise NotImplementedError(f"unknown likelihood {cfg.likelihood}")
-    ys = jnp.asarray(ys, cfg.jdtype)
+    # two-step ingest: native-dtype device_put, on-device upcast
+    ys = jnp.asarray(ys)
+    if ys.dtype != cfg.jdtype:
+        ys = ys.astype(cfg.jdtype)
     if ys.ndim != 2:
         raise ValueError("smooth() takes one (T, ydim) sequence")
 
@@ -177,7 +180,10 @@ def smooth_poisson(
     """
     if n_iter < 1:
         raise ValueError(f"smooth_poisson: n_iter must be >= 1, got {n_iter}")
-    ys = jnp.asarray(ys, cfg.jdtype)
+    # two-step ingest: native-dtype device_put, on-device upcast
+    ys = jnp.asarray(ys)
+    if ys.dtype != cfg.jdtype:
+        ys = ys.astype(cfg.jdtype)
     if ys.ndim != 2:
         raise ValueError("smooth_poisson() takes one (T, ydim) sequence")
     cm = None if channel_mask is None else _mask_promote(channel_mask, ys)
@@ -244,7 +250,10 @@ def smooth_iterated(
         )
     if cfg.likelihood != "gaussian":
         raise NotImplementedError(f"unknown likelihood {cfg.likelihood}")
-    ys = jnp.asarray(ys, cfg.jdtype)
+    # two-step ingest: native-dtype device_put, on-device upcast
+    ys = jnp.asarray(ys)
+    if ys.dtype != cfg.jdtype:
+        ys = ys.astype(cfg.jdtype)
     filtered, smoothed = smooth(cfg, state, ys, x_ref,
                                 channel_mask=channel_mask)
     for _ in range(n_iter - 1):

@@ -427,6 +427,14 @@ def run_epoch(
         matmul from the previous posterior mean)
     """
     t_len, n_batch, _ = ys.shape
+    # integer observation streams (e.g. uint8 spike counts, shipped over the
+    # host->device link at 1/4 the f32 bytes) upcast HERE, on device — free
+    # under jit, and every downstream consumer (noise draws, masks, kernels)
+    # sees cfg.jdtype exactly as before
+    if ys.dtype != cfg.jdtype:
+        ys = ys.astype(cfg.jdtype)
+    if us.dtype != cfg.jdtype:
+        us = us.astype(cfg.jdtype)
     # promotion helpers, not bare broadcast_to: a (T,) per-time trial mask
     # must gain a TRIAL axis — right-aligned broadcasting raises at T != B
     # and silently transposes it into a per-trial mask at T == B (the same
@@ -721,7 +729,13 @@ def fit(
             mask=mask, channel_mask=channel_mask, lr0=lr0,
         )
 
-    y = _promote_y(jnp.asarray(y, dtype=cfg.jdtype))
+    # two-step ingest (device_put in the caller's dtype, upcast on device):
+    # integer observation arrays — e.g. uint8 spike counts — ride the
+    # host->device link at 1/4 the f32 bytes, which dominates wall time on
+    # tunneled/remote runtimes
+    y = _promote_y(jnp.asarray(y))
+    if y.dtype != cfg.jdtype:
+        y = y.astype(cfg.jdtype)
     t_len, n_batch, _ = y.shape
     us = _promote_u(u, t_len, n_batch, cfg.jdtype)
     mask = _promote_mask(mask, t_len, n_batch, cfg.jdtype)
@@ -1014,7 +1028,10 @@ def _fit_blocked(
       remainder-shaped graph — choose ``max_iter`` divisible by
       ``epochs_per_dispatch`` to avoid paying a compile for a few epochs.
     """
-    y = _promote_y(jnp.asarray(y, dtype=cfg.jdtype))
+    # two-step ingest (see fit()): native-dtype device_put, on-device upcast
+    y = _promote_y(jnp.asarray(y))
+    if y.dtype != cfg.jdtype:
+        y = y.astype(cfg.jdtype)
     t_len, n_batch, _ = y.shape
     us = _promote_u(u, t_len, n_batch, cfg.jdtype)
     mask = _promote_mask(mask, t_len, n_batch, cfg.jdtype)
