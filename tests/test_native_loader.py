@@ -372,3 +372,39 @@ def test_uint8_wire_dtype_matches_f32(tmp_path):
                    counts.astype(np.float32), key=key, max_iter=3)
     np.testing.assert_array_equal(np.asarray(r8.mu), np.asarray(r32.mu))
     assert r8.loss == r32.loss
+
+
+def test_device_prefetch_valid_pairs_tail(tmp_path):
+    """device_prefetch(valid_fn=...) yields (chunk, n_valid) pairs whose
+    validity was sampled at PRODUCE time; filter_stream consumes them and
+    reproduces the non-prefetched stream exactly, including the truncated
+    tail (a consumer-side valid_fn would see the prefetcher's LATER count
+    and wrongly truncate an earlier full chunk)."""
+    from vjf_tpu import VJF
+
+    rng = np.random.default_rng(4)
+    T, B, ydim, chunk = 90, 1, 8, 32           # 32 + 32 + 26
+    data = rng.normal(size=(T, B, ydim)).astype(np.float64)
+    path = tmp_path / "y.bin"
+    data.tofile(path)
+
+    def run(prefetched):
+        model = VJF.make_model(ydim, 2, 0, n_rbf=10, hidden_sizes=[6],
+                               likelihood="gaussian", dtype="float64")
+        loader = StreamingLoader(str(path), ydim=ydim, batch=B, chunk=chunk,
+                                 dtype=np.float64, native=False)
+        if prefetched:
+            stream = device_prefetch(loader, depth=3,
+                                     valid_fn=lambda: loader.last_valid)
+            return list(model.filter_stream(stream))
+        return list(model.filter_stream(
+            loader, valid_fn=lambda: loader.last_valid))
+
+    plain, pre = run(False), run(True)
+    assert len(plain) == len(pre) == 3
+    assert pre[-1].q_means.shape[0] == T - 2 * chunk
+    for a, b in zip(plain, pre):
+        np.testing.assert_array_equal(np.asarray(a.q_means),
+                                      np.asarray(b.q_means))
+        np.testing.assert_array_equal(np.asarray(a.metrics.loss),
+                                      np.asarray(b.metrics.loss))

@@ -277,6 +277,11 @@ class VJF:
         ``fit(mask=..., channel_mask=...)``; masked ``y`` entries may be
         NaN. Mask presence must be stable across the stream (each
         combination compiles its own chunk trace).
+
+        A chunk item may also be a ``(chunk, n_valid)`` pair — what
+        ``device_prefetch(loader, valid_fn=...)`` yields — which carries
+        the tail-chunk validity WITH the chunk (a consumer-side
+        ``valid_fn()`` lags the producer when prefetching runs ahead).
         """
         from itertools import repeat
 
@@ -311,6 +316,9 @@ class VJF:
         m_it = iter(masks) if masks is not None else repeat(None)
         cm_it = iter(channel_masks) if channel_masks is not None else repeat(None)
         for chunk in chunks:
+            n_valid_item = None
+            if isinstance(chunk, tuple):          # (chunk, n_valid) pair
+                chunk, n_valid_item = chunk
             # device_put in the WIRE dtype (uint8 spike counts ride the
             # host->device tunnel at 1/4 the f32 bytes — the dominant cost
             # of streaming through a remote runtime); run_epoch upcasts to
@@ -323,7 +331,10 @@ class VJF:
                 m = jnp.asarray(m)  # promoted/cast on device in run_epoch
             if cm is not None:
                 cm = core._promote_channel_mask(cm, chunk.shape, cfg.jdtype)
-            n_valid = valid_fn() if valid_fn is not None else t_len
+            n_valid = (
+                n_valid_item if n_valid_item is not None
+                else valid_fn() if valid_fn is not None else t_len
+            )
             if n_valid < t_len:
                 # tail chunk: step only the valid prefix (never train on
                 # padding) and still yield its results — one EpochResult per

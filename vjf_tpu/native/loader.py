@@ -173,9 +173,18 @@ class StreamingLoader:
             pass
 
 
-def device_prefetch(iterator, depth: int = 2):
+def device_prefetch(iterator, depth: int = 2, valid_fn=None):
     """Wrap a host chunk iterator with a background thread that stages
-    chunks onto the device ahead of consumption."""
+    chunks onto the device ahead of consumption (host->device transfer
+    overlaps device compute).
+
+    ``valid_fn`` (e.g. ``lambda: loader.last_valid``): sampled on the
+    producer thread immediately after each chunk is drawn, yielding
+    ``(device_chunk, n_valid)`` pairs — the pairing ``filter_stream``
+    consumes directly. This matters: with prefetch running ``depth``
+    chunks ahead, a consumer-side ``valid_fn()`` would report a LATER
+    chunk's count (e.g. the final partial chunk's, wrongly truncating an
+    earlier full chunk)."""
     import jax
 
     q: Queue = Queue(maxsize=depth)
@@ -184,7 +193,9 @@ def device_prefetch(iterator, depth: int = 2):
     def worker():
         try:
             for item in iterator:
-                q.put(jax.device_put(item))
+                v = valid_fn() if valid_fn is not None else None
+                d = jax.device_put(item)
+                q.put(d if v is None else (d, v))
         finally:
             q.put(_SENTINEL)
 
