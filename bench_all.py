@@ -242,17 +242,25 @@ def bench_canonical():
                     likelihood="gaussian", dtype="float32", rls_backend="nsv",
                     lr=1e-3, rtol=0.0)   # rtol=0: never converge early — run all 150
     key = jax.random.PRNGKey(0)
-    state = core.init_state(key, cfg)
-    t0 = time.perf_counter()
-    res = core.fit(cfg, state, y, key=key, max_iter=150)
-    wall = time.perf_counter() - t0
-    steps = y.shape[0] * res.epochs_run     # rtol=0 => all 150, but honest
-    ref_wall = steps / 399.0     # measured reference throughput, BASELINE.md
-    return {"config": "canonical_3183x150", "wall_s": round(wall, 2),
-            "steps_per_s": round(steps / wall, 1),
-            "reference_wall_s_est": round(ref_wall, 1),
-            "end_to_end_speedup": round(ref_wall / wall, 1),
-            "final_loss": round(res.loss, 4)}
+    out = {"config": "canonical_3183x150"}
+    # two modes: per-epoch dispatch reproduces the reference's control flow
+    # exactly (one plateau check per epoch); epochs_per_dispatch=10 is the
+    # production block mode (phase transitions at block boundaries) — the
+    # per-epoch wall is ~150 x 30 ms of tunnel round-trips, not compute
+    for label, k in (("per_epoch", 1), ("blocked_k10", 10)):
+        state = core.init_state(key, cfg)
+        t0 = time.perf_counter()
+        res = core.fit(cfg, state, y, key=key, max_iter=150,
+                       epochs_per_dispatch=k)
+        wall = time.perf_counter() - t0
+        steps = y.shape[0] * res.epochs_run  # rtol=0 => all 150, but honest
+        ref_wall = steps / 399.0  # measured reference throughput, BASELINE.md
+        out[label] = {"wall_s": round(wall, 2),
+                      "steps_per_s": round(steps / wall, 1),
+                      "reference_wall_s_est": round(ref_wall, 1),
+                      "end_to_end_speedup": round(ref_wall / wall, 1),
+                      "final_loss": round(res.loss, 4)}
+    return out
 
 
 ALL = {
