@@ -622,3 +622,29 @@ def test_filter_stream_with_trial_masks(key):
     assert np.all(np.isfinite(mu))
     # frozen carry across the chunk boundary: trial 1 identical from t=30 on
     np.testing.assert_array_equal(mu[-1, 1], mu[29, 1])
+
+
+def test_filter_stream_short_mask_iterable_raises(key):
+    """A mask stream shorter than the chunk stream must fail loudly —
+    silently training the remaining chunks unmasked is a correctness
+    hazard (and a surprise recompile)."""
+    import pytest
+
+    from vjf_tpu.api import VJF
+
+    rng = np.random.default_rng(35)
+    T, B, ydim = 30, 2, 8
+    y = rng.normal(size=(T, B, ydim)).astype(np.float32)
+    mask = np.ones((T, B), np.float32)
+
+    cfg = _cfg(ydim=ydim, n_rbf=12, hidden_sizes=(8,))
+    model = VJF(cfg, seed=5)
+    chunks = np.split(y, 3)
+    with pytest.raises(ValueError, match="masks.*ran out"):
+        list(model.filter_stream(iter(chunks), masks=iter(np.split(mask, 3)[:2])))
+    model = VJF(cfg, seed=5)
+    with pytest.raises(ValueError, match="channel_masks.*ran out"):
+        list(model.filter_stream(
+            iter(chunks),
+            channel_masks=iter([np.ones((10, B, ydim), np.float32)]),
+        ))

@@ -21,6 +21,8 @@ from .models import vjf as core
 from .ops.pallas.fused_step import NS_TAU_MAX
 from .types import Gaussian
 
+_EXHAUSTED = object()  # filter_stream: marks a mask iterable that ran dry
+
 logger = logging.getLogger("vjf_tpu.api")
 
 
@@ -325,8 +327,16 @@ class VJF:
             # cfg.jdtype on device, inside the jitted graph
             chunk = jnp.asarray(chunk)
             t_len, n_batch = chunk.shape[0], chunk.shape[1]
-            m = next(m_it, None)
-            cm = next(cm_it, None)
+            m = next(m_it, _EXHAUSTED) if masks is not None else None
+            cm = next(cm_it, _EXHAUSTED) if channel_masks is not None else None
+            if m is _EXHAUSTED or cm is _EXHAUSTED:
+                # a short mask stream would otherwise SILENTLY train the
+                # remaining chunks unmasked (and recompile the chunk trace)
+                which = "masks" if m is _EXHAUSTED else "channel_masks"
+                raise ValueError(
+                    f"filter_stream: the `{which}` iterable ran out before "
+                    "the chunk stream — provide one mask per chunk"
+                )
             if m is not None:
                 m = jnp.asarray(m)  # promoted/cast on device in run_epoch
             if cm is not None:
