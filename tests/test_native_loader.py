@@ -408,3 +408,49 @@ def test_device_prefetch_valid_pairs_tail(tmp_path):
                                       np.asarray(b.q_means))
         np.testing.assert_array_equal(np.asarray(a.metrics.loss),
                                       np.asarray(b.metrics.loss))
+
+
+def test_filter_stream_controls():
+    """udim > 0 streaming: `controls=` chunks ride the epoch scan (and the
+    tail path); omitting them fails loudly, a short iterable fails loudly,
+    and the control values actually reach the model."""
+    import numpy as np
+    import pytest
+
+    from vjf_tpu import VJF
+
+    rng = np.random.default_rng(11)
+    T, B, ydim, udim, chunk = 90, 2, 8, 3, 32      # 32 + 32 + 26 (tail)
+    y = rng.normal(size=(T, B, ydim)).astype(np.float32)
+    u = rng.normal(size=(T, B, udim)).astype(np.float32)
+
+    def make():
+        return VJF.make_model(ydim, 2, udim, n_rbf=10, hidden_sizes=[6],
+                              likelihood="gaussian", dtype="float32", seed=9)
+
+    splits = [0, 32, 64, T]
+    chunks = [y[a:b] for a, b in zip(splits, splits[1:])]
+    us = [u[a:b] for a, b in zip(splits, splits[1:])]
+    valid = iter([32, 32, 26])
+
+    outs = list(make().filter_stream(
+        iter(chunks), controls=iter(us), valid_fn=lambda: next(valid),
+    ))
+    assert len(outs) == 3
+    assert outs[-1].q_means.shape[0] == 26          # tail truncated, yielded
+    mu = np.concatenate([np.asarray(o.q_means) for o in outs])
+    assert np.all(np.isfinite(mu))
+
+    # controls reach the model: different u -> different posteriors
+    valid2 = iter([32, 32, 26])
+    outs0 = list(make().filter_stream(
+        iter(chunks), controls=iter([np.zeros_like(c) for c in us]),
+        valid_fn=lambda: next(valid2),
+    ))
+    mu0 = np.concatenate([np.asarray(o.q_means) for o in outs0])
+    assert not np.allclose(mu, mu0)
+
+    with pytest.raises(ValueError, match="udim=3"):
+        list(make().filter_stream(iter(chunks)))
+    with pytest.raises(ValueError, match="controls.*ran out"):
+        list(make().filter_stream(iter(chunks), controls=iter(us[:1])))

@@ -258,6 +258,7 @@ class VJF:
         *,
         warm_up: bool = False,
         valid_fn=None,
+        controls=None,
         masks=None,
         channel_masks=None,
     ):
@@ -271,6 +272,10 @@ class VJF:
         (posterior means/logvars + per-step metrics). ``valid_fn()`` may
         report the number of valid steps in the latest chunk (a final
         partial chunk is truncated to it).
+
+        ``controls``: iterable yielding one (chunk_len, B, udim) control
+        array per chunk — REQUIRED when the model has ``udim > 0``
+        (``VJF.filter``'s ``u``, chunked).
 
         ``masks`` / ``channel_masks``: optional iterables yielding one
         trial-validity mask ((chunk_len, B)) / missing-observation mask
@@ -315,6 +320,12 @@ class VJF:
         # before the demotion sticks — logged when it happens.
         first_checked = False
         pending_hot = None                     # device scalar, prev chunk
+        if cfg.udim > 0 and controls is None:
+            raise ValueError(
+                f"filter_stream: the model has udim={cfg.udim} — pass "
+                "`controls=` (one (chunk_len, B, udim) array per chunk)"
+            )
+        u_it = iter(controls) if controls is not None else repeat(None)
         m_it = iter(masks) if masks is not None else repeat(None)
         cm_it = iter(channel_masks) if channel_masks is not None else repeat(None)
         for chunk in chunks:
@@ -327,16 +338,24 @@ class VJF:
             # cfg.jdtype on device, inside the jitted graph
             chunk = jnp.asarray(chunk)
             t_len, n_batch = chunk.shape[0], chunk.shape[1]
+            uc = next(u_it, _EXHAUSTED) if controls is not None else None
             m = next(m_it, _EXHAUSTED) if masks is not None else None
             cm = next(cm_it, _EXHAUSTED) if channel_masks is not None else None
-            if m is _EXHAUSTED or cm is _EXHAUSTED:
-                # a short mask stream would otherwise SILENTLY train the
-                # remaining chunks unmasked (and recompile the chunk trace)
-                which = "masks" if m is _EXHAUSTED else "channel_masks"
+            if uc is _EXHAUSTED or m is _EXHAUSTED or cm is _EXHAUSTED:
+                # a short side stream would otherwise SILENTLY train the
+                # remaining chunks without it (and recompile the chunk trace)
+                which = (
+                    "controls" if uc is _EXHAUSTED
+                    else "masks" if m is _EXHAUSTED else "channel_masks"
+                )
                 raise ValueError(
                     f"filter_stream: the `{which}` iterable ran out before "
-                    "the chunk stream — provide one mask per chunk"
+                    "the chunk stream — provide one item per chunk"
                 )
+            uc = (
+                core._promote_u(uc, t_len, n_batch, cfg.jdtype)
+                if uc is not None else None
+            )
             if m is not None:
                 m = jnp.asarray(m)  # promoted/cast on device in run_epoch
             if cm is not None:
@@ -355,7 +374,8 @@ class VJF:
                 q_means, q_logvars, per_step = [], [], []
                 for t in range(n_valid):
                     q, loss, recon, dyn, ent = self.filter(
-                        chunk[t], qs=q, warm_up=warm_up, verbose=True,
+                        chunk[t], u=uc[t] if uc is not None else None,
+                        qs=q, warm_up=warm_up, verbose=True,
                         mask=m[t] if m is not None else None,
                         channel_mask=cm[t] if cm is not None else None,
                     )
@@ -372,7 +392,10 @@ class VJF:
                     metrics=metrics,
                 )
                 return
-            us = jnp.zeros((t_len, n_batch, 0), dtype=cfg.jdtype)
+            us = (
+                uc if uc is not None
+                else jnp.zeros((t_len, n_batch, 0), dtype=cfg.jdtype)
+            )
             self.key, k = jax.random.split(self.key)
             result = run(
                 cfg, flags, self.state, chunk, us, k,
