@@ -716,3 +716,56 @@ def test_mega_large_batch_single_ns_iteration_matches_xla(key):
     tau = np.asarray(got.metrics.tau[cfg.ns_prefix:])
     assert np.all(np.isfinite(tau)) and tau.max() < 0.25, tau.max()
     assert tau[-16:].max() < 0.05, tau[-16:].max()
+
+
+def test_mega_unroll_matches_k1(key):
+    """cfg.mega_unroll K>1 (K timesteps per mega grid iteration) must match
+    K=1 — the math is value-identical (same ops/order/RNG draws), so the
+    only admissible differences are last-ulp FMA/fusion rounding from the
+    K-times-larger kernel body. The regime is the hot-tau one from
+    test_mega_epoch_matches_stepwise_and_xla (worst case: rounding noise
+    is amplified by the near-threshold Newton-Schulz recursion) and T is
+    chosen so the K=4 main segment leaves a 3-step K=1 remainder. The
+    trial-masked variant also pins the frozen-carry semantics under
+    unrolling."""
+    cfg = VJFConfig(ydim=20, xdim=3, udim=0, n_rbf=20, hidden_sizes=(16,),
+                    likelihood="poisson", dtype="float32", rls_backend="nsv",
+                    fused_step="off", matmul_dtype="float32", ns_prefix=100)
+    state = core.init_state(key, cfg)
+    T, B = 163, 16
+    ys = jax.random.poisson(key, 1.0, (T, B, cfg.ydim)).astype(jnp.float32)
+    us = jnp.zeros((T, B, 0), jnp.float32)
+    eps = jax.random.normal(key, (2, T, B, cfg.xdim), jnp.float32)
+    lr = jnp.asarray(1e-3, jnp.float32)
+    flags = StepFlags()
+    mask = jnp.ones((T, B), jnp.float32).at[140:, :4].set(0.0)
+
+    for m in (None, mask):
+        r1 = F.run_epoch_fused(cfg.replace(mega_unroll=1), flags, state, ys,
+                               us, key, lr, noise=(eps[0], eps[1]),
+                               interpret=True, mask=m)
+        r4 = F.run_epoch_fused(cfg.replace(mega_unroll=4), flags, state, ys,
+                               us, key, lr, noise=(eps[0], eps[1]),
+                               interpret=True, mask=m)
+        np.testing.assert_allclose(np.asarray(r4.metrics.loss),
+                                   np.asarray(r1.metrics.loss),
+                                   rtol=2e-4, atol=2e-4)
+        np.testing.assert_allclose(np.asarray(r4.q_means),
+                                   np.asarray(r1.q_means),
+                                   rtol=1e-3, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(r4.state.dynamics.blr.w_mean),
+                                   np.asarray(r1.state.dynamics.blr.w_mean),
+                                   rtol=1e-3, atol=5e-3)
+        np.testing.assert_allclose(np.asarray(r4.state.dynamics.blr.cov),
+                                   np.asarray(r1.state.dynamics.blr.cov),
+                                   rtol=1e-3, atol=1e-4)
+        # masked rows' posteriors freeze identically under unrolling
+        if m is not None:
+            tail = np.asarray(r4.q_means[141:, :4])
+            frozen = np.asarray(r4.q_means[140:141, :4])
+            np.testing.assert_array_equal(
+                tail, np.broadcast_to(frozen, tail.shape))
+
+    with pytest.raises(ValueError, match="mega_unroll"):
+        F.run_epoch_fused(cfg.replace(mega_unroll=3), flags, state, ys, us,
+                          key, lr, noise=(eps[0], eps[1]), interpret=True)

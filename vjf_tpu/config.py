@@ -105,6 +105,21 @@ class VJFConfig:
     # ops/pallas/fused_step.py NS_TAU_ESCALATE). In-kernel escalation adds
     # +1 at tau >= 0.05 and +2 more at tau >= 0.25 regardless.
     mega_ns_iters: int = 0
+    # timesteps processed per mega grid iteration (kernel-internal unroll).
+    # Each grid iteration pays fixed mechanics — the full training-carry
+    # VMEM load/store (~2x180 KB at flagship size), the scalar-pack block
+    # read-modify-write, and Mosaic's per-iteration bookkeeping — so K > 1
+    # amortizes that over K sequentially-processed steps with
+    # value-identical math (same ops/order; same per-step RNG stream: the
+    # kernel re-seeds per substep) — differences vs K=1 are last-ulp
+    # compiler-rounding only.
+    # Must divide into the scalar-pack row block: 1, 2, 4, or 8. Any
+    # post-prefix remainder of the epoch runs a K=1 kernel. 0 = auto,
+    # which resolves to 1 (ops/pallas/fused_step.py:_pick_mega_unroll):
+    # measured on v5e the K=8 win is only ~1-3% and the K-wide data blocks
+    # push the kernel to the scoped-VMEM limit at flagship scale (the
+    # trial-masked flagship OOMs at K=8). Opt in per measurement.
+    mega_unroll: int = 0
     # bf16 MXU inputs (f32 accumulate) for the fused kernel's activation /
     # gradient / sufficient-statistic matmuls; the error-feedback-critical
     # chain (P w, Newton-Schulz polish, V g) always stays f32. 'float32'
