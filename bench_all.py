@@ -178,7 +178,7 @@ def bench_streaming():
                                   dtype=np.uint8)
     first = next(iter(warm_loader))
     warm_loader.close()  # else its native reader thread keeps streaming the
-    # same 256 MB file in the background, contending with the timed loop's
+    # same 64 MB file in the background, contending with the timed loop's
     # host IO (the quantity this benchmark measures)
     state0, key0 = model.state, model.key
     list(model.filter_stream(iter([first, first])))

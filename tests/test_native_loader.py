@@ -454,3 +454,50 @@ def test_filter_stream_controls():
         list(make().filter_stream(iter(chunks)))
     with pytest.raises(ValueError, match="controls.*ran out"):
         list(make().filter_stream(iter(chunks), controls=iter(us[:1])))
+
+
+def test_device_prefetch_propagates_producer_error():
+    """A producer-side exception (iterator, user valid_fn, device_put) must
+    reach the consumer — swallowed on the worker thread, it would end the
+    stream cleanly and the model would silently train on a truncated
+    stream (the hazard filter_stream's short-iterable check exists for)."""
+    def chunks():
+        yield np.ones((4, 1, 3), np.float32)
+        raise OSError("disk pulled mid-stream")
+
+    got = []
+    with pytest.raises(OSError, match="disk pulled"):
+        for c in device_prefetch(chunks()):
+            got.append(c)
+    assert len(got) == 1                      # prefix delivered, then raise
+
+    def boom():
+        raise RuntimeError("valid_fn failed")
+
+    with pytest.raises(RuntimeError, match="valid_fn failed"):
+        list(device_prefetch(iter([np.zeros((2, 1, 3), np.float32)]),
+                             valid_fn=boom))
+
+
+def test_wire_put_downcasts_wide_floats():
+    """wire_put ships the NARROWEST dtype: float64 numpy input under x64
+    is host-cast to the compute dtype (f64 on the wire would double the
+    bytes); integer inputs stay native (the consumer upcasts on device);
+    wire_ingest lands on cfg.jdtype either way."""
+    import jax.numpy as jnp
+
+    from vjf_tpu.models.vjf import wire_ingest, wire_put
+
+    y64 = np.linspace(0.0, 1.0, 24, dtype=np.float64).reshape(4, 6)
+    put = wire_put(y64, jnp.float32)
+    assert put.dtype == jnp.float32           # downcast BEFORE device_put
+    y8 = np.arange(24, dtype=np.uint8).reshape(4, 6)
+    assert wire_put(y8, jnp.float32).dtype == jnp.uint8   # native wire dtype
+    assert wire_ingest(y8, jnp.float32).dtype == jnp.float32
+    np.testing.assert_array_equal(
+        np.asarray(wire_ingest(y64, jnp.float32)),
+        y64.astype(np.float32),
+    )
+    # already-on-device arrays are never host-cast (no transfer to undo)
+    dev = jnp.asarray(y64, jnp.float64)
+    assert wire_ingest(dev, jnp.float32).dtype == jnp.float32

@@ -336,7 +336,7 @@ class VJF:
             # host->device tunnel at 1/4 the f32 bytes — the dominant cost
             # of streaming through a remote runtime); run_epoch upcasts to
             # cfg.jdtype on device, inside the jitted graph
-            chunk = jnp.asarray(chunk)
+            chunk = core.wire_put(chunk, cfg.jdtype)
             t_len, n_batch = chunk.shape[0], chunk.shape[1]
             uc = next(u_it, _EXHAUSTED) if controls is not None else None
             m = next(m_it, _EXHAUSTED) if masks is not None else None
@@ -608,7 +608,7 @@ class VJF:
         from .models import smoothing
 
         return smoothing.smooth(
-            self.cfg, self.state, jnp.asarray(y, self.cfg.jdtype), x_ref=x_ref,
+            self.cfg, self.state, y, x_ref=x_ref,  # wire ingest in smooth()
             channel_mask=channel_mask,
         )
 

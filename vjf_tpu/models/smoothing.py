@@ -17,7 +17,7 @@ from jax import Array
 
 from ..config import VJFConfig
 from ..ops import pkalman
-from .vjf import TrainState, _transition
+from .vjf import TrainState, _transition, wire_ingest
 
 
 def linearize_dynamics(
@@ -102,10 +102,7 @@ def smooth(
                               channel_mask=channel_mask)
     if cfg.likelihood != "gaussian":
         raise NotImplementedError(f"unknown likelihood {cfg.likelihood}")
-    # two-step ingest: native-dtype device_put, on-device upcast
-    ys = jnp.asarray(ys)
-    if ys.dtype != cfg.jdtype:
-        ys = ys.astype(cfg.jdtype)
+    ys = wire_ingest(ys, cfg.jdtype)  # two-step ingest (see core fit())
     if ys.ndim != 2:
         raise ValueError("smooth() takes one (T, ydim) sequence")
 
@@ -180,10 +177,7 @@ def smooth_poisson(
     """
     if n_iter < 1:
         raise ValueError(f"smooth_poisson: n_iter must be >= 1, got {n_iter}")
-    # two-step ingest: native-dtype device_put, on-device upcast
-    ys = jnp.asarray(ys)
-    if ys.dtype != cfg.jdtype:
-        ys = ys.astype(cfg.jdtype)
+    ys = wire_ingest(ys, cfg.jdtype)  # two-step ingest (see core fit())
     if ys.ndim != 2:
         raise ValueError("smooth_poisson() takes one (T, ydim) sequence")
     cm = None if channel_mask is None else _mask_promote(channel_mask, ys)
@@ -250,10 +244,7 @@ def smooth_iterated(
         )
     if cfg.likelihood != "gaussian":
         raise NotImplementedError(f"unknown likelihood {cfg.likelihood}")
-    # two-step ingest: native-dtype device_put, on-device upcast
-    ys = jnp.asarray(ys)
-    if ys.dtype != cfg.jdtype:
-        ys = ys.astype(cfg.jdtype)
+    ys = wire_ingest(ys, cfg.jdtype)  # two-step ingest (see core fit())
     filtered, smoothed = smooth(cfg, state, ys, x_ref,
                                 channel_mask=channel_mask)
     for _ in range(n_iter - 1):

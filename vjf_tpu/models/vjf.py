@@ -598,6 +598,31 @@ class FitResult:
                                  # breaks out before max_iter)
 
 
+def wire_put(y, jdtype) -> Array:
+    """device_put ``y`` in its wire dtype: native when NARROWER than
+    ``jdtype`` (uint8 spike counts ride the host->device link at 1/4 the
+    f32 bytes — the dominant cost on tunneled/remote runtimes; the
+    consumer upcasts on device), host-downcast first when WIDER (a
+    float64 numpy array under x64 would otherwise ship double the bytes,
+    the opposite of the optimization's intent)."""
+    src = getattr(y, "dtype", None)
+    if (
+        src is not None
+        and not isinstance(y, jax.Array)
+        and np.dtype(src).itemsize > np.dtype(jdtype).itemsize
+    ):
+        y = np.asarray(y, dtype=jdtype)
+    return jnp.asarray(y)
+
+
+def wire_ingest(y, jdtype) -> Array:
+    """Two-step ingest: :func:`wire_put` then an on-device upcast to
+    ``jdtype`` (free under jit). The single point of truth for the
+    integer-wire-format contract (docs/API.md)."""
+    y = wire_put(y, jdtype)
+    return y.astype(jdtype) if y.dtype != jdtype else y
+
+
 def _promote_y(y: Array) -> Array:
     """(T, ydim) → (T, 1, ydim); (T, B, ydim) unchanged — the reference's
     ``atleast_2d`` + per-step promotion (``vjf/model.py:194-198, 236-237``)."""
@@ -729,13 +754,7 @@ def fit(
             mask=mask, channel_mask=channel_mask, lr0=lr0,
         )
 
-    # two-step ingest (device_put in the caller's dtype, upcast on device):
-    # integer observation arrays — e.g. uint8 spike counts — ride the
-    # host->device link at 1/4 the f32 bytes, which dominates wall time on
-    # tunneled/remote runtimes
-    y = _promote_y(jnp.asarray(y))
-    if y.dtype != cfg.jdtype:
-        y = y.astype(cfg.jdtype)
+    y = _promote_y(wire_ingest(y, cfg.jdtype))
     t_len, n_batch, _ = y.shape
     us = _promote_u(u, t_len, n_batch, cfg.jdtype)
     mask = _promote_mask(mask, t_len, n_batch, cfg.jdtype)
@@ -1028,10 +1047,7 @@ def _fit_blocked(
       remainder-shaped graph — choose ``max_iter`` divisible by
       ``epochs_per_dispatch`` to avoid paying a compile for a few epochs.
     """
-    # two-step ingest (see fit()): native-dtype device_put, on-device upcast
-    y = _promote_y(jnp.asarray(y))
-    if y.dtype != cfg.jdtype:
-        y = y.astype(cfg.jdtype)
+    y = _promote_y(wire_ingest(y, cfg.jdtype))  # two-step ingest (see fit())
     t_len, n_batch, _ = y.shape
     us = _promote_u(u, t_len, n_batch, cfg.jdtype)
     mask = _promote_mask(mask, t_len, n_batch, cfg.jdtype)

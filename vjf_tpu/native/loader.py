@@ -191,13 +191,17 @@ def device_prefetch(iterator, depth: int = 2, valid_fn=None):
     _SENTINEL = object()
 
     def worker():
+        # Producer exceptions (iterator.__next__, the user's valid_fn, or
+        # device_put) must reach the consumer — swallowing them here would
+        # end the stream cleanly and silently train on a truncated stream.
         try:
             for item in iterator:
                 v = valid_fn() if valid_fn is not None else None
                 d = jax.device_put(item)
                 q.put(d if v is None else (d, v))
-        finally:
             q.put(_SENTINEL)
+        except BaseException as e:  # noqa: BLE001 — re-raised in consumer
+            q.put(e)
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
@@ -205,4 +209,6 @@ def device_prefetch(iterator, depth: int = 2, valid_fn=None):
         item = q.get()
         if item is _SENTINEL:
             return
+        if isinstance(item, BaseException):
+            raise item
         yield item

@@ -1850,7 +1850,7 @@ def mega_epoch_call(
 # ---------------------------------------------------------------------------
 
 
-def _pick_mega_unroll(cfg: VJFConfig, seg_len: int, n_batch: int) -> int:
+def _pick_mega_unroll(cfg: VJFConfig, seg_len: int) -> int:
     """Resolve cfg.mega_unroll (timesteps per mega grid iteration) for a
     cond-free segment of ``seg_len`` steps. K must be 1/2/4/8 so the K
     substep scalar rows never straddle a (scal_rows=8)-row output block."""
@@ -1992,7 +1992,7 @@ def run_epoch_fused(cfg, flags, state, ys, us, key, lr, noise=None, q0=None,
         scal_segs.append(scal_a[:, 0, :])
     if prefix < t_len:
         seg = t_len - prefix
-        k_steps = _pick_mega_unroll(cfg, seg, n_batch)
+        k_steps = _pick_mega_unroll(cfg, seg)
         main = (seg // k_steps) * k_steps
         pieces = [(prefix, prefix + main, k_steps)] if main else []
         if prefix + main < t_len:     # K=1 kernel on the remainder
