@@ -128,3 +128,74 @@ def test_facade_save_load_sgp(tmp_path):
     q1, l1 = model.filter(y[-1])
     q2, l2 = loaded.filter(y[-1])
     np.testing.assert_array_equal(np.asarray(q1.mean), np.asarray(q2.mean))
+
+
+def test_partial_orbax_dir_falls_back_to_npz(tmp_path, key, monkeypatch):
+    """A mid-save orbax failure must not strand an unloadable PARTIAL
+    directory: save_checkpoint removes it before writing the .npz
+    fallback, and load_checkpoint prefers a complete sibling .npz over
+    an orbax directory it cannot restore (e.g. truncated by a killed
+    process)."""
+    import os
+
+    cfg = VJFConfig(ydim=8, xdim=2, udim=0, n_rbf=10, hidden_sizes=(6,),
+                    likelihood="gaussian", dtype="float64")
+    state = _trained_state(key, cfg)
+    path = str(tmp_path / "ckpt")
+
+    # simulate orbax dying after it created the directory
+    import vjf_tpu.utils.checkpoint as ck
+
+    class _BoomCkpt:
+        def save(self, p, payload, force=False):
+            os.makedirs(p, exist_ok=True)
+            with open(os.path.join(p, "partial"), "w") as f:
+                f.write("truncated")
+            raise RuntimeError("disk full mid-save")
+
+    try:
+        import orbax.checkpoint as ocp
+        monkeypatch.setattr(ocp, "PyTreeCheckpointer", lambda: _BoomCkpt())
+    except ImportError:
+        pytest.skip("orbax not installed — fallback is the only path")
+
+    save_checkpoint(path, state, cfg=cfg)
+    assert not os.path.isdir(path)            # partial dir removed
+    assert os.path.exists(path + ".npz")      # complete fallback written
+    restored, _ = load_checkpoint(path, state)
+    for a, b in zip(jax.tree_util.tree_leaves(state),
+                    jax.tree_util.tree_leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # load side: a broken dir NEXT TO a valid npz must still load
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "junk"), "w") as f:
+        f.write("not a checkpoint")
+    restored2, _ = load_checkpoint(path, state)
+    for a, b in zip(jax.tree_util.tree_leaves(state),
+                    jax.tree_util.tree_leaves(restored2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_one_shot_rls_bounded_in_low_precision():
+    """one_shot_rls must route EVERY low-precision PrecisionBLR (f32 AND
+    bf16) through the eigh-floored solve — the incremental rls's explicit
+    triangular inverse blows up ~cond^2 on an ill-conditioned pooled
+    bootstrap Gram (|w| ~ 2e23 observed in f32; bf16 is strictly worse)."""
+    from vjf_tpu.models import regression
+
+    rng = np.random.default_rng(0)
+    n, nf = 400, 32
+    base = rng.normal(size=(n, 4))
+    feat = (base @ rng.normal(size=(4, nf)) +
+            1e-4 * rng.normal(size=(n, nf)))      # rank-4 + tiny noise
+    target = rng.normal(size=(n, 3))
+    for dt in (jnp.float32, jnp.bfloat16):
+        st = regression.init_precision(nf, 3, dtype=dt)
+        out = regression.one_shot_rls(
+            st, jnp.asarray(feat, dt), jnp.asarray(target, dt),
+            jnp.asarray(0.1, dt), jitter=1e-3,
+        )
+        w = np.asarray(out.w_mean, np.float64)
+        assert np.all(np.isfinite(w)), dt
+        assert np.max(np.abs(w)) < 1e3, (dt, np.max(np.abs(w)))

@@ -42,11 +42,12 @@ import jax.numpy as jnp
 from jax import Array
 
 from ..config import VJFConfig
+from ..models import dynamics as dyn
 from ..models import regression
-from ..ops.functional import batch_weighted_mean, gaussian_loss, nonecat, running_var
+from ..ops.functional import batch_weighted_mean, gaussian_loss, nonecat
 from ..ops.linalg import cho_solve, safe_cholesky, tril_solve
 from ..types import Gaussian
-from .covfun import CovarianceFunction, SquaredExponential
+from .covfun import CovarianceFunction, SquaredExponential, _sqdist
 
 _JITTER = 1e-6
 
@@ -138,9 +139,7 @@ def _se_kernel(x1: Array, x2: Array, log_scale: Array, log_lengthscale: Array) -
     """Squared-exponential Gram matrix from explicit log-hypers (the single
     shared implementation — used with the state's hypers by :func:`_kernel`
     and with free ``theta`` by the hyperparameter-adaptation objective)."""
-    a = jnp.sum(x1 * x1, axis=-1, keepdims=True)
-    b = jnp.sum(x2 * x2, axis=-1)
-    d2 = jnp.maximum(a + b - 2.0 * (x1 @ x2.T), 0.0)
+    d2 = _sqdist(x1, x2)
     return jnp.exp(2.0 * log_scale - 0.5 * d2 * jnp.exp(-2.0 * log_lengthscale))
 
 
@@ -190,37 +189,11 @@ def update_from_features(
     out of the RLS statistics; masked rows are excluded from the residual
     MSE and sample count (see ``models/dynamics.py:update_from_features``).
     """
-    if weights is not None:
-        feat = feat * weights.astype(feat.dtype)[:, None]
-    dx = xt - xs
-    blr = state.blr
-    if not warm_up:
-        blr = regression.rls(
-            blr, feat, dx, jnp.exp(state.logvar),
-            shrink=cfg.rls_shrink, jitter=cfg.chol_jitter,
-        )
-    residual = dx - regression.predict_gaussian(blr, feat).mean
-    if weights is None:
-        mse = jnp.mean(jnp.square(residual))
-        count = xs.shape[0]
-    else:
-        mse = batch_weighted_mean(
-            jnp.mean(jnp.square(residual), axis=-1), weights
-        )
-        count = jnp.sum(weights.astype(feat.dtype))
-    var, n_new = running_var(
-        jnp.exp(state.logvar), state.n_sample, mse, count,
-        size_cap=cfg.state_var_cap,
+    blr, logvar, n_sample = dyn.blr_residual_update(
+        cfg, state.blr, state.logvar, state.n_sample, xt, xs, feat,
+        warm_up=warm_up, weights=weights, update_rule="rls",
     )
-    logvar = jnp.clip(jnp.log(var), -cfg.logvar_clamp, cfg.logvar_clamp)
-    # never cement an inf/NaN running var (gate on var: var == 0 floors
-    # legitimately) — mirrors models/dynamics.py
-    ok = jnp.isfinite(var)
-    return state._replace(
-        blr=blr,
-        logvar=jnp.where(ok, logvar, state.logvar),
-        n_sample=jnp.where(ok, n_new, state.n_sample).astype(jnp.int32),
-    )
+    return state._replace(blr=blr, logvar=logvar, n_sample=n_sample)
 
 
 def dynamics_update(
@@ -302,30 +275,19 @@ def forecast(
     noise: bool = False,
     leak: float = 0.0,
 ) -> Array:
-    """Sampled autoregressive rollout (weight sample per step, like
-    ``vjf/model.py:342-361``)."""
-    x0 = jnp.atleast_2d(x0)
-    sqrt_v = jnp.exp(0.5 * state.logvar)
-    w_sqrt = regression.weight_sqrt(state.blr)
-    nf, nout = state.blr.w_mean.shape
+    """Sampled autoregressive rollout on kernel features (weight sample
+    per step, like ``vjf/model.py:342-361``) — the shared
+    :func:`vjf_tpu.models.dynamics.sampled_rollout` scan."""
+    w_sqrt = regression.weight_sqrt(state.blr)  # V constant during rollout
 
-    keys = jax.random.split(key, n_step)
-    us = u if u is not None else jnp.zeros((n_step, 0))
-
-    def body(x, inp):
-        k, ut = inp
-        kw, kn = jax.random.split(k)
-        eps_w = jax.random.normal(kw, (nf, nout), dtype=x.dtype)
-        ut = ut if ut.shape[-1] > 0 else None
+    def step(x, eps_w, ut):
         feat = features(state, x, ut)
         w = state.blr.w_mean + w_sqrt @ eps_w
-        x_next = (1.0 - leak) * x + feat @ w
-        if noise:
-            x_next = x_next + jax.random.normal(kn, x_next.shape, x.dtype) * sqrt_v
-        return x_next, x_next
+        return (1.0 - leak) * x + feat @ w
 
-    _, xs = jax.lax.scan(body, x0, (keys, us))
-    return jnp.concatenate([x0[None], xs], axis=0)
+    return dyn.sampled_rollout(
+        state.blr, state.logvar, step, x0, key, n_step, u=u, noise=noise
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -490,7 +452,10 @@ class SGP:
         # noise_var=0 would make the Bayesian update degenerate; floor it.
         self.noise_var = max(float(noise_var), 1e-6)
         self.inducing = jnp.asarray(inducing, dtype=dtype)
-        self.dtype = dtype
+        # the ACTUAL dtype, not the requested one: without x64 enabled,
+        # asarray(..., float64) silently yields f32 — keying _jitter off
+        # the request would then pick the too-small f64 floor (trap #11)
+        self.dtype = self.inducing.dtype
         self.kzz_chol = None
         self.blr = None
         self.initialize()

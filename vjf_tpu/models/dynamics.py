@@ -11,7 +11,7 @@ parameter pytree entirely, the structural equivalent of
 """
 from __future__ import annotations
 
-from typing import NamedTuple, Optional
+from typing import Any, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -127,26 +127,29 @@ def transition_sample(
     return (1.0 - leak) * x + feat @ w
 
 
-def forecast(
-    state: DynamicsState,
+def sampled_rollout(
+    blr,
+    logvar: Array,
+    step_sample,
     x0: Array,
     key: jax.Array,
     n_step: int,
     u: Optional[Array] = None,
     noise: bool = False,
-    leak: float = 0.0,
 ) -> Array:
     """Autoregressive rollout with a fresh weight sample each step and
-    optional additive state noise — ``vjf/model.py:342-361``.
+    optional additive state noise — ``vjf/model.py:342-361``. The single
+    shared scan for every dynamics family (RBF here, kernel features in
+    ``gp/sgp.py``); ``step_sample(x, eps_w, ut) -> x_next`` supplies the
+    family's sampled transition.
 
     :param x0: (B, xdim) initial state
     :param u: optional (n_step, B, udim) controls
     :return: (n_step + 1, B, xdim) trajectory including x0
     """
     x0 = jnp.atleast_2d(x0)
-    sqrt_v = jnp.exp(0.5 * state.logvar)
-    w_sqrt = regression.weight_sqrt(state.blr)
-    nf, nout = state.blr.w_mean.shape
+    sqrt_v = jnp.exp(0.5 * logvar)
+    nf, nout = blr.w_mean.shape
 
     keys = jax.random.split(key, n_step)
     us = u if u is not None else jnp.zeros((n_step, 0))
@@ -156,13 +159,34 @@ def forecast(
         kw, kn = jax.random.split(k)
         eps_w = jax.random.normal(kw, (nf, nout), dtype=x.dtype)
         ut = ut if ut.shape[-1] > 0 else None
-        x_next = transition_sample(state, x, eps_w, ut, leak, weight_sqrt=w_sqrt)
+        x_next = step_sample(x, eps_w, ut)
         if noise:
             x_next = x_next + jax.random.normal(kn, x_next.shape, x.dtype) * sqrt_v
         return x_next, x_next
 
     _, xs = jax.lax.scan(body, x0, (keys, us))
     return jnp.concatenate([x0[None], xs], axis=0)
+
+
+def forecast(
+    state: DynamicsState,
+    x0: Array,
+    key: jax.Array,
+    n_step: int,
+    u: Optional[Array] = None,
+    noise: bool = False,
+    leak: float = 0.0,
+) -> Array:
+    """RBF-dynamics rollout — ``vjf/model.py:342-361`` (see
+    :func:`sampled_rollout`)."""
+    w_sqrt = regression.weight_sqrt(state.blr)  # V constant during rollout
+
+    def step(x, eps_w, ut):
+        return transition_sample(state, x, eps_w, ut, leak, weight_sqrt=w_sqrt)
+
+    return sampled_rollout(
+        state.blr, state.logvar, step, x0, key, n_step, u=u, noise=noise
+    )
 
 
 def update_from_features(
@@ -187,20 +211,45 @@ def update_from_features(
     sufficient statistics ``F^T F`` / ``F^T dx`` — and it is excluded from
     the residual MSE and the sample count.
     """
+    blr, logvar, n_sample = blr_residual_update(
+        cfg, state.blr, state.logvar, state.n_sample, xt, xs, feat,
+        warm_up=warm_up, weights=weights, update_rule=cfg.dynamics_update,
+    )
+    return DynamicsState(state.rbf, blr, logvar, n_sample)
+
+
+def blr_residual_update(
+    cfg: VJFConfig,
+    blr,
+    logvar: Array,
+    n_sample: Array,
+    xt: Array,
+    xs: Array,
+    feat: Array,
+    warm_up: bool = False,
+    weights: Optional[Array] = None,
+    update_rule: str = "rls",
+) -> Tuple[Any, Array, Array]:
+    """The shared dynamics-learning tail (every dynamics family):
+    closed-form weight update on ``dx`` (skipped during warm-up), then the
+    state noise refreshed by a running variance of the POST-update residual
+    MSE — the reference's ordering (``vjf/model.py:363-377``).
+
+    :return: ``(blr, logvar, n_sample)`` for the caller's state container.
+    """
     if weights is not None:
         feat = feat * weights.astype(feat.dtype)[:, None]
     dx = xt - xs
-    blr = state.blr
     if not warm_up:
-        if cfg.dynamics_update == "kalman":
+        if update_rule == "kalman":
             # the reference's commented weight-diffusion alternative
             # (vjf/model.py:372): w[t] = w[t-1] + N(0, diffusion I)
             blr = regression.kalman(
-                blr, feat, dx, jnp.exp(state.logvar), diffusion=cfg.kalman_diffusion
+                blr, feat, dx, jnp.exp(logvar), diffusion=cfg.kalman_diffusion
             )
         else:
             blr = regression.rls(
-                blr, feat, dx, jnp.exp(state.logvar),
+                blr, feat, dx, jnp.exp(logvar),
                 shrink=cfg.rls_shrink, jitter=cfg.chol_jitter,
             )
 
@@ -214,18 +263,17 @@ def update_from_features(
         )
         count = jnp.sum(weights.astype(feat.dtype))
     var, n_new = running_var(
-        jnp.exp(state.logvar), state.n_sample, mse, count, size_cap=cfg.state_var_cap
+        jnp.exp(logvar), n_sample, mse, count, size_cap=cfg.state_var_cap
     )
-    logvar = jnp.clip(jnp.log(var), -cfg.logvar_clamp, cfg.logvar_clamp)
+    new_logvar = jnp.clip(jnp.log(var), -cfg.logvar_clamp, cfg.logvar_clamp)
     # gate on the VARIANCE, not the clipped log: an inf/NaN running var
     # (overflowing residual from finite-huge weights) is SKIPPED, while
     # var == 0 (log = -inf) legitimately clamps to the floor
     ok = jnp.isfinite(var)
-    return DynamicsState(
-        state.rbf,
+    return (
         blr,
-        jnp.where(ok, logvar, state.logvar),
-        jnp.where(ok, n_new.astype(jnp.int32), state.n_sample),
+        jnp.where(ok, new_logvar, logvar),
+        jnp.where(ok, n_new.astype(jnp.int32), n_sample),
     )
 
 

@@ -184,16 +184,24 @@ def rls(
     :param v: scalar observation-noise variance
     """
     if isinstance(state, PrecisionBLR):
+        # same f32 pin rationale as the NSV branch below: the g -> w -> g
+        # feedback chain compounds bf16-pass rounding (no-op in f64 parity)
+        hp = jax.lax.Precision.HIGHEST
         s = jnp.sqrt(v)
         sf = feat / s
         st = target / s
-        g = state.precision @ state.w_mean * shrink + sf.T @ st
+        g = (
+            jnp.matmul(state.precision, state.w_mean, precision=hp) * shrink
+            + sf.T @ st
+        )
         p_new = state.precision * shrink + sf.T @ sf
         if jitter:
             p_new = p_new + jitter * jnp.eye(p_new.shape[0], dtype=p_new.dtype)
         chol = safe_cholesky(p_new)
         u = inv_tril_transpose(chol)                  # one n_feat-RHS solve/step
-        w_new = u @ (u.T @ g)                         # P^{-1} g via two matmuls
+        w_new = jnp.matmul(                           # P^{-1} g via two matmuls
+            u, jnp.matmul(u.T, g, precision=hp), precision=hp
+        )
         return PrecisionBLR(w_new, p_new, chol, u)
 
     if isinstance(state, NSVBLR):
@@ -211,7 +219,12 @@ def rls(
         if jitter:
             p_new = p_new + jitter * jnp.eye(p_new.shape[0], dtype=p_new.dtype)
         v_old = state.cov / shrink
-        # trace bound of the NS residual: tau = tr(dP V_old) = sum(fvf)/v
+        # trace bound of the NS residual: tau = tr(dP V_old) = sum(fvf)/v.
+        # DELIBERATE under-count: dP also carries jitter*I, whose
+        # jitter*tr(V_old) term is omitted here AND in the fused kernel —
+        # the 0.05/0.25/0.7 escalation ladder was stability-tuned against
+        # THIS definition (CLAUDE.md: the B=1+shrink fit sits at the
+        # margin; shifting every band boundary re-opens that tuning)
         tau = jnp.sum((feat @ v_old) * feat) / v
         eye2 = 2.0 * jnp.eye(p_new.shape[0], dtype=p_new.dtype)
 
@@ -282,9 +295,10 @@ def one_shot_rls(
     any conditioning, exactly consistent for downstream Newton-Schulz
     tracking. Once per fit, outside the hot scan — the eigh cost is
     irrelevant here (and only here)."""
-    f32 = jnp.asarray(state.w_mean).dtype == jnp.float32
+    lowprec = jnp.asarray(state.w_mean).dtype != jnp.float64
     if not (
-        isinstance(state, NSVBLR) or (isinstance(state, PrecisionBLR) and f32)
+        isinstance(state, NSVBLR)
+        or (isinstance(state, PrecisionBLR) and lowprec)
     ):
         # covariance path factorizes only a B x B matrix; the f64 precision
         # path is the golden-parity route and tolerates the one-shot Gram
@@ -304,17 +318,25 @@ def one_shot_rls(
     p_new = state.precision * shrink + jnp.matmul(sf.T, sf, precision=hp)
     if jitter:
         p_new = p_new + jitter * jnp.eye(p_new.shape[0], dtype=p_new.dtype)
-    p_new, v_new = eigh_floor_inv_pair(p_new)
-    w_new = jnp.matmul(v_new, g, precision=hp)
+    # solve in at least f32: eigh has no bf16 kernel (CPU LAPACK raises),
+    # and a bf16 eigen-decomposition of a cond ~1e8 Gram would be noise
+    dt = p_new.dtype
+    sol_dt = jnp.promote_types(dt, jnp.float32)
+    p_sol, v_sol = eigh_floor_inv_pair(p_new.astype(sol_dt))
+    w_new = jnp.matmul(v_sol, g.astype(sol_dt), precision=hp).astype(dt)
+    p_new, v_new = p_sol.astype(dt), v_sol.astype(dt)
     if isinstance(state, PrecisionBLR):
-        # f32 precision backend: its incremental rls forms an explicit
-        # triangular inverse (inv_tril_transpose) whose error grows with
-        # cond — fine per small step, not on a cond ~1e8 one-shot Gram.
+        # low-precision (f32/bf16) precision backend: its incremental rls
+        # forms an explicit triangular inverse (inv_tril_transpose) whose
+        # error grows with cond — fine per small step, not on a cond ~1e8
+        # one-shot Gram.
         # Rebuild the factor pair from the FLOORED precision (cond <= the
         # floor's bound by construction, so the f32 triangular inverse of
-        # this chol is accurate).
-        chol = safe_cholesky(p_new)
-        return PrecisionBLR(w_new, p_new, chol, inv_tril_transpose(chol))
+        # this chol is accurate). Factor in >= f32 (no bf16 LAPACK kernel).
+        chol = safe_cholesky(p_sol)
+        return PrecisionBLR(
+            w_new, p_new, chol.astype(dt), inv_tril_transpose(chol).astype(dt)
+        )
     return NSVBLR(w_new, p_new, v_new)
 
 

@@ -764,6 +764,11 @@ def step_apply(
                     + (1.0 - lam) * pad_diag
                     + jit_c * (diag - pad_diag)
                 )
+            # tau = tr(dP V_old), the NS-residual trace bound. DELIBERATE
+            # under-count shared with models/regression.py::rls: the
+            # chol_jitter contribution (jit_c * tr(V_old)) is omitted — the
+            # escalation ladder was stability-tuned against this definition
+            # (the B=1+shrink regime sits at the margin; see regression.py)
             tau = sums.fvf_sum * inv_sv_u / lam
             # Newton-Schulz in full f32: the residual floor scales with
             # eps * cond(P), and P's condition grows with the data stream —

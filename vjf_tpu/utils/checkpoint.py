@@ -65,6 +65,13 @@ def save_checkpoint(
         ckpt.save(path, jax.tree.map(np.asarray, payload), force=True)
         meta_path = os.path.join(path, "vjf_meta.json")
     except Exception:
+        # A mid-save orbax failure can leave a PARTIAL directory, which
+        # load_checkpoint's isdir dispatch would prefer over the complete
+        # .npz written below — remove it so the fallback is loadable.
+        if os.path.isdir(path):
+            import shutil
+
+            shutil.rmtree(path, ignore_errors=True)
         flat, treedef = _tree_to_flat(payload)
         np.savez(path + ".npz", **flat)
         with open(path + ".treedef.pkl", "wb") as f:
@@ -93,10 +100,22 @@ def load_checkpoint(
         import orbax.checkpoint as ocp
 
         ckpt = ocp.PyTreeCheckpointer()
-        restored = ckpt.restore(
-            os.path.abspath(path), item=jax.tree.map(np.asarray, payload_template)
-        )
-        restored = jax.tree.map(jnp.asarray, restored)
+        try:
+            restored = ckpt.restore(
+                os.path.abspath(path),
+                item=jax.tree.map(np.asarray, payload_template),
+            )
+        except Exception:
+            # a directory truncated by a killed process is unreadable by
+            # orbax; prefer a complete sibling .npz over failing outright
+            if not os.path.exists(path + ".npz"):
+                raise
+            with open(path + ".treedef.pkl", "rb") as f:
+                treedef, n = pickle.load(f)
+            with np.load(path + ".npz") as data:
+                restored = _flat_to_tree(dict(data), treedef, n)
+        else:
+            restored = jax.tree.map(jnp.asarray, restored)
     else:
         with open(path + ".treedef.pkl", "rb") as f:
             treedef, n = pickle.load(f)

@@ -34,8 +34,13 @@ def assert_all_finite(tree: Any, name: str = "pytree") -> None:
 
 
 def debug_finite_callback(tree: Any, label: str = "state"):
-    """Inside-jit finite check via ``jax.debug.callback`` (no-op cost when
-    values are finite; prints the label and leaf summary when not)."""
+    """Inside-jit finite check via ``jax.debug.callback``.
+
+    NOT free: the reduced ``ok`` flag is transferred to the host and the
+    Python callback runs on EVERY call, finite or not (only the print is
+    conditional). Against a ~7 us/step hot loop that per-step host sync
+    is orders of magnitude — use on suspect epochs/segments, not inside
+    production scan bodies."""
     flat, _ = jax.tree_util.tree_flatten(tree)
     ok = jnp.array(True)
     for leaf in flat:
