@@ -501,3 +501,25 @@ def test_wire_put_downcasts_wide_floats():
     # already-on-device arrays are never host-cast (no transfer to undo)
     dev = jnp.asarray(y64, jnp.float64)
     assert wire_ingest(dev, jnp.float32).dtype == jnp.float32
+
+
+def test_torch_tensor_ingest():
+    """Array-likes with foreign dtypes (torch tensors) must still ingest:
+    the wire host-downcast is numpy-only (np.dtype(torch.float32) raises),
+    everything else rides plain jnp.asarray as before."""
+    import jax.numpy as jnp
+
+    torch = pytest.importorskip("torch")
+    from vjf_tpu import VJF
+    from vjf_tpu.models.vjf import wire_ingest, wire_put
+
+    y_t = torch.randn(16, 2, 6, dtype=torch.float32)
+    assert wire_put(y_t, jnp.float32).dtype == jnp.float32
+    assert wire_ingest(y_t, jnp.float32).shape == (16, 2, 6)
+
+    m = VJF.make_model(6, 2, 0, n_rbf=8, hidden_sizes=[4],
+                       likelihood="gaussian", dtype="float32")
+    _, _, loss = m.fit(y_t, max_iter=3)
+    assert np.isfinite(float(loss))
+    outs = list(m.filter_stream(iter([torch.randn(8, 2, 6)])))
+    assert len(outs) == 1

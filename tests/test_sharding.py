@@ -576,3 +576,65 @@ def test_fit_over_mesh_masked(key, mesh8):
     mu = np.asarray(res.mu)
     assert np.all(np.isfinite(mu))
     np.testing.assert_array_equal(mu[-1, 5], mu[T2 - 1, 5])
+
+
+def test_sharded_fused_2d_channel_mask_promotion_at_t_equals_b(key):
+    """A (T, ydim) channel mask through run_epoch_fused_sharded must be
+    promoted per-TIME (gain a batch axis), not right-aligned — at T == B a
+    bare broadcast_to silently transposes it into a per-trial mask."""
+    from vjf_tpu.ops.pallas import fused_step as F
+    from vjf_tpu.parallel.sharded import run_epoch_fused_sharded
+
+    cfg = VJFConfig(ydim=12, xdim=3, udim=0, n_rbf=20, hidden_sizes=(10,),
+                    likelihood="gaussian", dtype="float32", rls_backend="nsv",
+                    fused_step="on", matmul_dtype="float32")
+    state = core.init_state(key, cfg)
+    T = B = 8                                     # the transpose trap
+    ys = jax.random.normal(key, (T, B, cfg.ydim), jnp.float32)
+    rng = np.random.default_rng(3)
+    cm2d = jnp.asarray(
+        (rng.uniform(size=(T, cfg.ydim)) > 0.3).astype(np.float32))
+    cm3d = jnp.broadcast_to(cm2d[:, None, :], ys.shape)   # correct promotion
+    ys = jnp.where(cm3d > 0, ys, jnp.nan)
+    us = jnp.zeros((T, B, 0), jnp.float32)
+    eps = jax.random.normal(key, (2, T, B, cfg.xdim), jnp.float32)
+    lr = jnp.asarray(1e-3, jnp.float32)
+    dp_mesh = make_mesh(8, axis_names=("dp",))
+
+    got = run_epoch_fused_sharded(cfg, StepFlags(), state, ys, us, key, lr,
+                                  dp_mesh, noise=(eps[0], eps[1]),
+                                  interpret=True, channel_mask=cm2d)
+    ref = run_epoch_fused_sharded(cfg, StepFlags(), state, ys, us, key, lr,
+                                  dp_mesh, noise=(eps[0], eps[1]),
+                                  interpret=True, channel_mask=cm3d)
+    np.testing.assert_array_equal(np.asarray(got.metrics.loss),
+                                  np.asarray(ref.metrics.loss))
+    np.testing.assert_array_equal(np.asarray(got.q_means),
+                                  np.asarray(ref.q_means))
+
+
+def test_sharded_fused_uint8_wire_matches_f32(key):
+    """The integer wire-format contract holds on the SHARDED fused path:
+    uint8 counts upcast to cfg.jdtype on device, bit-identical to f32
+    input (previously jax.random.normal(..., ys.dtype) crashed)."""
+    from vjf_tpu.parallel.sharded import make_sharded_epoch
+
+    cfg = VJFConfig(ydim=12, xdim=3, udim=0, n_rbf=20, hidden_sizes=(10,),
+                    likelihood="poisson", dtype="float32", rls_backend="nsv",
+                    fused_step="on", matmul_dtype="float32")
+    state8 = core.init_state(key, cfg)
+    state32 = jax.tree.map(jnp.copy, state8)
+    T, B = 24, 16
+    rng = np.random.default_rng(5)
+    counts = rng.poisson(0.7, size=(T, B, cfg.ydim)).astype(np.uint8)
+    us = jnp.zeros((T, B, 0), jnp.float32)
+    lr = jnp.asarray(1e-3, jnp.float32)
+    dp_mesh = make_mesh(8, axis_names=("dp",))
+    epoch = make_sharded_epoch(cfg, StepFlags(), dp_mesh, donate=False)
+
+    r8 = epoch(state8, jnp.asarray(counts), us, key, lr)
+    r32 = epoch(state32, jnp.asarray(counts, jnp.float32), us, key, lr)
+    np.testing.assert_array_equal(np.asarray(r8.metrics.loss),
+                                  np.asarray(r32.metrics.loss))
+    np.testing.assert_array_equal(np.asarray(r8.q_means),
+                                  np.asarray(r32.q_means))

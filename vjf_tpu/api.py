@@ -328,6 +328,25 @@ class VJF:
         u_it = iter(controls) if controls is not None else repeat(None)
         m_it = iter(masks) if masks is not None else repeat(None)
         cm_it = iter(channel_masks) if channel_masks is not None else repeat(None)
+
+        def _final_hot_check(pending):
+            # the deferred check resolves one chunk LATE; when the stream
+            # ends first, the last mega-path chunk's hot fraction would
+            # otherwise never be fetched — pervasive sample-dropping in
+            # that chunk must still be reported (nothing left to demote)
+            if pending is None:
+                return
+            hot_frac = float(pending)
+            if hot_frac > 0.01:
+                logger.warning(
+                    "streaming filter: %.1f%% of the last mega-path "
+                    "chunk's steps exceeded the Newton-Schulz escalation "
+                    "ceiling (samples dropped; the stream ended before "
+                    "demotion could apply) — re-run that chunk with "
+                    "fused_step='off' if its updates matter.",
+                    100 * hot_frac,
+                )
+
         for chunk in chunks:
             n_valid_item = None
             if isinstance(chunk, tuple):          # (chunk, n_valid) pair
@@ -370,6 +389,7 @@ class VJF:
                 # chunk, truncated to n_valid (r1 advisor finding: the tail's
                 # posteriors/metrics were silently dropped).
                 if n_valid == 0:
+                    _final_hot_check(pending_hot)
                     return
                 q_means, q_logvars, per_step = [], [], []
                 for t in range(n_valid):
@@ -391,6 +411,7 @@ class VJF:
                     q_logvars=jnp.stack(q_logvars),
                     metrics=metrics,
                 )
+                _final_hot_check(pending_hot)
                 return
             us = (
                 uc if uc is not None
@@ -447,6 +468,7 @@ class VJF:
             self.state = result.state
             q = Gaussian(result.q_means[-1], result.q_logvars[-1])
             yield result
+        _final_hot_check(pending_hot)
 
     # -- batch training ---------------------------------------------------
     def fit(

@@ -605,11 +605,12 @@ def wire_put(y, jdtype) -> Array:
     consumer upcasts on device), host-downcast first when WIDER (a
     float64 numpy array under x64 would otherwise ship double the bytes,
     the opposite of the optimization's intent)."""
-    src = getattr(y, "dtype", None)
+    # the host-downcast branch is numpy-only: np.dtype() on a foreign
+    # dtype object (e.g. torch.float32) raises, and any other array-like
+    # (torch tensors included) went through plain jnp.asarray historically
     if (
-        src is not None
-        and not isinstance(y, jax.Array)
-        and np.dtype(src).itemsize > np.dtype(jdtype).itemsize
+        isinstance(y, np.ndarray)
+        and y.dtype.itemsize > np.dtype(jdtype).itemsize
     ):
         y = np.asarray(y, dtype=jdtype)
     return jnp.asarray(y)

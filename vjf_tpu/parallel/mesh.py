@@ -32,7 +32,12 @@ def make_mesh(
 ) -> Mesh:
     """Build a mesh over available devices.
 
-    Default layout: all devices on ``dp`` unless a 2D ``shape`` is given.
+    Default layout with the default 2-axis ``axis_names``: a small fixed
+    model-parallel factor ``tp=2`` when the device count is even (so
+    ``dp = n/2``), else everything on ``dp``. Pass ``shape=`` for an
+    explicit layout, or ``axis_names=("dp",)`` for all-data-parallel.
+    Note: ``tp`` only shards channels when ``ydim`` is even (see
+    :func:`data_sharding`) — for odd ``ydim`` prefer a 1-axis mesh.
     """
     devices = list(devices if devices is not None else jax.devices())
     if n_devices is not None:

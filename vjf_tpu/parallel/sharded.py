@@ -132,6 +132,14 @@ def run_epoch_fused_sharded(
         interpret = jax.default_backend() != "tpu"
     from jax import shard_map
 
+    # integer wire-format contract (docs/API.md): like core.run_epoch,
+    # upcast wire-dtype (e.g. uint8 count) inputs to the compute dtype on
+    # device — free under jit, and ys.dtype below must be a float anyway
+    if ys.dtype != cfg.jdtype:
+        ys = ys.astype(cfg.jdtype)
+    if us is not None and us.dtype != cfg.jdtype:
+        us = us.astype(cfg.jdtype)
+
     t_len, n_batch, _ = ys.shape
     dp = _dp_axis(mesh)
     n_dp = mesh.shape[dp]
@@ -159,10 +167,10 @@ def run_epoch_fused_sharded(
         inv_bs = jnp.full((t_len,), inv_b, ys.dtype)
     has_cmask = channel_mask is not None
     if has_cmask:
-        cmask3 = (
-            jnp.broadcast_to(jnp.asarray(channel_mask, ys.dtype), ys.shape)
-            > 0
-        ).astype(ys.dtype)
+        # promotion helper, NOT bare broadcast_to: a (T, ydim) mask
+        # right-aligns into a per-trial mask when T == B (silent transpose)
+        cm = core._promote_channel_mask(channel_mask, ys.shape, ys.dtype)
+        cmask3 = (cm > 0).astype(ys.dtype)
     else:
         cmask3 = jnp.ones((t_len, 1, 1), ys.dtype)   # dummy, unread
 
