@@ -96,6 +96,11 @@ def main() -> None:
     assert np.isfinite(loss) and loss != 0.0, f"degenerate loss {loss}"
     max_tau = float(np.asarray(out.max_tau).max())
     assert max_tau < 0.7, f"Newton-Schulz never contracted (tau={max_tau})"
+    # max_tau alone cannot witness skipped steps (they mark tau=inf, and
+    # max_tau is the max FINITE tau — vjf.py run_epochs); the hot fraction
+    # is the real "did the dynamics actually train" gate
+    hot = float(np.asarray(out.hot_frac).max())
+    assert hot < 0.01, f"benchmark dropped {100 * hot:.1f}% of RLS updates"
 
     steps_per_sec = t_chunk * n_epochs / best
     print(

@@ -214,8 +214,14 @@ def bench_flagship():
     # the remote-chip tunnel; the measurement itself is ~10 s
     out = subprocess.run([sys.executable, "bench.py"], capture_output=True,
                          text=True, timeout=1800)
-    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-    d = json.loads(line)
+    lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+    if out.returncode != 0 or not lines:
+        # surface the real cause (assert message / crash), not an IndexError
+        raise RuntimeError(
+            f"bench.py failed (rc={out.returncode}): "
+            f"{out.stderr.strip().splitlines()[-5:]}"
+        )
+    d = json.loads(lines[-1])
     return {"config": "batched_256x10k_mega", **{k: d[k] for k in ("value", "unit", "vs_baseline")}}
 
 
@@ -238,9 +244,17 @@ def bench_canonical():
     C = rng.normal(size=(2, 20))
     y = (x @ C + rng.normal(size=20) + 0.1 * rng.normal(size=(x.shape[0], 20))).astype(np.float32)
 
+    # rtol=0 runs ALL 150 epochs (no early-convergence break) — but with
+    # no plateau the warm-up would never end and the whole "workload"
+    # would be 150 epochs of recognition SGD with the per-step RLS (the
+    # expensive part, and the point of the reference's loop) never
+    # executing. warmup_max=30 forces the phase transition so the other
+    # 120 epochs carry the real per-step dynamics update; shrink+jitter
+    # guard the ~380k B=1 f32 RLS steps that follow (CLAUDE.md #14).
     cfg = VJFConfig(ydim=20, xdim=2, udim=0, n_rbf=100, hidden_sizes=(20,),
                     likelihood="gaussian", dtype="float32", rls_backend="nsv",
-                    lr=1e-3, rtol=0.0)   # rtol=0: never converge early — run all 150
+                    lr=1e-3, rtol=0.0, warmup_max=30,
+                    rls_shrink=0.999, chol_jitter=1e-3)
     key = jax.random.PRNGKey(0)
     out = {"config": "canonical_3183x150"}
     # two modes: per-epoch dispatch reproduces the reference's control flow

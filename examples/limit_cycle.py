@@ -50,13 +50,23 @@ def main():
     model = VJF.make_model(
         ydim=y.shape[1], xdim=2, udim=0, n_rbf=100, hidden_sizes=[20],
         likelihood="gaussian", dtype=args.dtype, lr=1e-3,
+        # production B=1 knobs (see bench_all.py / CLAUDE.md):
+        # - rtol=0 + warmup_max=15: at the reference-faithful rtol=1e-4
+        #   the warm-up plateau NEVER fires on this system, so the RLS
+        #   dynamics silently never train (latent R^2 still looks great —
+        #   recognition tracks regardless; the tell is a forecast worse
+        #   than persistence). Forcing the phase transition and running
+        #   the full epoch budget gives forecast 0.36 vs persistence 0.49.
+        # - rls_shrink+chol_jitter: f32 conditioning guard for the ~300k
+        #   B=1 RLS steps this fit runs (pure accumulation diverges)
+        rtol=0.0, warmup_max=15, rls_shrink=0.999, chol_jitter=1e-3,
     )
 
     t0 = time.time()
     mu, logvar, loss = model.fit(
         y, max_iter=args.max_iter, callback=progress_callback(verbose=True, total=args.max_iter)
     )
-    steps = y.shape[0] * args.max_iter
+    steps = y.shape[0] * model.epochs_run   # epochs ACTUALLY run
     print(f"\nfit: loss={loss:.4f}, {steps / (time.time() - t0):.0f} steps/s")
 
     from vjf_tpu.utils.evaluation import latent_r2
@@ -69,6 +79,16 @@ def main():
     # forecast from step 10 (example.py:79)
     xf, yf = model.forecast(x0=mu[9, 0], n_step=1000)
     print(f"forecast: {xf.shape[0]} steps, finite={bool(np.all(np.isfinite(np.asarray(xf))))}")
+
+    # self-validating: a trained transition must beat the persistence
+    # baseline (an untrained one looks fine on latent R^2 — recognition
+    # tracks regardless — and only fails HERE)
+    from vjf_tpu.utils.evaluation import forecast_rmse
+
+    fr, pr = forecast_rmse(model.cfg, model.state, m, y,
+                           key=jax.random.PRNGKey(1), horizon=20, n_starts=20)
+    print(f"20-step forecast RMSE {fr:.3f} vs persistence {pr:.3f} "
+          f"({'OK' if fr < pr else 'WORSE THAN PERSISTENCE — dynamics did not train'})")
 
     if args.plot:
         import matplotlib

@@ -523,3 +523,58 @@ def test_torch_tensor_ingest():
     assert np.isfinite(float(loss))
     outs = list(m.filter_stream(iter([torch.randn(8, 2, 6)])))
     assert len(outs) == 1
+
+
+def test_native_close_while_consumer_blocked(tmp_path):
+    """Closing a stream while another thread is BLOCKED inside the native
+    read (idle FIFO, no data) must neither crash nor hang: the stream map
+    holds shared ownership, close() wakes the waiter, and destruction
+    waits for the in-flight read to return (previously a raw delete freed
+    the mutex/condvar under the blocked consumer — use-after-free)."""
+    import os
+    import threading
+    import time
+
+    if _load_native() is None:
+        pytest.skip("native loader unavailable")
+    fifo = str(tmp_path / "idle.fifo")
+    os.mkfifo(fifo)
+    loader = StreamingLoader(fifo, ydim=4, batch=1, chunk=8, native=True)
+
+    got = []
+
+    def consume():
+        # blocks in vjf_stream_read -> RingStream::read cv wait
+        got.append(list(loader))
+
+    t = threading.Thread(target=consume, daemon=True)
+    t.start()
+    time.sleep(0.5)                  # let the consumer reach the cv wait
+    loader.close()                   # must wake + not free under the waiter
+    t.join(timeout=10.0)
+    assert not t.is_alive(), "consumer never woke after close()"
+    assert got == [[]]               # clean empty stream, no crash
+
+
+def test_device_prefetch_abandoned_consumer_stops_worker():
+    """Abandoning the prefetch generator (break / exception in the consumer)
+    must stop the producer thread: a plain q.put on the bounded queue would
+    block forever once full, leaking the thread and pinning the source
+    loader open."""
+    import threading
+    import time
+
+    before = threading.active_count()
+
+    def chunks():
+        while True:
+            yield np.zeros((4, 1, 3), np.float32)
+
+    gen = device_prefetch(chunks(), depth=2)
+    next(gen)
+    gen.close()                      # consumer walks away mid-stream
+
+    deadline = time.time() + 5.0
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= before, "prefetch worker leaked"

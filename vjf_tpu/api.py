@@ -48,6 +48,9 @@ class VJF:
         )
         self._step_fn = jax.jit(core.filter_step, static_argnames=("cfg", "flags"))
         self._lr = cfg.lr
+        # epochs the most recent fit() ACTUALLY ran (early plateau
+        # convergence stops before max_iter) — 0 until the first fit
+        self.epochs_run = 0
         # once fit()'s warm-up phase ends the decoder is frozen permanently
         # (requires_grad_(False) in the reference, vjf/model.py:283)
         self._decoder_frozen = False
@@ -579,6 +582,10 @@ class VJF:
 
         if math.isfinite(result.lr):
             self._lr = float(result.lr)
+        # epochs ACTUALLY run (early plateau convergence stops before
+        # max_iter) — the honest divisor for any steps/s computed around
+        # this call (CLAUDE.md: steps/s divides by epochs_run)
+        self.epochs_run = int(result.epochs_run)
         if lengths is not None:
             from .utils.ragged import split_trials
 

@@ -46,33 +46,53 @@ def _load_native() -> Optional[ctypes.CDLL]:
     if _lib_tried:
         return _lib
     _lib_tried = True
+    def _so_stale() -> bool:
+        # a prebuilt .so older than the source silently shadows source
+        # edits; stale is treated exactly like missing (make rebuilds)
+        try:
+            return os.path.getmtime(_SO_PATH) < os.path.getmtime(_SRC_PATH)
+        except OSError:
+            return True
+
     try:
-        if not os.path.exists(_SO_PATH):
+        missing = not os.path.exists(_SO_PATH)
+        if missing or _so_stale():
+            built = False
             if _build_failed_cached():
                 logger.warning(
-                    "native stream loader unavailable (cached build failure "
-                    "at %s; delete it to retry) — using the Python fallback",
-                    _FAIL_MARKER,
+                    "native stream loader build unavailable (cached build "
+                    "failure at %s; delete it to retry)", _FAIL_MARKER,
                 )
-                return None
-            try:
-                subprocess.run(
-                    ["make", "-C", _NATIVE_DIR],
-                    check=True,
-                    capture_output=True,
-                    timeout=120,
-                )
-            except Exception as e:
+            else:
                 try:
-                    with open(_FAIL_MARKER, "w") as f:
-                        f.write(f"{type(e).__name__}: {e}\n")
-                except OSError:
-                    pass
+                    subprocess.run(
+                        ["make", "-C", _NATIVE_DIR],
+                        check=True,
+                        capture_output=True,
+                        timeout=120,
+                    )
+                    built = True
+                except Exception as e:
+                    try:
+                        with open(_FAIL_MARKER, "w") as f:
+                            f.write(f"{type(e).__name__}: {e}\n")
+                    except OSError:
+                        pass
+                    logger.warning(
+                        "native stream loader build failed (%s); failure "
+                        "cached at %s", e, _FAIL_MARKER,
+                    )
+            if not built:
+                if missing:
+                    logger.warning("using the Python fallback loader")
+                    return None
+                # a stale prebuilt is still a working loader — prefer it
+                # over the Python fallback, loudly (source edits are NOT
+                # in effect until a toolchain rebuilds it)
                 logger.warning(
-                    "native stream loader build failed (%s) — using the "
-                    "Python fallback; failure cached at %s", e, _FAIL_MARKER,
+                    "loading STALE prebuilt %s (source is newer and the "
+                    "rebuild did not run)", _SO_PATH,
                 )
-                return None
         lib = ctypes.CDLL(_SO_PATH)
         lib.vjf_stream_open.argtypes = [ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64]
         lib.vjf_stream_open.restype = ctypes.c_int64
@@ -187,8 +207,23 @@ def device_prefetch(iterator, depth: int = 2, valid_fn=None):
     earlier full chunk)."""
     import jax
 
+    import queue as _queue
+
     q: Queue = Queue(maxsize=depth)
     _SENTINEL = object()
+    stop = threading.Event()     # consumer abandoned the generator
+
+    def _put(item) -> bool:
+        # bounded-queue put that gives up when the consumer is gone —
+        # a plain q.put would block forever once the queue fills, leaking
+        # this thread AND the source loader (never driven to EOF/close)
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.2)
+                return True
+            except _queue.Full:
+                continue
+        return False
 
     def worker():
         # Producer exceptions (iterator.__next__, the user's valid_fn, or
@@ -198,17 +233,21 @@ def device_prefetch(iterator, depth: int = 2, valid_fn=None):
             for item in iterator:
                 v = valid_fn() if valid_fn is not None else None
                 d = jax.device_put(item)
-                q.put(d if v is None else (d, v))
-            q.put(_SENTINEL)
+                if not _put(d if v is None else (d, v)):
+                    return
+            _put(_SENTINEL)
         except BaseException as e:  # noqa: BLE001 — re-raised in consumer
-            q.put(e)
+            _put(e)
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is _SENTINEL:
-            return
-        if isinstance(item, BaseException):
-            raise item
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is _SENTINEL:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()               # unblock a producer stuck on a full queue

@@ -25,6 +25,7 @@
 #include <cstdint>
 #include <cstring>
 #include <map>
+#include <memory>
 #include <mutex>
 #include <thread>
 #include <vector>
@@ -174,7 +175,15 @@ struct RingStream {
 };
 
 std::mutex g_mu;
-std::map<int64_t, RingStream*> g_streams;
+// shared_ptr, deliberately: a consumer thread can be BLOCKED inside
+// RingStream::read() (cv wait) while another thread calls
+// vjf_stream_close() — with raw pointers the close would delete the
+// mutex/condvar out from under the waiter (use-after-free). Each
+// vjf_stream_read holds its own reference for the duration of the copy;
+// close() erases the map entry (no new readers can find it) and stop()s
+// the stream (closed=true wakes every waiter); the object is destroyed
+// when the last in-flight read returns.
+std::map<int64_t, std::shared_ptr<RingStream>> g_streams;
 int64_t g_next = 1;
 
 }  // namespace
@@ -187,18 +196,18 @@ int64_t vjf_stream_open(const char* path, int64_t step_bytes,
   // writer; the reader poll()s, so a writer attaching later is picked up.
   int fd = open(path, O_RDONLY | O_NONBLOCK | O_CLOEXEC);
   if (fd < 0) return -1;
-  auto* s = new RingStream();
+  auto s = std::make_shared<RingStream>();
   s->fd = fd;
   if (pipe(s->wake) != 0) {
     close(fd);
     s->fd = -1;
-    delete s;
     return -1;
   }
   s->step_bytes = static_cast<size_t>(step_bytes);
   s->capacity = static_cast<size_t>(capacity_steps);
   s->buf.resize(s->step_bytes * s->capacity);
-  s->reader = std::thread([s] { s->reader_loop(); });
+  RingStream* raw = s.get();  // reader is joined in stop() before destruction
+  s->reader = std::thread([raw] { raw->reader_loop(); });
   std::lock_guard<std::mutex> lk(g_mu);
   int64_t h = g_next++;
   g_streams[h] = s;
@@ -206,18 +215,18 @@ int64_t vjf_stream_open(const char* path, int64_t step_bytes,
 }
 
 int64_t vjf_stream_read(int64_t handle, uint8_t* dst, int64_t n_steps) {
-  RingStream* s;
+  std::shared_ptr<RingStream> s;
   {
     std::lock_guard<std::mutex> lk(g_mu);
     auto it = g_streams.find(handle);
     if (it == g_streams.end()) return -1;
-    s = it->second;
+    s = it->second;  // keeps the stream alive for the whole read
   }
   return static_cast<int64_t>(s->read(dst, static_cast<size_t>(n_steps)));
 }
 
 void vjf_stream_close(int64_t handle) {
-  RingStream* s = nullptr;
+  std::shared_ptr<RingStream> s;
   {
     std::lock_guard<std::mutex> lk(g_mu);
     auto it = g_streams.find(handle);
@@ -225,7 +234,10 @@ void vjf_stream_close(int64_t handle) {
     s = it->second;
     g_streams.erase(it);
   }
-  delete s;  // ~RingStream stops thread + closes file
+  // closed=true wakes a consumer blocked in read(); the reader thread is
+  // joined here. Destruction happens when the last in-flight read drops
+  // its reference (possibly right now, if none is in flight).
+  s->stop();
 }
 
 }  // extern "C"
