@@ -373,6 +373,17 @@ def test_uint8_wire_dtype_matches_f32(tmp_path):
     np.testing.assert_array_equal(np.asarray(r8.mu), np.asarray(r32.mu))
     assert r8.loss == r32.loss
 
+    # block-dispatch path: run_epochs must build its scan carry / tau
+    # stats in cfg.jdtype, not the uint8 wire dtype (regression: a uint8
+    # q-carry mismatched the f32 epoch outputs at the scan boundary)
+    b8 = core.fit(cfg, core.init_state(key, cfg), counts, key=key,
+                  max_iter=4, epochs_per_dispatch=2)
+    b32 = core.fit(cfg, core.init_state(key, cfg),
+                   counts.astype(np.float32), key=key, max_iter=4,
+                   epochs_per_dispatch=2)
+    np.testing.assert_array_equal(np.asarray(b8.mu), np.asarray(b32.mu))
+    assert b8.loss == b32.loss
+
 
 def test_device_prefetch_valid_pairs_tail(tmp_path):
     """device_prefetch(valid_fn=...) yields (chunk, n_valid) pairs whose

@@ -638,3 +638,88 @@ def test_sharded_fused_uint8_wire_matches_f32(key):
                                   np.asarray(r32.metrics.loss))
     np.testing.assert_array_equal(np.asarray(r8.q_means),
                                   np.asarray(r32.q_means))
+
+
+def _limit_cycle_data(seed=17, T=60, B=16, ydim=10, noise=0.1):
+    rng = np.random.default_rng(seed)
+    t = np.arange(T) * 0.1
+    lat = np.stack([np.sin(t[:, None] + rng.uniform(0, 6.3, B)),
+                    np.cos(t[:, None] + rng.uniform(0, 6.3, B))], -1)
+    C = rng.normal(size=(2, ydim))
+    return (lat @ C + noise * rng.normal(size=(T, B, ydim))).astype(np.float32)
+
+
+def test_fit_over_mesh_blocked_matches_single_device(key, mesh8):
+    """fit(mesh=..., epochs_per_dispatch=K): block dispatch composes with
+    multi-chip — each block scans K sharded fused epochs device-side
+    (make_sharded_epochs). Same per-block key splits as the single-device
+    blocked fit, so control flow must match and latents must agree up to
+    the sharded path's f32 reduction drift (affine-aligned R^2)."""
+    y = _limit_cycle_data()
+    cfg = VJFConfig(ydim=10, xdim=2, udim=0, n_rbf=16, hidden_sizes=(8,),
+                    likelihood="gaussian", dtype="float32",
+                    rls_backend="nsv", fused_step="on",
+                    matmul_dtype="float32", lr=3e-3, rtol=1e-12,
+                    warmup_max=3)
+    state = core.init_state(key, cfg)
+    dp_mesh = make_mesh(8, axis_names=("dp",))
+
+    ref = core.fit(cfg, state, y, key=key, max_iter=6, donate=False,
+                   epochs_per_dispatch=3)
+    got = core.fit(cfg, state, y, key=key, max_iter=6, donate=False,
+                   epochs_per_dispatch=3, mesh=dp_mesh)
+    assert got.epochs_run == ref.epochs_run
+    assert got.warm_up == ref.warm_up
+    np.testing.assert_allclose(got.loss, ref.loss, rtol=1e-2)
+    from vjf_tpu.utils.evaluation import latent_r2
+
+    r2 = latent_r2(np.asarray(got.mu).reshape(-1, 2),
+                   np.asarray(ref.mu).reshape(-1, 2))
+    assert r2 > 0.99, r2
+
+
+def test_fit_over_mesh_blocked_xla_path(key, mesh8):
+    """The non-fused (GSPMD-annotated run_epochs) arm of
+    make_sharded_epochs: fused_step='off' routes the blocked mesh fit
+    through jitted core.run_epochs with explicit in/out shardings."""
+    y = _limit_cycle_data(seed=23)
+    cfg = VJFConfig(ydim=10, xdim=2, udim=0, n_rbf=16, hidden_sizes=(8,),
+                    likelihood="gaussian", dtype="float32",
+                    rls_backend="nsv", fused_step="off",
+                    matmul_dtype="float32", lr=3e-3, rtol=1e-12,
+                    warmup_max=3)
+    state = core.init_state(key, cfg)
+    dp_mesh = make_mesh(8, axis_names=("dp",))
+
+    ref = core.fit(cfg, state, y, key=key, max_iter=4, donate=False,
+                   epochs_per_dispatch=2)
+    got = core.fit(cfg, state, y, key=key, max_iter=4, donate=False,
+                   epochs_per_dispatch=2, mesh=dp_mesh)
+    assert got.epochs_run == ref.epochs_run
+    np.testing.assert_allclose(got.loss, ref.loss, rtol=1e-2)
+
+
+def test_fit_over_mesh_blocked_masked(key, mesh8):
+    """Ragged trial mask through the blocked mesh fit: the masked sharded
+    fused epoch scans device-side, the dead trial's carry freezes, and the
+    masked bootstrap still runs at the block boundary."""
+    T, B, T2 = 60, 16, 35
+    y = _limit_cycle_data(seed=29, T=T, B=B)
+    y[T2:, 5] = np.nan
+    mask = np.ones((T, B), np.float32)
+    mask[T2:, 5] = 0.0
+    cfg = VJFConfig(ydim=10, xdim=2, udim=0, n_rbf=16, hidden_sizes=(8,),
+                    likelihood="gaussian", dtype="float32",
+                    rls_backend="nsv", fused_step="on",
+                    matmul_dtype="float32", lr=3e-3, rtol=1e-12,
+                    warmup_max=3)
+    state = core.init_state(key, cfg)
+    dp_mesh = make_mesh(8, axis_names=("dp",))
+
+    res = core.fit(cfg, state, y, key=key, max_iter=6, donate=False,
+                   epochs_per_dispatch=3, mesh=dp_mesh, mask=mask)
+    assert not res.warm_up
+    assert np.isfinite(res.loss)
+    mu = np.asarray(res.mu)
+    assert np.all(np.isfinite(mu))
+    np.testing.assert_array_equal(mu[-1, 5], mu[T2 - 1, 5])

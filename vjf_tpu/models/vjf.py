@@ -496,6 +496,29 @@ class EpochsResult(NamedTuple):
     #                       layout's demotion signal); zeros on other paths
 
 
+def epoch_tau_stats(cfg: VJFConfig, metrics: Metrics, t_len: int, dtype):
+    """(max finite tau, hot fraction) over the post-prefix segment.
+
+    Post-prefix only: inside the exact-inverse prefix tau may spike
+    (including the forced-fallback inf marker) by design — the cond
+    fallback repairs it there. Only the cond-free segment's tau is a
+    health signal. Skipped-at-ceiling steps carry an inf marker in the
+    tau stream; the diagnostic magnitude is the max FINITE bound (hot
+    detection still counts the infs via ``>= NS_TAU_MAX``). Zeros when
+    the path reports no tau (XLA step) or the epoch fits in the prefix.
+    Shared by :func:`run_epochs` and the sharded block-dispatch scan
+    (``parallel.sharded.run_epochs_fused_sharded``).
+    """
+    if metrics.tau is not None and t_len > cfg.ns_prefix:
+        tau_seg = metrics.tau[cfg.ns_prefix:]
+        max_tau = jnp.max(jnp.where(jnp.isfinite(tau_seg), tau_seg, 0.0))
+        hot = jnp.mean((tau_seg >= _fused.NS_TAU_MAX).astype(dtype))
+    else:
+        max_tau = jnp.zeros((), dtype)
+        hot = jnp.zeros((), dtype)
+    return max_tau, hot
+
+
 def run_epochs(
     cfg: VJFConfig,
     flags: StepFlags,
@@ -525,6 +548,11 @@ def run_epochs(
     t_len, n_batch, _ = ys.shape
     if q0 is None:
         q0 = prior(state.params, n_batch)
+    # the compute dtype, NOT ys.dtype: integer wire-format observations
+    # (e.g. uint8 counts) upcast inside run_epoch, so the scan carry and
+    # the tau statistics must be built in cfg.jdtype or the carry dtypes
+    # mismatch (and a uint8 hot-fraction mean truncates to 0/1)
+    qdt = cfg.jdtype
 
     def body(carry, inp):
         st, _, _ = carry
@@ -532,24 +560,11 @@ def run_epochs(
         res = run_epoch(cfg, flags, st, ys, us, key, lr, q0=q0, mask=mask,
                         channel_mask=channel_mask)
         mean_m = jax.tree.map(jnp.mean, res.metrics)
-        # post-prefix only: inside the exact-inverse prefix tau may spike
-        # (including the forced-fallback inf marker) by design — the cond
-        # fallback repairs it there. Only the cond-free segment's tau is a
-        # health signal.
-        if res.metrics.tau is not None and t_len > cfg.ns_prefix:
-            tau_seg = res.metrics.tau[cfg.ns_prefix:]
-            # skipped-at-ceiling steps carry an inf marker in the tau
-            # stream; the diagnostic magnitude is the max FINITE bound
-            # (hot detection still counts the infs via >= NS_TAU_MAX)
-            max_tau = jnp.max(jnp.where(jnp.isfinite(tau_seg), tau_seg, 0.0))
-            hot = jnp.mean((tau_seg >= _fused.NS_TAU_MAX).astype(ys.dtype))
-        else:
-            max_tau = jnp.zeros((), ys.dtype)
-            hot = jnp.zeros((), ys.dtype)
+        max_tau, hot = epoch_tau_stats(cfg, res.metrics, t_len, qdt)
         return (res.state, res.q_means, res.q_logvars), (mean_m, max_tau, hot)
 
     q_shape = (t_len, n_batch, cfg.xdim)
-    init = (state, jnp.zeros(q_shape, ys.dtype), jnp.zeros(q_shape, ys.dtype))
+    init = (state, jnp.zeros(q_shape, qdt), jnp.zeros(q_shape, qdt))
     (state, q_means, q_logvars), (mean_metrics, max_tau, hot_frac) = jax.lax.scan(
         body, init, (keys, lrs)
     )
@@ -730,19 +745,16 @@ def fit(
     replicated via the one sufficient-statistics collective; the fused
     kernel rides inside ``shard_map`` where eligible, masks included).
     The bootstrap/SGP-adapt steps run on the replicated result. Not
-    composable with ``noise_hook`` (parity is a single-device concern) or
-    ``epochs_per_dispatch > 1``. Hot-tau demotion does not apply: the
-    sharded fused path keeps the per-step exact-inverse fallback.
+    composable with ``noise_hook`` (parity is a single-device concern).
+    Composes with ``epochs_per_dispatch > 1``: K sharded epochs scan
+    device-side per dispatch (``parallel.make_sharded_epochs``). Hot-tau
+    demotion does not apply either way: the sharded fused path keeps the
+    per-step exact-inverse fallback.
     """
     beta = cfg.beta if beta is None else beta
     rtol = cfg.rtol if rtol is None else rtol
     if mesh is not None and noise_hook is not None:
         raise ValueError("mesh and noise_hook are mutually exclusive")
-    if mesh is not None and epochs_per_dispatch > 1:
-        raise ValueError(
-            "mesh does not compose with epochs_per_dispatch yet; "
-            "multi-chip runs amortize dispatch over the mesh instead"
-        )
     if epochs_per_dispatch > 1:
         if noise_hook is not None:
             raise ValueError(
@@ -752,7 +764,7 @@ def fit(
         return _fit_blocked(
             cfg, state, y, u, key=key, max_iter=max_iter, beta=beta,
             rtol=rtol, callback=callback, k_block=int(epochs_per_dispatch),
-            mask=mask, channel_mask=channel_mask, lr0=lr0,
+            mask=mask, channel_mask=channel_mask, lr0=lr0, mesh=mesh,
         )
 
     y = _promote_y(wire_ingest(y, cfg.jdtype))
@@ -1027,10 +1039,18 @@ def _fit_blocked(
     mask: Optional[Array] = None,
     channel_mask: Optional[Array] = None,
     lr0: Optional[float] = None,
+    mesh=None,
 ) -> FitResult:
     """Block-dispatch fit: K epochs per device round-trip via
     :func:`run_epochs`, with ``fit``'s plateau state machine replayed on the
     host over the block's per-epoch mean losses.
+
+    ``mesh``: multi-chip block dispatch — each block scans K SHARDED epochs
+    device-side (``parallel.make_sharded_epochs``: the fused kernel inside
+    ``shard_map`` with one sufficient-statistics psum per step where
+    eligible, the GSPMD-annotated XLA epoch otherwise). Hot-tau demotion
+    does not apply under a mesh (the sharded fused path keeps the per-step
+    exact-inverse fallback), so the demotion machinery is bypassed.
 
     Deviations from the per-epoch loop (all block-granular, documented in
     docs/ARCHITECTURE.md):
@@ -1056,11 +1076,30 @@ def _fit_blocked(
     pair_w = (mask[1:] * mask[:-1]).reshape(-1) if mask is not None else None
     cfg = _demote_masked_small_sgp(cfg, mask)
 
-    mega_possible = (
-        cfg.fused_epoch == "mega"
-        and _fused.fused_enabled(cfg, state, n_batch=n_batch)
-    )
-    epochs_fn = jax.jit(run_epochs, static_argnames=("cfg", "flags"))
+    if mesh is not None:
+        from ..parallel import make_sharded_epochs, shard_data, shard_state
+
+        state = shard_state(cfg, state, mesh)
+        y, us = shard_data(mesh, y, us)
+        _sharded_cache = {}
+
+        def epochs_fn(cfg_run, flags, st, y_, us_, ekeys, lrs, mask=None,
+                      channel_mask=None):
+            kk = (cfg_run, flags)
+            if kk not in _sharded_cache:
+                _sharded_cache[kk] = make_sharded_epochs(cfg_run, flags, mesh)
+            return _sharded_cache[kk](st, y_, us_, ekeys, lrs, mask=mask,
+                                      channel_mask=channel_mask)
+
+        # the sharded fused path repairs hot steps with the per-step exact
+        # fallback (nothing is skipped), so demotion has nothing to fix
+        mega_possible = False
+    else:
+        mega_possible = (
+            cfg.fused_epoch == "mega"
+            and _fused.fused_enabled(cfg, state, n_batch=n_batch)
+        )
+        epochs_fn = jax.jit(run_epochs, static_argnames=("cfg", "flags"))
     init_fn = jax.jit(
         _transition(cfg).dynamics_initialize, static_argnames=("cfg",)
     )

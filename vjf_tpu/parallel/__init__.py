@@ -3,6 +3,7 @@ from .replicated import init_ensemble, run_epoch_ensemble, shard_ensemble
 from .sharded import (
     data_sharding,
     make_sharded_epoch,
+    make_sharded_epochs,
     shard_data,
     shard_state,
     state_shardings,
@@ -15,6 +16,7 @@ __all__ = [
     "shard_ensemble",
     "data_sharding",
     "make_sharded_epoch",
+    "make_sharded_epochs",
     "shard_data",
     "shard_state",
     "state_shardings",

@@ -246,6 +246,155 @@ def run_epoch_fused_sharded(
     )
 
 
+def run_epochs_fused_sharded(
+    cfg: VJFConfig,
+    flags: StepFlags,
+    state: core.TrainState,
+    ys,
+    us,
+    keys,
+    lrs,
+    mesh: Mesh,
+    mask=None,
+    channel_mask=None,
+    interpret: Optional[bool] = None,
+) -> core.EpochsResult:
+    """K consecutive sharded fused epochs in ONE compiled computation —
+    the multi-chip counterpart of :func:`core.run_epochs` (block-dispatch
+    production mode, ``fit(mesh=..., epochs_per_dispatch=K)``).
+
+    Each scan iteration runs :func:`run_epoch_fused_sharded` (per-trial
+    pallas kernel inside ``shard_map``, one FusedSums psum per step,
+    per-step exact-inverse fallback — nothing is skipped, so the reported
+    hot fraction is diagnostic-only). Per-epoch posterior sequences are not
+    stacked; the last epoch's ride the scan carry, mirroring
+    ``core.run_epochs``.
+    """
+    t_len, n_batch, _ = ys.shape
+    q0 = core.prior(state.params, n_batch)
+    qdt = cfg.jdtype  # compute dtype (ys may arrive in an integer wire format)
+
+    def body(carry, inp):
+        st, _, _ = carry
+        key, lr = inp
+        res = run_epoch_fused_sharded(
+            cfg, flags, st, ys, us, key, lr, mesh, q0=q0,
+            interpret=interpret, mask=mask, channel_mask=channel_mask,
+        )
+        mean_m = jax.tree.map(jnp.mean, res.metrics)
+        max_tau, hot = core.epoch_tau_stats(cfg, res.metrics, t_len, qdt)
+        return (res.state, res.q_means, res.q_logvars), (mean_m, max_tau, hot)
+
+    q_shape = (t_len, n_batch, cfg.xdim)
+    init = (state, jnp.zeros(q_shape, qdt), jnp.zeros(q_shape, qdt))
+    (state, q_means, q_logvars), (mean_metrics, max_tau, hot_frac) = (
+        jax.lax.scan(body, init, (keys, lrs))
+    )
+    return core.EpochsResult(
+        state=state,
+        q_means=q_means,
+        q_logvars=q_logvars,
+        epoch_loss=mean_metrics.loss,
+        epoch_metrics=mean_metrics,
+        max_tau=max_tau,
+        hot_frac=hot_frac,
+    )
+
+
+def make_sharded_epochs(cfg: VJFConfig, flags: StepFlags, mesh: Mesh,
+                        donate: bool = False):
+    """Jit ``run_epochs`` (K epochs per dispatch) over ``mesh`` — the
+    block-dispatch counterpart of :func:`make_sharded_epoch`.
+
+    Returns ``fn(state, ys, us, keys, lrs, mask=None, channel_mask=None)
+    -> core.EpochsResult``. Fused-eligible configs scan
+    :func:`run_epoch_fused_sharded` device-side
+    (:func:`run_epochs_fused_sharded`); others run ``core.run_epochs``
+    under the same GSPMD in/out shardings :func:`make_sharded_epoch` uses,
+    with keys/lrs replicated. Donation is off by default: the caller's
+    block-granular control flow may re-read the pre-block state.
+    """
+    cfg_xla = cfg.replace(fused_step="off")
+    cache = {}
+
+    def build_xla(state, ys, masked, chmasked):
+        st_shard = state_shardings(cfg_xla, state, mesh)
+        replicated = NamedSharding(mesh, P())
+        dpax = _dp_axis(mesh)
+        out_shardings = core.EpochsResult(
+            state=st_shard,
+            q_means=NamedSharding(mesh, P(None, dpax, None)),
+            q_logvars=NamedSharding(mesh, P(None, dpax, None)),
+            epoch_loss=replicated,
+            # XLA-path metrics carry no tau leaf (fused path only), so the
+            # 4-field Metrics default matches the traced output tree
+            epoch_metrics=jax.tree.map(
+                lambda _: replicated, core.Metrics(0, 0, 0, 0)
+            ),
+            max_tau=replicated,
+            hot_frac=replicated,
+        )
+        in_shardings = [
+            st_shard,
+            data_sharding(mesh, ys.shape[-1]),
+            control_sharding(mesh),
+            replicated,  # (K, 2) per-epoch keys
+            replicated,  # (K,) lr schedule
+        ]
+        if masked:
+            in_shardings.append(NamedSharding(mesh, P(None, dpax)))
+        if chmasked:
+            in_shardings.append(data_sharding(mesh, ys.shape[-1]))
+
+        def fn(state, ys, us, keys, lrs, *rest):
+            kw = {}
+            if masked:
+                kw["mask"] = rest[0]
+            if chmasked:
+                kw["channel_mask"] = rest[-1]
+            return core.run_epochs(cfg_xla, flags, state, ys, us, keys, lrs,
+                                   **kw)
+
+        return jax.jit(fn, in_shardings=tuple(in_shardings),
+                       out_shardings=out_shardings,
+                       donate_argnums=(0,) if donate else ())
+
+    def build_fused(masked, chmasked):
+        def fn(state, ys, us, keys, lrs, *rest):
+            kw = {}
+            if masked:
+                kw["mask"] = rest[0]
+            if chmasked:
+                kw["channel_mask"] = rest[-1]
+            return run_epochs_fused_sharded(cfg, flags, state, ys, us, keys,
+                                            lrs, mesh, **kw)
+
+        return jax.jit(fn, donate_argnums=(0,) if donate else ())
+
+    def call(state, ys, us, keys, lrs, mask=None, channel_mask=None):
+        from ..ops.pallas import fused_step as F
+
+        # promote masks with core's shape semantics (a (T,) trial mask
+        # gains a trial axis; bare broadcast_to would transpose at T == B)
+        rest = []
+        if mask is not None:
+            rest.append(core._promote_mask(
+                mask, ys.shape[0], ys.shape[1], cfg.jdtype
+            ))
+        if channel_mask is not None:
+            rest.append(core._promote_channel_mask(
+                channel_mask, ys.shape, cfg.jdtype
+            ))
+        fused = F.fused_enabled(cfg, state, n_batch=ys.shape[1])
+        k = (fused, mask is not None, channel_mask is not None)
+        if k not in cache:
+            cache[k] = (build_fused(k[1], k[2]) if fused
+                        else build_xla(state, ys, k[1], k[2]))
+        return cache[k](state, ys, us, keys, lrs, *rest)
+
+    return call
+
+
 def make_sharded_epoch(cfg: VJFConfig, flags: StepFlags, mesh: Mesh, donate: bool = True):
     """Jit ``run_epoch`` with explicit in/out shardings over ``mesh``.
 
