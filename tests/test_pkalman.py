@@ -507,3 +507,79 @@ def test_smoothing_n_iter_validation():
     _, s1 = SM.smooth_iterated(cfg, state, y, n_iter=1)
     _, p1 = SM.smooth_poisson(cfg, state, y, n_iter=1)
     np.testing.assert_array_equal(np.asarray(s1.means), np.asarray(p1.means))
+
+
+def test_smooth_batch_matches_per_trial(key):
+    """smooth_batch: one vmapped dispatch over (T, B, ydim) trials must
+    reproduce the per-trial single-sequence smoother for both likelihoods,
+    including per-trial x_ref linearizations and a shared channel mask;
+    and the dp-sharded variant must match the unsharded one."""
+    from vjf_tpu.config import VJFConfig
+    from vjf_tpu.models import smoothing
+    from vjf_tpu.models import vjf as core
+    from vjf_tpu.parallel import make_mesh
+
+    rng = np.random.default_rng(5)
+    T, B, ydim = 40, 8, 12
+    for lik in ("gaussian", "poisson"):
+        cfg = VJFConfig(ydim=ydim, xdim=2, udim=0, n_rbf=12,
+                        hidden_sizes=(8,), likelihood=lik, dtype="float32",
+                        rls_backend="nsv")
+        state = core.init_state(key, cfg)
+        if lik == "gaussian":
+            y = rng.normal(size=(T, B, ydim)).astype(np.float32)
+        else:
+            y = rng.poisson(1.0, size=(T, B, ydim)).astype(np.float32)
+
+        fb, sb = smoothing.smooth_batch(cfg, state, y)
+        assert sb.means.shape == (T, B, 2)
+        assert fb.covs.shape == (T, B, 2, 2)
+        for b in (0, 3):
+            fr, sr = smoothing.smooth(cfg, state, y[:, b])
+            np.testing.assert_allclose(np.asarray(sb.means[:, b]),
+                                       np.asarray(sr.means),
+                                       rtol=2e-5, atol=2e-6)
+            np.testing.assert_allclose(np.asarray(fb.covs[:, b]),
+                                       np.asarray(fr.covs),
+                                       rtol=2e-5, atol=2e-6)
+
+        if len(jax.devices()) >= 8:
+            mesh = make_mesh(8, axis_names=("dp",))
+            fm, sm = smoothing.smooth_batch(cfg, state, y, mesh=mesh)
+            np.testing.assert_allclose(np.asarray(sm.means),
+                                       np.asarray(sb.means),
+                                       rtol=1e-6, atol=1e-7)
+
+        cm = (rng.uniform(size=(T, ydim)) > 0.3).astype(np.float32)
+        xr = rng.normal(size=(T, B, 2)).astype(np.float32)
+        f3, s3 = smoothing.smooth_batch(cfg, state, y, x_ref=xr,
+                                        channel_mask=cm)
+        n_it = 8 if lik == "poisson" else 1
+        fr3, sr3 = smoothing.smooth_iterated(cfg, state, y[:, 2],
+                                             n_iter=n_it, x_ref=xr[:, 2],
+                                             channel_mask=cm)
+        np.testing.assert_allclose(np.asarray(s3.means[:, 2]),
+                                   np.asarray(sr3.means),
+                                   rtol=2e-5, atol=2e-6)
+
+
+def test_smooth_batch_validation(key):
+    """Shape validation: 2-d input, wrong x_ref/channel_mask shapes."""
+    import pytest
+
+    from vjf_tpu.config import VJFConfig
+    from vjf_tpu.models import smoothing
+    from vjf_tpu.models import vjf as core
+
+    cfg = VJFConfig(ydim=6, xdim=2, udim=0, n_rbf=8, hidden_sizes=(4,),
+                    likelihood="gaussian", dtype="float32")
+    state = core.init_state(key, cfg)
+    y3 = np.zeros((10, 4, 6), np.float32)
+    with pytest.raises(ValueError, match="single sequence"):
+        smoothing.smooth_batch(cfg, state, np.zeros((10, 6), np.float32))
+    with pytest.raises(ValueError, match="x_ref"):
+        smoothing.smooth_batch(cfg, state, y3,
+                               x_ref=np.zeros((10, 2), np.float32))
+    with pytest.raises(ValueError, match="channel_mask"):
+        smoothing.smooth_batch(cfg, state, y3,
+                               channel_mask=np.ones((10, 5), np.float32))

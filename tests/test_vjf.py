@@ -321,6 +321,15 @@ def test_oo_api_smooth_facade(key):
         assert np.all(np.isfinite(np.asarray(smoothed.means)))
         assert np.all(np.isfinite(np.asarray(smoothed.covs)))
 
+        # (T, B, ydim) dispatches to the batched vmapped smoother; trial 0
+        # of a stacked batch reproduces the single-sequence result
+        yb = np.stack([y, y + rng.normal(size=y.shape) * 0.1], axis=1)
+        fb, sb = model.smooth(yb)
+        assert sb.means.shape == (N, 2, xdim)
+        np.testing.assert_allclose(np.asarray(sb.means[:, 0]),
+                                   np.asarray(smoothed.means),
+                                   rtol=2e-6, atol=1e-8)
+
 
 def test_warmup_max_forces_transition(key):
     """cfg.warmup_max: with a plateau that can never fire (rtol=0), the

@@ -14,6 +14,7 @@ from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import Array
 
 from .config import StepFlags, VJFConfig
@@ -617,25 +618,38 @@ class VJF:
 
     # -- post-hoc smoothing (capability beyond the reference) -------------
     def smooth(self, y: Array, x_ref: Optional[Array] = None,
-               channel_mask: Optional[Array] = None):
-        """Parallel-in-time RTS smoothing of one (T, ydim) sequence under
-        the trained model — O(log T) depth via the associative-scan Kalman
-        core (``models/smoothing.py``). Gaussian likelihoods use the
+               channel_mask: Optional[Array] = None, mesh=None):
+        """Parallel-in-time RTS smoothing under the trained model —
+        O(log T) depth via the associative-scan Kalman core
+        (``models/smoothing.py``). Gaussian likelihoods use the
         linearized dynamics directly; Poisson dispatches to the
         iterated-Laplace variant. Returns ``(filtered, smoothed)`` result
         pytrees with per-step means/covariances. ``x_ref`` sets the
         dynamics linearization: a single ``(xdim,)`` point (default:
-        origin) or a ``(T, xdim)`` reference trajectory such as the
-        filter's posterior means (per-step affine dynamics, transition
-        into step t linearized at ``x_ref[t-1]``).
+        origin) or a reference trajectory such as the filter's posterior
+        means (per-step affine dynamics, transition into step t
+        linearized at ``x_ref[t-1]``).
+
+        ``y`` may be one (T, ydim) sequence or a (T, B, ydim) trial batch
+        — the batch smooths in ONE vmapped dispatch
+        (``smoothing.smooth_batch``; ``x_ref`` then (T, B, xdim), results
+        gain a trial axis), optionally sharded over ``mesh`` (trials on
+        ``dp``, zero collectives).
 
         ``channel_mask``: optional (T, ydim) 0/1 missing-observation mask
         — masked entries drop out of the update exactly (infinite
         observation variance, zero Kalman gain); their stored values may
-        be NaN.
+        be NaN. (T, B, ydim) for per-trial masks on a batch.
         """
         from .models import smoothing
 
+        if not hasattr(y, "ndim"):      # host-side; wire ingest downstream
+            y = np.asarray(y)
+        if y.ndim == 3:
+            return smoothing.smooth_batch(
+                self.cfg, self.state, y, x_ref=x_ref,
+                channel_mask=channel_mask, mesh=mesh,
+            )
         return smoothing.smooth(
             self.cfg, self.state, y, x_ref=x_ref,  # wire ingest in smooth()
             channel_mask=channel_mask,

@@ -76,6 +76,9 @@ def _mask_promote(channel_mask, ys):
     return jnp.broadcast_to(jnp.atleast_2d(cm), ys.shape)
 
 
+_BATCH_SMOOTH_JIT = {}  # (cfg, n_iter, xr_axis, cm_axis) -> jitted vmap
+
+
 def smooth(
     cfg: VJFConfig,
     state: TrainState,
@@ -214,6 +217,103 @@ def smooth_poisson(
                 cfg, state, smoothed.means, t_len
             )
     return filtered, smoothed
+
+
+def smooth_batch(
+    cfg: VJFConfig,
+    state: TrainState,
+    ys: Array,
+    x_ref: Optional[Array] = None,
+    channel_mask: Optional[Array] = None,
+    n_iter: Optional[int] = None,
+    mesh=None,
+) -> Tuple[pkalman.FilterResult, pkalman.SmoothResult]:
+    """Batched post-hoc smoothing of ``(T, B, ydim)`` trials — ``vmap`` of
+    :func:`smooth_iterated` over the trial axis, optionally sharded over a
+    device mesh.
+
+    Trials are independent given the trained model (the smoother has no
+    cross-trial coupling), so the batch axis is embarrassingly parallel:
+    one dispatch smooths all trials (vs B sequential single-sequence
+    dispatches — at the flagship's 256 trials that is 256 tunnel
+    round-trips and 256 un-batched MXU workloads). ``n_iter=None``
+    matches :func:`smooth`'s per-trial defaults (one Gaussian pass /
+    eight Poisson Laplace passes); an explicit value iterates the EKS
+    re-linearization per trial (:func:`smooth_iterated`).
+
+    ``x_ref``: optional (T, B, xdim) per-trial linearization trajectories
+    — e.g. ``FitResult.mu`` — or None for the global affine model.
+    ``channel_mask``: (T, ydim) shared across trials or (T, B, ydim)
+    per-trial.
+    ``mesh``: optional ``jax.sharding.Mesh`` — trials shard over ``dp``
+    (model state replicated; zero collectives, pure data parallelism).
+
+    Memory note: the returned covariances are (T, B, xdim, xdim) ×2 —
+    chunk the trial axis for very long sequences.
+    """
+    if n_iter is None:
+        n_iter = 8 if cfg.likelihood == "poisson" else 1
+    ys = wire_ingest(ys, cfg.jdtype)
+    if ys.ndim != 3:
+        raise ValueError(
+            "smooth_batch() takes (T, B, ydim) trials; use smooth() for a "
+            "single sequence"
+        )
+    t_len, n_batch, _ = ys.shape
+    xr_axis = None
+    if x_ref is not None:
+        x_ref = jnp.asarray(x_ref, cfg.jdtype)
+        if x_ref.shape != (t_len, n_batch, cfg.xdim):
+            raise ValueError(
+                f"smooth_batch: x_ref must be (T, B, xdim) = "
+                f"{(t_len, n_batch, cfg.xdim)}, got {x_ref.shape}"
+            )
+        xr_axis = 1
+    cm_axis = None
+    if channel_mask is not None:
+        channel_mask = jnp.asarray(channel_mask)
+        if channel_mask.ndim == 3:
+            if channel_mask.shape != ys.shape:
+                raise ValueError(
+                    f"smooth_batch: 3-d channel_mask must match ys "
+                    f"{ys.shape}, got {channel_mask.shape}"
+                )
+            cm_axis = 1
+        elif channel_mask.shape != (t_len, cfg.ydim):
+            raise ValueError(
+                "smooth_batch: channel_mask must be (T, ydim) shared or "
+                f"(T, B, ydim) per-trial, got {channel_mask.shape}"
+            )
+
+    # one jitted wrapper per (cfg, n_iter, axes) — a fresh jax.jit per call
+    # would discard the trace cache (the _ADAPT_JIT trap, models/vjf.py)
+    jk = (cfg, n_iter, xr_axis, cm_axis)
+    if jk not in _BATCH_SMOOTH_JIT:
+        def one(st, y, xr, cm):
+            return smooth_iterated(cfg, st, y, n_iter=n_iter, x_ref=xr,
+                                   channel_mask=cm)
+
+        _BATCH_SMOOTH_JIT[jk] = jax.jit(
+            jax.vmap(one, in_axes=(None, 1, xr_axis, cm_axis), out_axes=1)
+        )
+    fn = _BATCH_SMOOTH_JIT[jk]
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        dp = "dp" if "dp" in mesh.axis_names else mesh.axis_names[0]
+        if n_batch % mesh.shape[dp] == 0:
+            trial = NamedSharding(mesh, P(None, dp))
+            replicated = NamedSharding(mesh, P())
+            ys = jax.device_put(ys, trial)
+            state = jax.device_put(
+                state, jax.tree.map(lambda _: replicated, state)
+            )
+            if xr_axis is not None:
+                x_ref = jax.device_put(x_ref, trial)
+            if cm_axis is not None:
+                channel_mask = jax.device_put(channel_mask, trial)
+        # non-dividing batch: fall through single-device (correct either way)
+    return fn(state, ys, x_ref, channel_mask)
 
 
 def smooth_iterated(
