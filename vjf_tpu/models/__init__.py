@@ -1,4 +1,14 @@
-from . import decoder, dynamics, likelihoods, rbf, rbfn, recognition, regression, vjf
+from . import (
+    decoder,
+    dynamics,
+    likelihoods,
+    rbf,
+    rbfn,
+    recognition,
+    regression,
+    smoothing,
+    vjf,
+)
 from .dynamics import DynamicsState
 from .rbfn import RBFNParams, apply_rbfn, init_rbfn
 from .vjf import Metrics, Params, TrainState, filter_step, fit, forecast, init_state, run_epoch
@@ -10,6 +20,7 @@ __all__ = [
     "rbf",
     "recognition",
     "regression",
+    "smoothing",
     "vjf",
     "DynamicsState",
     "Metrics",
