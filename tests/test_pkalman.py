@@ -583,3 +583,29 @@ def test_smooth_batch_validation(key):
     with pytest.raises(ValueError, match="channel_mask"):
         smoothing.smooth_batch(cfg, state, y3,
                                channel_mask=np.ones((10, 5), np.float32))
+
+
+def test_smoothing_with_sgp_dynamics(key):
+    """The post-hoc smoother linearizes whatever transition the model
+    carries — the SGP velocity field included (transition_gaussian is the
+    shared interface). Plain, iterated, and batched variants."""
+    from vjf_tpu.config import VJFConfig
+    from vjf_tpu.models import smoothing
+    from vjf_tpu.models import vjf as core
+
+    cfg = VJFConfig(ydim=8, xdim=2, udim=0, n_rbf=12, hidden_sizes=(6,),
+                    likelihood="gaussian", dtype="float32", dynamics="sgp",
+                    rls_backend="nsv")
+    state = core.init_state(key, cfg)
+    rng = np.random.default_rng(1)
+    y = rng.normal(size=(30, 8)).astype(np.float32)
+
+    f, s = smoothing.smooth(cfg, state, y)
+    assert s.means.shape == (30, 2)
+    assert np.all(np.isfinite(np.asarray(s.means)))
+    f2, s2 = smoothing.smooth_iterated(cfg, state, y, n_iter=3)
+    assert np.all(np.isfinite(np.asarray(s2.means)))
+    yb = rng.normal(size=(30, 4, 8)).astype(np.float32)
+    fb, sb = smoothing.smooth_batch(cfg, state, yb)
+    assert sb.means.shape == (30, 4, 2)
+    assert np.all(np.isfinite(np.asarray(sb.means)))
