@@ -723,3 +723,22 @@ def test_fit_over_mesh_blocked_masked(key, mesh8):
     mu = np.asarray(res.mu)
     assert np.all(np.isfinite(mu))
     np.testing.assert_array_equal(mu[-1, 5], mu[T2 - 1, 5])
+
+
+def test_fit_over_mesh_blocked_sgp(key, mesh8):
+    """SGP dynamics through the blocked mesh fit: the sharded fused SGP
+    epoch scans device-side and the slow-timescale hyperparameter adapt
+    step consumes the block's dp-sharded posterior means."""
+    y = _limit_cycle_data(seed=31, T=40, B=16)
+    cfg = VJFConfig(ydim=10, xdim=2, udim=0, n_rbf=16, hidden_sizes=(8,),
+                    likelihood="gaussian", dtype="float32", dynamics="sgp",
+                    rls_backend="nsv", fused_step="on",
+                    matmul_dtype="float32", lr=3e-3, rtol=1e-12,
+                    warmup_max=2, sgp_adapt_lr=0.05)
+    state = core.init_state(key, cfg)
+    dp_mesh = make_mesh(8, axis_names=("dp",))
+    res = core.fit(cfg, state, y, key=key, max_iter=6, donate=False,
+                   mesh=dp_mesh, epochs_per_dispatch=3)
+    assert not res.warm_up
+    assert np.isfinite(res.loss)
+    assert np.all(np.isfinite(np.asarray(res.mu)))
