@@ -769,3 +769,62 @@ def test_mega_unroll_matches_k1(key):
     with pytest.raises(ValueError, match="mega_unroll"):
         F.run_epoch_fused(cfg.replace(mega_unroll=3), flags, state, ys, us,
                           key, lr, noise=(eps[0], eps[1]), interpret=True)
+
+
+def test_epoch_repair_mechanism_and_gating(key):
+    """cfg.rls_epoch_repair: an RLS-active fused epoch at B < 64 ('auto')
+    starts by spectral-repairing the NSV pair — running from a poisoned
+    (indefinite-P, drifted-V) state with repair enabled must equal an
+    explicit regression.spectral_repair followed by a repair-off epoch,
+    and must stay finite/bounded (the unrepaired canonical continuation
+    exploded to |w| ~ 2e12 with the state noise pinned at +clamp)."""
+    from vjf_tpu.models import regression as R
+
+    cfg = VJFConfig(ydim=12, xdim=2, udim=0, n_rbf=16, hidden_sizes=(10,),
+                    likelihood="gaussian", dtype="float32", rls_backend="nsv",
+                    fused_step="off", matmul_dtype="float32", ns_prefix=4,
+                    rls_shrink=0.999, chol_jitter=1e-3)
+    state = core.init_state(key, cfg)
+
+    # poison the tracked pair the way a long f32 stream does: indefinite P
+    # (noise below the jitter floor), V drifted off the true inverse
+    rng = np.random.default_rng(1)
+    n = cfg.n_rbf
+    q, _ = np.linalg.qr(rng.normal(size=(n, n)))
+    lam = np.concatenate([np.geomspace(8.6e4, 1.0, n - 3), [1e-4, 0.0, -7.2]])
+    p_bad = ((q * lam) @ q.T).astype(np.float32)
+    v_bad = (np.linalg.pinv(p_bad.astype(np.float64))
+             + 0.05 * rng.normal(size=(n, n))).astype(np.float32)
+    blr_bad = R.NSVBLR(state.dynamics.blr.w_mean, jnp.asarray(p_bad),
+                       jnp.asarray(v_bad))
+    poisoned = state._replace(dynamics=state.dynamics._replace(blr=blr_bad))
+
+    T, B = 40, 8
+    ys = jax.random.normal(key, (T, B, cfg.ydim), jnp.float32)
+    us = jnp.zeros((T, B, 0), jnp.float32)
+    eps = jax.random.normal(key, (2, T, B, cfg.xdim), jnp.float32)
+    lr = jnp.asarray(1e-3, jnp.float32)
+    flags = StepFlags()
+
+    assert F.epoch_repair_enabled(cfg, 8)                  # auto: B < 64
+    assert not F.epoch_repair_enabled(cfg, 64)
+    assert F.epoch_repair_enabled(cfg.replace(rls_epoch_repair="on"), 256)
+    assert not F.epoch_repair_enabled(cfg.replace(rls_epoch_repair="off"), 1)
+
+    got = F.run_epoch_fused(cfg, flags, poisoned, ys, us, key, lr,
+                            noise=(eps[0], eps[1]), interpret=True)
+
+    manual = poisoned._replace(dynamics=poisoned.dynamics._replace(
+        blr=R.spectral_repair(poisoned.dynamics.blr)))
+    ref = F.run_epoch_fused(cfg.replace(rls_epoch_repair="off"), flags,
+                            manual, ys, us, key, lr,
+                            noise=(eps[0], eps[1]), interpret=True)
+
+    for a, b in zip(jax.tree.leaves(got.state), jax.tree.leaves(ref.state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    w = np.asarray(got.state.dynamics.blr.w_mean)
+    assert np.isfinite(w).all() and np.abs(w).max() < 1e3
+    resid = np.asarray(got.state.dynamics.blr.precision
+                       @ got.state.dynamics.blr.cov) - np.eye(n)
+    assert np.abs(resid).max() < 0.1        # tracking healthy after the epoch

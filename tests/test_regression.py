@@ -238,3 +238,32 @@ def test_covariance_jitter_rejected_at_config_time(key):
     with pytest.raises(ValueError, match="chol_jitter"):
         from vjf_tpu.models import vjf as core
         core.init_state(key, cfg)
+
+
+def test_spectral_repair_restores_tracked_pair():
+    """Epoch-boundary NSV repair (regression.spectral_repair): an
+    indefinite, ill-conditioned P with a drifted tracked inverse comes back
+    as a PD pair with cond <= 1/rel_floor and V exactly P^{-1}, w kept —
+    the state observed after one canonical B=1 epoch (evmin -7.2 at
+    evmax 8.6e4, |PV - I| ~ 0.7) made the NEXT epoch explode to |w| ~ 2e12."""
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    n = 12
+    q, _ = np.linalg.qr(rng.normal(size=(n, n)))
+    lam = np.array([8.6e4, 3e4, 1e3, 50.0, 5.0, 1.0,
+                    1e-2, 1e-5, 0.0, -1e-3, 2e-6, -7.2])
+    p = (q * lam) @ q.T
+    w = rng.normal(size=(n, 3)).astype(np.float32)
+    v_drift = (np.linalg.pinv(p) + 0.1 * rng.normal(size=(n, n))).astype(np.float32)
+    st = R.NSVBLR(jnp.asarray(w), jnp.asarray(p, jnp.float32), jnp.asarray(v_drift))
+
+    rep = R.spectral_repair(st)
+    evs = np.linalg.eigvalsh(np.asarray(rep.precision, dtype=np.float64))
+    assert evs.min() > 0
+    assert evs.max() / evs.min() <= 1e4 * 1.01
+    resid = np.asarray(rep.precision) @ np.asarray(rep.cov) - np.eye(n)
+    assert np.abs(resid).max() < 5e-3      # exact pair at f32 / cond 1e4
+    np.testing.assert_array_equal(np.asarray(rep.w_mean), w)
+    # informative subspace preserved: the top eigenvalue is untouched
+    assert abs(evs.max() - 8.6e4) / 8.6e4 < 1e-3

@@ -138,6 +138,23 @@ class VJFConfig:
     # the re-whitened basis. 0 disables (hypers frozen at the cfg values).
     sgp_adapt_lr: float = 0.0
     sgp_adapt_steps: int = 5
+    # fraction of post-prefix steps hitting the in-kernel Newton-Schulz
+    # escalation ceiling (samples skipped, models/vjf.py hot-tau check)
+    # above which fit() demotes the epoch to the XLA path and re-runs it.
+    # Rare hits are harmless (the skip keeps P and V consistent); >= 1
+    # disables demotion entirely (skipped samples are simply dropped).
+    demote_hot_frac: float = 0.01
+    # epoch-boundary spectral repair of the NSV-tracked (P, V) pair
+    # (regression.spectral_repair): re-factorize P through a relative-
+    # floored eigh at the START of every RLS-active fused/mega epoch so the
+    # Newton-Schulz tracking drift of one epoch cannot compound into the
+    # next (the canonical B=1 workload went indefinite-P within a single
+    # 3,183-step epoch and exploded in the following one). 'auto' = on when
+    # the per-step trial count < ops/pallas/fused_step.NS_ONE_ITER_MIN_BATCH
+    # (the dispatch-bound small-batch regimes where the ~1 ms eigh is
+    # invisible and the long-stream conditioning failure lives); 'on'/'off'
+    # force it. XLA-path epochs never need it (per-step exact fallback).
+    rls_epoch_repair: str = "auto"
     # below this per-step trial count the SGP fused path is skipped under
     # 'auto' (measured: tiny-batch SGP keeps the NSV trace bound hot
     # forever, so the mega layout only demotes after a wasted compile —

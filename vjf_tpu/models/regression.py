@@ -340,6 +340,39 @@ def one_shot_rls(
     return NSVBLR(w_new, p_new, v_new)
 
 
+def spectral_repair(state: NSVBLR, rel_floor: float = 1e-4) -> NSVBLR:
+    """Epoch-boundary re-factorization of the Newton-Schulz-tracked pair.
+
+    Over a long small-batch stream, f32 accumulation noise in the precision
+    recursion ``P <- lam P + F^T F + jitter I`` has amplitude
+    ``~eps * lam_max * sqrt(T)``; once that exceeds the jitter floor, P's
+    un-excited eigendirections turn indefinite (measured on the canonical
+    3,183-step B=1 workload: evmin -7.2 at evmax 8.6e4 after ONE
+    post-bootstrap epoch) and the tracked inverse drifts (|PV - I| -> 0.7
+    while the per-step trace bound still reads 0.04) — the NEXT epoch then
+    explodes (w ~ 2e12, state noise pinned at +clamp). This repair runs a
+    relative-floored eigh (``ops.linalg.eigh_floor_inv_pair``; the 1e-4
+    floor per CLAUDE.md trap 11) once per epoch BOUNDARY: P becomes PD with
+    cond <= 1/rel_floor and V its exact inverse, so every epoch starts from
+    a clean pair and within-epoch drift cannot compound across epochs.
+    ``w`` is kept — flooring is an identity-prior ridge on directions the
+    data never excited, which barely moves the posterior mean.
+
+    Cost: one eigh(n_feature+pad) per epoch (~1 ms on v5e) — invisible in
+    the dispatch-bound B < 64 regime it targets (``cfg.rls_epoch_repair``,
+    auto = mega/fused RLS epochs with batch < NS_ONE_ITER_MIN_BATCH). Not
+    a per-step op: eigh inside the hot scan is catastrophic (trap 5).
+    """
+    from ..ops.linalg import eigh_floor_inv_pair
+
+    dt = state.precision.dtype
+    sol_dt = jnp.promote_types(dt, jnp.float32)
+    p_new, v_new = eigh_floor_inv_pair(
+        state.precision.astype(sol_dt), rel_floor=rel_floor
+    )
+    return NSVBLR(state.w_mean, p_new.astype(dt), v_new.astype(dt))
+
+
 def kalman(
     state: BLRState,
     feat: Array,

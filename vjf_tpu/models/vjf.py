@@ -877,7 +877,7 @@ def fit(
             # layout would systematically drop the most informative
             # samples (measured: B=1 SGP runs ~97% hot; a Van der Pol fit
             # trips a handful of transient steps and is fine on mega).
-            if hot_frac > 0.01:
+            if hot_frac > cfg.demote_hot_frac:
                 logger.warning(
                     "Newton-Schulz residual bound exceeded the in-kernel "
                     "escalation ceiling on %.1f%% of post-prefix steps "

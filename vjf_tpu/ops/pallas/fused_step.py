@@ -76,6 +76,20 @@ NS_TAU_ESCALATE = 0.05
 NS_ONE_ITER_MIN_BATCH = 64
 
 
+def epoch_repair_enabled(cfg, n_batch: int) -> bool:
+    """Resolve ``cfg.rls_epoch_repair``: 'auto' enables the epoch-boundary
+    spectral repair (``models.regression.spectral_repair``) for small-batch
+    fused epochs — the dispatch-bound regime where the per-epoch eigh is
+    invisible and where long-stream f32 conditioning failures live (the
+    large-batch bands measured post-prefix tau < 1e-6; their P stays
+    benign and the flagship epoch is compute-bound, so auto skips them)."""
+    if cfg.rls_epoch_repair == "on":
+        return True
+    if cfg.rls_epoch_repair == "off":
+        return False
+    return n_batch < NS_ONE_ITER_MIN_BATCH
+
+
 def _round_up(x: int, m: int = 128) -> int:
     return ((x + m - 1) // m) * m
 
@@ -1939,6 +1953,21 @@ def run_epoch_fused(cfg, flags, state, ys, us, key, lr, noise=None, q0=None,
         eps = jax.random.normal(key, (t_len, 2, n_batch, cfg.xdim), ys.dtype)
         noise = (eps[:, 0], eps[:, 1])
 
+    do_fallback = flags.update and flags.update_transition and not flags.warm_up
+    if do_fallback and epoch_repair_enabled(cfg, n_batch):
+        from ...models import regression as _reg
+
+        if isinstance(state.dynamics.blr, _reg.NSVBLR):
+            # start every RLS-active epoch from an exactly consistent PD
+            # (P, V) pair — see regression.spectral_repair (must run on the
+            # UNPADDED blr: the relative floor would lift the pad identity
+            # block's unit eigenvalues to rel_floor * lam_max)
+            state = state._replace(
+                dynamics=state.dynamics._replace(
+                    blr=_reg.spectral_repair(state.dynamics.blr)
+                )
+            )
+
     carry0 = pad_carry(cfg, state)
     if internal_rng:
         seed = jax.random.randint(key, (1, 1), 0, jnp.iinfo(jnp.int32).max, jnp.int32)
@@ -1956,7 +1985,6 @@ def run_epoch_fused(cfg, flags, state, ys, us, key, lr, noise=None, q0=None,
             jnp.broadcast_to(jnp.asarray(channel_mask, ys.dtype), ys.shape)
             > 0
         ).astype(ys.dtype)
-    do_fallback = flags.update and flags.update_transition and not flags.warm_up
 
     if cfg.fused_epoch == "mega":
         prefix = min(cfg.ns_prefix, t_len) if do_fallback else 0
