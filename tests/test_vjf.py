@@ -218,6 +218,52 @@ def test_fit_blocked_demotes_on_hot_tau(key, caplog):
     assert any("demoting" in r.message for r in caplog.records)
 
 
+def test_fit_reprobes_mega_after_demotion(key, caplog):
+    """Hot-tau demotion must not be permanent: after cfg.repromote_after
+    epochs fit() re-probes the mega layout (cfg.repromote_max bounds the
+    probes). This gentle B=1 SGP config trips the demotion threshold
+    marginally (~1.4% hot at the first post-bootstrap epoch on CPU), so
+    the probe may land either way — both outcomes are valid: a clean
+    probe stays on mega (one demotion total), a hot probe re-runs from
+    its pre-epoch state and demotes again (two). The invariants are that
+    exactly repromote_max probes fire and the fit stays finite."""
+    import logging
+
+    from vjf_tpu.datasets import linear_gaussian_observations, ring_attractor
+
+    x = ring_attractor(T=80)
+    y, _, _ = linear_gaussian_observations(x, 10, obs_noise=0.1,
+                                           intercept=False, seed=7)
+    y = y.astype(np.float32)
+
+    base = dict(ydim=10, xdim=2, udim=0, dynamics="sgp", n_inducing=16,
+                sgp_scale=1.0, sgp_lengthscale=1.0, likelihood="gaussian",
+                dtype="float32", rls_backend="nsv", fused_step="on",
+                matmul_dtype="float32", ns_prefix=8, lr=1e-3,
+                rtol=1e-6, warmup_max=2)
+    cfg = VJFConfig(**base, repromote_after=1, repromote_max=1)
+    state = core.init_state(key, cfg)
+    with caplog.at_level(logging.INFO, logger="vjf_tpu"):
+        result = core.fit(cfg, state, y, key=key, max_iter=6)
+    assert np.isfinite(result.loss)
+    assert np.all(np.isfinite(np.asarray(result.state.dynamics.blr.precision)))
+    demotions = [r for r in caplog.records if "demoting" in r.message]
+    probes = [r for r in caplog.records if "Re-probing" in r.message]
+    assert len(probes) == 1, "repromote_max=1 must yield exactly one probe"
+    assert len(demotions) in (1, 2), "one initial demotion, plus one more " \
+        "only if the probe epoch itself ran hot"
+
+    # repromote_after=0 restores permanent demotion
+    caplog.clear()
+    cfg0 = VJFConfig(**base, repromote_after=0)
+    state0 = core.init_state(key, cfg0)
+    with caplog.at_level(logging.INFO, logger="vjf_tpu"):
+        result0 = core.fit(cfg0, state0, y, key=key, max_iter=6)
+    assert np.isfinite(result0.loss)
+    assert not any("Re-probing" in r.message for r in caplog.records)
+    assert sum("demoting" in r.message for r in caplog.records) == 1
+
+
 def test_oo_api_mirrors_reference(key):
     """The reference's test_VJF flow: make_model → fit → forecast
     (test_model.py:32-44), including control inputs."""

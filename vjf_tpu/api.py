@@ -341,7 +341,7 @@ class VJF:
             if pending is None:
                 return
             hot_frac = float(pending)
-            if hot_frac > 0.01:
+            if hot_frac > cfg.demote_hot_frac:
                 logger.warning(
                     "streaming filter: %.1f%% of the last mega-path "
                     "chunk's steps exceeded the Newton-Schulz escalation "
@@ -431,7 +431,7 @@ class VJF:
                 # resolve the PREVIOUS chunk's check now that this chunk is
                 # already in flight (the fetch overlaps device compute)
                 hot_frac, pending_hot = float(pending_hot), None
-                if hot_frac > 0.01:
+                if hot_frac > cfg.demote_hot_frac:
                     logger.warning(
                         "streaming filter: %.1f%% of the previous chunk's "
                         "steps exceeded the Newton-Schulz escalation "
@@ -454,7 +454,7 @@ class VJF:
                 else:
                     first_checked = True
                     hot_frac = float(hot)
-                    if hot_frac > 0.01:
+                    if hot_frac > cfg.demote_hot_frac:
                         logger.warning(
                             "streaming filter: %.1f%% of this chunk's steps "
                             "exceeded the Newton-Schulz escalation ceiling "

@@ -144,6 +144,20 @@ class VJFConfig:
     # Rare hits are harmless (the skip keeps P and V consistent); >= 1
     # disables demotion entirely (skipped samples are simply dropped).
     demote_hot_frac: float = 0.01
+    # hot-tau demotion is a safety net, not a verdict: a SINGLE hot epoch
+    # is often a transient (the first post-bootstrap epoch, or a canonical
+    # B=1 fit that went 7.7% hot at epoch 63 of 150 and then permanently
+    # crawled on the XLA path). After a demotion, fit() re-probes the mega
+    # layout once `repromote_after` epochs have passed: if the probe epoch
+    # is hot again it is re-run from its pre-epoch state on the XLA path
+    # exactly like the original demotion (cost: one wasted fast epoch; no
+    # new compile — both executables are already cached), and the probe
+    # budget `repromote_max` bounds the total waste for genuinely
+    # always-hot regimes. repromote_after=0 restores permanent demotion.
+    # Streaming (filter_stream) demotion stays permanent: a stream's
+    # hot regime is stationary by construction (no phase transitions).
+    repromote_after: int = 3
+    repromote_max: int = 2
     # epoch-boundary spectral repair of the NSV-tracked (P, V) pair
     # (regression.spectral_repair): re-factorize P through a relative-
     # floored eigh at the START of every RLS-active fused/mega epoch so the

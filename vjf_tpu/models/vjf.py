@@ -835,13 +835,35 @@ def fit(
     # from its pre-epoch state on the XLA path (fused_step='off' — its
     # per-step lax.cond exact fallback is both sound and, unlike a
     # per-step pallas scan with a cholesky-bearing cond, fast: TPU conds
-    # bill heavy untaken branches, CLAUDE.md trap #5) and the demotion
-    # sticks for the rest of fit. The pre-epoch state stays valid because
-    # donation is disabled under the mega layout (above).
+    # bill heavy untaken branches, CLAUDE.md trap #5). A demotion is NOT
+    # permanent: after cfg.repromote_after epochs the mega layout is
+    # re-probed (a hot probe epoch is re-run from its pre-epoch state just
+    # like the original demotion; cfg.repromote_max bounds the probes), so
+    # a transient hot epoch — e.g. the first post-bootstrap epoch — does
+    # not condemn the rest of the fit to the slow path. The pre-epoch
+    # state stays valid because donation is disabled under the mega
+    # layout (above).
     cfg_run = cfg
     mega_guard = mega_possible
+    demote_epoch: Optional[int] = None
+    repromotes_left = cfg.repromote_max if cfg.repromote_after > 0 else 0
 
     for epoch in range(max_iter):
+        if (
+            demote_epoch is not None
+            and repromotes_left > 0
+            and not warm_up
+            and epoch - demote_epoch >= cfg.repromote_after
+        ):
+            repromotes_left -= 1
+            demote_epoch = None
+            cfg_run = cfg
+            mega_guard = True
+            logger.info(
+                "Re-probing the mega layout at epoch %d (%d probes left) — "
+                "the demoted hot-tau regime may have been a transient.",
+                epoch, repromotes_left,
+            )
         key, k_epoch = jax.random.split(key)
         flags = StepFlags(sgd=True, update=True, warm_up=warm_up, train_decoder=warm_up)
         noise = noise_hook(epoch) if noise_hook is not None else None
@@ -887,6 +909,7 @@ def fit(
                 )
                 cfg_run = cfg_run.replace(fused_step="off")
                 mega_guard = False
+                demote_epoch = epoch
                 result = epoch_fn(
                     cfg_run, flags, backup, y, us, k_epoch,
                     jnp.asarray(lr, cfg.jdtype), noise=noise,
@@ -1111,9 +1134,29 @@ def _fit_blocked(
     res: Optional[EpochsResult] = None
     cfg_run = cfg
     mega_guard = mega_possible
+    demote_epoch: Optional[int] = None
+    repromotes_left = cfg.repromote_max if cfg.repromote_after > 0 else 0
     epoch = 0
 
     while epoch < max_iter:
+        if (
+            demote_epoch is not None
+            and repromotes_left > 0
+            and not warm_up
+            and epoch - demote_epoch >= cfg.repromote_after
+        ):
+            # same transient-recovery policy as fit(): re-probe the mega
+            # layout at the block boundary; a hot probe block is re-run
+            # from its pre-block state exactly like the original demotion
+            repromotes_left -= 1
+            demote_epoch = None
+            cfg_run = cfg
+            mega_guard = True
+            logger.info(
+                "Re-probing the mega layout at epoch %d (%d probes left) — "
+                "the demoted hot-tau regime may have been a transient.",
+                epoch, repromotes_left,
+            )
         k = min(k_block, max_iter - epoch)
         if k != k_block:
             logger.info(
@@ -1138,7 +1181,11 @@ def _fit_blocked(
         )
         losses, max_taus, hot_fracs = vals[:k], vals[k:2 * k], vals[2 * k:]
 
-        if mega_guard and not warm_up and float(hot_fracs.max()) > 0.01:
+        if (
+            mega_guard
+            and not warm_up
+            and float(hot_fracs.max()) > cfg.demote_hot_frac
+        ):
             j = int(hot_fracs.argmax())
             logger.warning(
                 "Newton-Schulz residual bound exceeded the in-kernel "
@@ -1149,6 +1196,7 @@ def _fit_blocked(
             )
             cfg_run = cfg_run.replace(fused_step="off")
             mega_guard = False
+            demote_epoch = epoch + j
             res = epochs_fn(cfg_run, flags, backup, y, us, ekeys, lrs,
                             mask=mask, channel_mask=channel_mask)
             losses = np.asarray(res.epoch_loss)
