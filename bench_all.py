@@ -74,6 +74,11 @@ def bench_vdp():
     # the learned velocity field explodes off-manifold (forecast RMSE inf;
     # true f64 tolerates it, f32 does not). lam=0.999 bounds the memory at
     # ~1000 samples and the steady jitter ridge anchors the prior.
+    # stop_patience stays at the reference-faithful 1: measured on-chip,
+    # LONGER training degrades 20-step forecast skill on all three fit
+    # benches (patience=3 ran every config to max_iter=60 and pushed
+    # Lorenz forecast RMSE past persistence) — the single-shot plateau
+    # stop is a beneficial regularizer here, not a liability.
     cfg = VJFConfig(ydim=20, xdim=2, udim=0, n_rbf=100, hidden_sizes=(20,),
                     likelihood="gaussian", dtype="float32", rls_backend="nsv",
                     lr=3e-3, rtol=2e-3, rls_shrink=0.999, chol_jitter=1e-3)

@@ -264,6 +264,32 @@ def test_fit_reprobes_mega_after_demotion(key, caplog):
     assert sum("demoting" in r.message for r in caplog.records) == 1
 
 
+def test_stop_patience_defers_convergence(key):
+    """``cfg.stop_patience`` requires N CONSECUTIVE post-warm-up plateau
+    epochs before the early stop (default 1 = the reference's single-shot
+    break, vjf/model.py:293-295 — measured to stop a Van der Pol fit on a
+    transient plateau with the dynamics undertrained). With rtol large
+    enough that EVERY epoch is a plateau hit, the convergence epoch must
+    move by exactly stop_patience - 1, in both fit loops."""
+    rng = np.random.default_rng(0)
+    y = rng.normal(size=(40, 3, 8)).astype(np.float32)
+
+    def run(patience, k=None):
+        cfg = VJFConfig(ydim=8, xdim=2, udim=0, n_rbf=10, hidden_sizes=(8,),
+                        likelihood="gaussian", dtype="float32",
+                        rls_backend="nsv", rtol=10.0, stop_patience=patience)
+        state = core.init_state(key, cfg)
+        kwargs = {} if k is None else {"epochs_per_dispatch": k}
+        return core.fit(cfg, state, y, key=key, max_iter=12, **kwargs)
+
+    r1, r3 = run(1), run(3)
+    assert r3.epochs_run == r1.epochs_run + 2
+    # the block-dispatch loop honors it too (the break applies at the
+    # block boundary; with k=2 and patience-1=2 the boundary math is exact)
+    b1, b3 = run(1, k=2), run(3, k=2)
+    assert b3.epochs_run == b1.epochs_run + 2
+
+
 def test_oo_api_mirrors_reference(key):
     """The reference's test_VJF flow: make_model → fit → forecast
     (test_model.py:32-44), including control inputs."""

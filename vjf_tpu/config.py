@@ -158,16 +158,32 @@ class VJFConfig:
     # hot regime is stationary by construction (no phase transitions).
     repromote_after: int = 3
     repromote_max: int = 2
+    # post-warm-up early stopping: the reference breaks the fit on the
+    # FIRST epoch whose loss lands within rtol of the running EMA
+    # (vjf/model.py:293-295) — but a single transient plateau can stop
+    # training while forecast skill is still improving (measured on-chip:
+    # the Van der Pol bench fit stops at epoch 30 with 20-step forecast
+    # RMSE 0.87 when a trajectory perturbation lands one epoch inside
+    # rtol; with patience it runs to epoch ~45 and reaches 0.44 — latent
+    # R² is 0.990 either way, the classic recognition-masks-the-dynamics
+    # tell). stop_patience=N requires N CONSECUTIVE plateau epochs before
+    # stopping; 1 = the reference-faithful single-shot stop.
+    stop_patience: int = 1
     # epoch-boundary spectral repair of the NSV-tracked (P, V) pair
-    # (regression.spectral_repair): re-factorize P through a relative-
-    # floored eigh at the START of every RLS-active fused/mega epoch so the
-    # Newton-Schulz tracking drift of one epoch cannot compound into the
-    # next (the canonical B=1 workload went indefinite-P within a single
-    # 3,183-step epoch and exploded in the following one). 'auto' = on when
-    # the per-step trial count < ops/pallas/fused_step.NS_ONE_ITER_MIN_BATCH
-    # (the dispatch-bound small-batch regimes where the ~1 ms eigh is
-    # invisible and the long-stream conditioning failure lives); 'on'/'off'
-    # force it. XLA-path epochs never need it (per-step exact fallback).
+    # (regression.spectral_repair): at the START of every RLS-active
+    # fused/mega epoch with per-step trial count <
+    # ops/pallas/fused_step.NS_ONE_ITER_MIN_BATCH, probe P with a cholesky
+    # and — ONLY if it went indefinite (a one-time event at the first
+    # post-bootstrap boundary on the canonical/VdP B=1 workloads; evmin
+    # -7.2/-23.7 measured) — re-factorize through a relative-floored eigh
+    # so the next epoch cannot explode (|w| ~ 2e12 unrepaired). Healthy
+    # boundaries pass through BIT-UNTOUCHED: unconditional flooring lifts
+    # genuine eigenvalues between the jitter floor and the relative floor
+    # and measurably degrades the learned dynamics (VdP forecast 0.85 vs
+    # 0.51 at matched epochs — see spectral_repair's docstring). 'on'
+    # forces the old unconditional floor every boundary at any batch;
+    # 'off' disables. XLA-path epochs never need it (per-step exact
+    # fallback).
     rls_epoch_repair: str = "auto"
     # below this per-step trial count the SGP fused path is skipped under
     # 'auto' (measured: tiny-batch SGP keeps the NSV trace bound hot

@@ -340,36 +340,62 @@ def one_shot_rls(
     return NSVBLR(w_new, p_new, v_new)
 
 
-def spectral_repair(state: NSVBLR, rel_floor: float = 1e-4) -> NSVBLR:
+def spectral_repair(
+    state: NSVBLR, rel_floor: float = 1e-4, only_if_indefinite: bool = True
+) -> NSVBLR:
     """Epoch-boundary re-factorization of the Newton-Schulz-tracked pair.
 
     Over a long small-batch stream, f32 accumulation noise in the precision
-    recursion ``P <- lam P + F^T F + jitter I`` has amplitude
-    ``~eps * lam_max * sqrt(T)``; once that exceeds the jitter floor, P's
-    un-excited eigendirections turn indefinite (measured on the canonical
-    3,183-step B=1 workload: evmin -7.2 at evmax 8.6e4 after ONE
-    post-bootstrap epoch) and the tracked inverse drifts (|PV - I| -> 0.7
-    while the per-step trace bound still reads 0.04) — the NEXT epoch then
-    explodes (w ~ 2e12, state noise pinned at +clamp). This repair runs a
+    recursion ``P <- lam P + F^T F + jitter I`` can push P's un-excited
+    eigendirections INDEFINITE within a single epoch (measured on the
+    canonical 3,183-step B=1 workload: evmin -7.2 at evmax 8.6e4 after the
+    first post-bootstrap epoch; the VdP bench hit evmin -23.7 at the same
+    phase boundary) — the NEXT epoch then explodes (w ~ 2e12, state noise
+    pinned at +clamp) and costs a hot-tau demotion. This repair runs a
     relative-floored eigh (``ops.linalg.eigh_floor_inv_pair``; the 1e-4
     floor per CLAUDE.md trap 11) once per epoch BOUNDARY: P becomes PD with
-    cond <= 1/rel_floor and V its exact inverse, so every epoch starts from
-    a clean pair and within-epoch drift cannot compound across epochs.
-    ``w`` is kept — flooring is an identity-prior ridge on directions the
-    data never excited, which barely moves the posterior mean.
+    cond <= 1/rel_floor and V its exact inverse. ``w`` is kept — flooring
+    is an identity-prior ridge on directions the data never excited.
 
-    Cost: one eigh(n_feature+pad) per epoch (~1 ms on v5e) — invisible in
-    the dispatch-bound B < 64 regime it targets (``cfg.rls_epoch_repair``,
-    auto = mega/fused RLS epochs with batch < NS_ONE_ITER_MIN_BATCH). Not
-    a per-step op: eigh inside the hot scan is catastrophic (trap 5).
+    ``only_if_indefinite`` (the ``cfg.rls_epoch_repair='auto'`` behavior)
+    applies the repaired pair ONLY when ``cholesky(P)`` fails — i.e. when P
+    actually went indefinite. Measured (2026-08-19, epoch-boundary probes
+    with the repair off): indefiniteness is a ONE-TIME event at the first
+    post-bootstrap boundary, after which evmin sits at the jitter floor
+    (~ chol_jitter/(1-shrink)) — while a steady-state NS tracking residual
+    |PV - I| ~ 0.3-0.7 at the boundary snapshot is the healthy norm (the
+    per-step Newton refinement is self-correcting, so it never compounds).
+    Repairing UNCONDITIONALLY is actively harmful: at evmax ~ 8.5e4 the
+    1e-4 relative floor lands at ~8.5 — ABOVE the legitimate jitter floor
+    of ~1 — so every epoch start lifts genuinely-informative small
+    eigenvalues, over-certifies those directions, and the RLS under-updates
+    them ever after (measured: VdP 20-step forecast RMSE 0.85 with the
+    unconditional repair vs 0.51 without, at matched epochs, identical
+    latent R²). Pass ``only_if_indefinite=False`` (``'on'``) to force the
+    old unconditional behavior.
+
+    Cost: one eigh + one cholesky (n_feature+pad) per epoch (~1 ms on
+    v5e) — invisible in the dispatch-bound B < 64 regime it targets
+    (``cfg.rls_epoch_repair``, auto = mega/fused RLS epochs with batch <
+    NS_ONE_ITER_MIN_BATCH). Not a per-step op: eigh inside the hot scan is
+    catastrophic (trap 5). The PD probe is a plain ``jnp.linalg.cholesky``
+    NaN-check, not a ``lax.cond`` (trap 5 again: heavy untaken branches
+    bill anyway, so compute-and-select is the same cost and simpler).
     """
     from ..ops.linalg import eigh_floor_inv_pair
 
     dt = state.precision.dtype
     sol_dt = jnp.promote_types(dt, jnp.float32)
-    p_new, v_new = eigh_floor_inv_pair(
-        state.precision.astype(sol_dt), rel_floor=rel_floor
-    )
+    p_sym = state.precision.astype(sol_dt)
+    p_new, v_new = eigh_floor_inv_pair(p_sym, rel_floor=rel_floor)
+    if only_if_indefinite:
+        # XLA's cholesky yields NaNs past the failure point on a
+        # non-PD input — a one-op PD witness (also trips on NaN/inf in P,
+        # where the eigh repair output is garbage too, but the demotion
+        # safety net catches that regime either way)
+        ok = jnp.all(jnp.isfinite(jnp.linalg.cholesky(p_sym)))
+        p_new = jnp.where(ok, p_sym, p_new)
+        v_new = jnp.where(ok, state.cov.astype(sol_dt), v_new)
     return NSVBLR(state.w_mean, p_new.astype(dt), v_new.astype(dt))
 
 

@@ -847,6 +847,7 @@ def fit(
     mega_guard = mega_possible
     demote_epoch: Optional[int] = None
     repromotes_left = cfg.repromote_max if cfg.repromote_after > 0 else 0
+    plateau_hits = 0  # consecutive post-warm-up plateau epochs (stop_patience)
 
     for epoch in range(max_iter):
         if (
@@ -953,8 +954,12 @@ def fit(
                                             pair_w=pair_w)
         else:
             if _isclose(epoch_loss, running_loss, rtol):
-                logger.info("Converged at epoch %d.", epoch)
-                break
+                plateau_hits += 1
+                if plateau_hits >= cfg.stop_patience:
+                    logger.info("Converged at epoch %d.", epoch)
+                    break
+            else:
+                plateau_hits = 0
             if cfg.dynamics == "sgp" and cfg.sgp_adapt_lr > 0:
                 state = _sgp_adapt_step(cfg, state, result.q_means, us,
                                         pair_w=pair_w)
@@ -1136,6 +1141,7 @@ def _fit_blocked(
     mega_guard = mega_possible
     demote_epoch: Optional[int] = None
     repromotes_left = cfg.repromote_max if cfg.repromote_after > 0 else 0
+    plateau_hits = 0  # consecutive post-warm-up plateau epochs (stop_patience)
     epoch = 0
 
     while epoch < max_iter:
@@ -1227,9 +1233,13 @@ def _fit_blocked(
                             "Warm up stopped at epoch %d (applied at the "
                             "block boundary).", epoch + j,
                         )
-                elif not converged:
-                    converged = True
-                    logger.info("Converged at epoch %d.", epoch + j)
+                else:
+                    plateau_hits += 1
+                    if plateau_hits >= cfg.stop_patience and not converged:
+                        converged = True
+                        logger.info("Converged at epoch %d.", epoch + j)
+            elif not warm_up:
+                plateau_hits = 0
             running_loss = (
                 beta * running_loss + (1 - beta) * epoch_loss
                 if epoch + j > 0 else epoch_loss

@@ -1958,13 +1958,19 @@ def run_epoch_fused(cfg, flags, state, ys, us, key, lr, noise=None, q0=None,
         from ...models import regression as _reg
 
         if isinstance(state.dynamics.blr, _reg.NSVBLR):
-            # start every RLS-active epoch from an exactly consistent PD
-            # (P, V) pair — see regression.spectral_repair (must run on the
-            # UNPADDED blr: the relative floor would lift the pad identity
-            # block's unit eigenvalues to rel_floor * lam_max)
+            # start every RLS-active epoch from a PD (P, V) pair — see
+            # regression.spectral_repair (must run on the UNPADDED blr:
+            # the relative floor would lift the pad identity block's unit
+            # eigenvalues to rel_floor * lam_max). 'auto' repairs only
+            # when P actually went indefinite (unconditional flooring
+            # measurably degrades the learned dynamics — see the
+            # spectral_repair docstring); 'on' forces it every boundary.
             state = state._replace(
                 dynamics=state.dynamics._replace(
-                    blr=_reg.spectral_repair(state.dynamics.blr)
+                    blr=_reg.spectral_repair(
+                        state.dynamics.blr,
+                        only_if_indefinite=cfg.rls_epoch_repair != "on",
+                    )
                 )
             )
 

@@ -161,7 +161,10 @@ def run_epoch_fused_sharded(
             # state before padding/shard_map
             state = state._replace(
                 dynamics=state.dynamics._replace(
-                    blr=_reg.spectral_repair(state.dynamics.blr)
+                    blr=_reg.spectral_repair(
+                        state.dynamics.blr,
+                        only_if_indefinite=cfg.rls_epoch_repair != "on",
+                    )
                 )
             )
 
