@@ -156,8 +156,16 @@ class VJFConfig:
     # always-hot regimes. repromote_after=0 restores permanent demotion.
     # Streaming (filter_stream) demotion stays permanent: a stream's
     # hot regime is stationary by construction (no phase transitions).
+    # Budget sizing (measured on-chip, canonical 3,183x150 B=1 per-epoch
+    # fit whose hot epochs recur every ~3-5 epochs early on): max=2
+    # exhausted by epoch 39 and crawled 111 epochs on the XLA path
+    # (warm wall 16.2 s); max=8 kept recovering mega and halved the wall
+    # (9.4 s, 127x end-to-end) at identical final loss. A failed probe
+    # costs ~2 epoch-equivalents (one wasted mega epoch + one cached XLA
+    # re-run) and probes are repromote_after epochs apart, so the worst
+    # case is self-limiting even for always-hot regimes.
     repromote_after: int = 3
-    repromote_max: int = 2
+    repromote_max: int = 8
     # post-warm-up early stopping: the reference breaks the fit on the
     # FIRST epoch whose loss lands within rtol of the running EMA
     # (vjf/model.py:293-295) — but a single transient plateau can stop
