@@ -828,3 +828,54 @@ def test_epoch_repair_mechanism_and_gating(key):
     resid = np.asarray(got.state.dynamics.blr.precision
                        @ got.state.dynamics.blr.cov) - np.eye(n)
     assert np.abs(resid).max() < 0.1        # tracking healthy after the epoch
+
+
+def test_epoch_repair_mode_validation_and_helper(key):
+    """A typo'd rls_epoch_repair mode must fail loudly (silently resolving
+    'On'/'always' to 'auto' would skip the forced repair the user asked
+    for), and maybe_epoch_repair — the ONE gate shared by the fused,
+    sharded-fused, and hot-tau-demotion paths — must pass warm-up epochs,
+    repair-off configs, and large-batch 'auto' through untouched while
+    repairing an indefinite pair at small batch."""
+    from vjf_tpu.models import regression as R
+
+    cfg = VJFConfig(ydim=12, xdim=2, udim=0, n_rbf=16, hidden_sizes=(10,),
+                    likelihood="gaussian", dtype="float32", rls_backend="nsv",
+                    fused_step="off", matmul_dtype="float32",
+                    rls_shrink=0.999, chol_jitter=1e-3)
+    state = core.init_state(key, cfg)
+
+    for bad in ("On", "always", "true", ""):
+        with pytest.raises(ValueError, match="rls_epoch_repair"):
+            F.epoch_repair_enabled(cfg.replace(rls_epoch_repair=bad), 8)
+
+    rng = np.random.default_rng(2)
+    n = cfg.n_rbf
+    q, _ = np.linalg.qr(rng.normal(size=(n, n)))
+    lam = np.concatenate([np.geomspace(8.6e4, 1.0, n - 2), [0.0, -7.2]])
+    p_bad = ((q * lam) @ q.T).astype(np.float32)
+    v_bad = (np.linalg.pinv(p_bad.astype(np.float64))
+             + 0.05 * rng.normal(size=(n, n))).astype(np.float32)
+    poisoned = state._replace(dynamics=state.dynamics._replace(
+        blr=R.NSVBLR(state.dynamics.blr.w_mean, jnp.asarray(p_bad),
+                     jnp.asarray(v_bad))))
+
+    # RLS-inactive epochs and disabled/out-of-regime configs: identity
+    assert F.maybe_epoch_repair(
+        cfg, StepFlags(warm_up=True), poisoned, 8) is poisoned
+    assert F.maybe_epoch_repair(
+        cfg, StepFlags(update=False), poisoned, 8) is poisoned
+    assert F.maybe_epoch_repair(
+        cfg.replace(rls_epoch_repair="off"), StepFlags(), poisoned, 8
+    ) is poisoned
+    assert F.maybe_epoch_repair(cfg, StepFlags(), poisoned, 256) is poisoned
+
+    # RLS-active small-batch 'auto': the indefinite pair comes back PD —
+    # the state fit()'s demotion branch hands to the XLA re-run, whose
+    # per-step exact fallback choleskys P directly
+    repaired = F.maybe_epoch_repair(cfg, StepFlags(), poisoned, 8)
+    evs = np.linalg.eigvalsh(
+        np.asarray(repaired.dynamics.blr.precision, dtype=np.float64))
+    assert evs.min() > 0
+    np.testing.assert_array_equal(np.asarray(repaired.dynamics.blr.w_mean),
+                                  np.asarray(poisoned.dynamics.blr.w_mean))

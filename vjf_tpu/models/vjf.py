@@ -911,6 +911,12 @@ def fit(
                 cfg_run = cfg_run.replace(fused_step="off")
                 mega_guard = False
                 demote_epoch = epoch
+                # an epoch can be hot AND indefinite-at-start (both are
+                # post-bootstrap symptoms): the XLA path's per-step exact
+                # fallback choleskys P directly, so the re-run must not
+                # resume from an unrepaired non-PD backup (PD-gated — a
+                # healthy backup passes through untouched)
+                backup = _fused.maybe_epoch_repair(cfg, flags, backup, n_batch)
                 result = epoch_fn(
                     cfg_run, flags, backup, y, us, k_epoch,
                     jnp.asarray(lr, cfg.jdtype), noise=noise,
@@ -1203,6 +1209,9 @@ def _fit_blocked(
             cfg_run = cfg_run.replace(fused_step="off")
             mega_guard = False
             demote_epoch = epoch + j
+            # same hazard as fit()'s demotion: the XLA re-run must not
+            # resume from an unrepaired indefinite backup (PD-gated)
+            backup = _fused.maybe_epoch_repair(cfg, flags, backup, n_batch)
             res = epochs_fn(cfg_run, flags, backup, y, us, ekeys, lrs,
                             mask=mask, channel_mask=channel_mask)
             losses = np.asarray(res.epoch_loss)

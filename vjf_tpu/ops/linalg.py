@@ -48,7 +48,15 @@ def eigh_floor_inv_pair(a: Array, rel_floor: float = 1e-5):
     lam, u = jnp.linalg.eigh(symmetrize(a))
     lam_max = jnp.maximum(lam[-1], jnp.finfo(a.dtype).tiny)
     lam_f = jnp.maximum(lam, rel_floor * lam_max)
-    return (u * lam_f) @ u.T, (u / lam_f) @ u.T
+    # HIGHEST precision is load-bearing: the outputs feed iterative-inverse
+    # chains (NSV tracking, bootstrap w solve); a default bf16-pass
+    # reconstruction at cond 1/rel_floor ~ 1e4 would perturb P by more than
+    # the jitter floor it is meant to restore (CLAUDE.md traps 8/10)
+    hp = jax.lax.Precision.HIGHEST
+    return (
+        jnp.matmul(u * lam_f, u.T, precision=hp),
+        jnp.matmul(u / lam_f, u.T, precision=hp),
+    )
 
 
 def cholesky_f32(a: Array) -> Array:

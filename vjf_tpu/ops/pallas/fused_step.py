@@ -83,11 +83,50 @@ def epoch_repair_enabled(cfg, n_batch: int) -> bool:
     invisible and where long-stream f32 conditioning failures live (the
     large-batch bands measured post-prefix tau < 1e-6; their P stays
     benign and the flagship epoch is compute-bound, so auto skips them)."""
-    if cfg.rls_epoch_repair == "on":
+    mode = cfg.rls_epoch_repair
+    if mode not in ("auto", "on", "off"):
+        # fail loudly: a typo'd mode silently resolving to 'auto' would
+        # skip the forced repair the user asked for, with no error or log
+        raise ValueError(
+            f"rls_epoch_repair must be 'auto', 'on', or 'off' (got {mode!r})"
+        )
+    if mode == "on":
         return True
-    if cfg.rls_epoch_repair == "off":
+    if mode == "off":
         return False
     return n_batch < NS_ONE_ITER_MIN_BATCH
+
+
+def maybe_epoch_repair(cfg, flags, state, n_batch: int):
+    """Epoch-boundary spectral repair of the NSV-tracked (P, V) pair, if
+    this epoch is RLS-active and ``cfg.rls_epoch_repair`` resolves enabled.
+
+    THE single implementation of the repair gate — called by
+    ``run_epoch_fused``, the sharded fused epoch, and ``fit``'s hot-tau
+    demotion branch (the XLA re-run must not resume from the unrepaired
+    pre-epoch backup: an epoch that is both hot AND indefinite-at-start
+    would hand the XLA path's plain-cholesky exact fallback a non-PD P).
+    Must run on the UNPADDED blr: the relative floor would lift the pad
+    identity block's unit eigenvalues to ``rel_floor * lam_max``. 'auto'
+    repairs only when P actually went indefinite (unconditional flooring
+    measurably degrades the learned dynamics — see ``spectral_repair``'s
+    docstring); 'on' forces the floor every boundary.
+    """
+    do_fallback = flags.update and flags.update_transition and not flags.warm_up
+    if not (do_fallback and epoch_repair_enabled(cfg, n_batch)):
+        return state
+    from ...models import regression as _reg
+
+    if not isinstance(state.dynamics.blr, _reg.NSVBLR):
+        return state
+    return state._replace(
+        dynamics=state.dynamics._replace(
+            blr=_reg.spectral_repair(
+                state.dynamics.blr,
+                only_if_indefinite=cfg.rls_epoch_repair != "on",
+            )
+        )
+    )
 
 
 def _round_up(x: int, m: int = 128) -> int:
@@ -1954,25 +1993,9 @@ def run_epoch_fused(cfg, flags, state, ys, us, key, lr, noise=None, q0=None,
         noise = (eps[:, 0], eps[:, 1])
 
     do_fallback = flags.update and flags.update_transition and not flags.warm_up
-    if do_fallback and epoch_repair_enabled(cfg, n_batch):
-        from ...models import regression as _reg
-
-        if isinstance(state.dynamics.blr, _reg.NSVBLR):
-            # start every RLS-active epoch from a PD (P, V) pair — see
-            # regression.spectral_repair (must run on the UNPADDED blr:
-            # the relative floor would lift the pad identity block's unit
-            # eigenvalues to rel_floor * lam_max). 'auto' repairs only
-            # when P actually went indefinite (unconditional flooring
-            # measurably degrades the learned dynamics — see the
-            # spectral_repair docstring); 'on' forces it every boundary.
-            state = state._replace(
-                dynamics=state.dynamics._replace(
-                    blr=_reg.spectral_repair(
-                        state.dynamics.blr,
-                        only_if_indefinite=cfg.rls_epoch_repair != "on",
-                    )
-                )
-            )
+    # start every RLS-active epoch from a PD (P, V) pair (see
+    # maybe_epoch_repair; runs on the unpadded blr by construction here)
+    state = maybe_epoch_repair(cfg, flags, state, n_batch)
 
     carry0 = pad_carry(cfg, state)
     if internal_rng:

@@ -151,22 +151,10 @@ def run_epoch_fused_sharded(
         noise = (eps[:, 0], eps[:, 1])
 
     do_fallback = flags.update and flags.update_transition and not flags.warm_up
-    if do_fallback and F.epoch_repair_enabled(cfg, n_batch):
-        from ..models import regression as _reg
-
-        if isinstance(state.dynamics.blr, _reg.NSVBLR):
-            # same epoch-boundary spectral repair as the single-device
-            # fused path (run_epoch_fused), gated on the GLOBAL batch so
-            # sharded == single-device stays exact; runs on the replicated
-            # state before padding/shard_map
-            state = state._replace(
-                dynamics=state.dynamics._replace(
-                    blr=_reg.spectral_repair(
-                        state.dynamics.blr,
-                        only_if_indefinite=cfg.rls_epoch_repair != "on",
-                    )
-                )
-            )
+    # same epoch-boundary spectral repair as the single-device fused path,
+    # gated on the GLOBAL batch so sharded == single-device stays exact;
+    # runs on the replicated state before padding/shard_map
+    state = F.maybe_epoch_repair(cfg, flags, state, n_batch)
 
     carry0 = F.pad_carry(cfg, state)
     inv_b = 1.0 / n_batch
