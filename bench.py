@@ -44,6 +44,9 @@ def main() -> None:
 
     from vjf_tpu.config import StepFlags, VJFConfig
     from vjf_tpu.models import vjf as core
+    from vjf_tpu.utils.compile_cache import maybe_enable_from_env
+
+    maybe_enable_from_env()  # $VJF_COMPILE_CACHE: skip cold XLA compiles
 
     n_batch = int(sys.argv[1]) if len(sys.argv) > 1 else 256
     t_chunk = int(sys.argv[2]) if len(sys.argv) > 2 else 10000

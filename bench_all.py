@@ -293,6 +293,12 @@ ALL = {
 
 
 def main():
+    # $VJF_COMPILE_CACHE: persist XLA executables across processes — a
+    # cold process otherwise pays 30-60 s/graph through the tunnel, which
+    # dominates the small fit-based configs (docs/RESULTS.md)
+    from vjf_tpu.utils.compile_cache import maybe_enable_from_env
+
+    maybe_enable_from_env()
     names = sys.argv[1:] or list(ALL)
     for name in names:
         try:

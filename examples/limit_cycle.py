@@ -34,6 +34,9 @@ def generate_data(key, T=100.0, dt=1e-2 * math.pi, xdim=2, ydim=20, obs_noise=0.
 
 
 def main():
+    from vjf_tpu.utils.compile_cache import maybe_enable_from_env
+
+    maybe_enable_from_env()  # $VJF_COMPILE_CACHE: skip cold XLA compiles
     parser = argparse.ArgumentParser()
     parser.add_argument("--plot", default=None, help="save figure to this path")
     parser.add_argument("--max-iter", type=int, default=100)

@@ -30,6 +30,9 @@ from vjf_tpu.utils.evaluation import latent_r2
 
 
 def main():
+    from vjf_tpu.utils.compile_cache import maybe_enable_from_env
+
+    maybe_enable_from_env()  # $VJF_COMPILE_CACHE: skip cold XLA compiles
     ap = argparse.ArgumentParser()
     ap.add_argument("--max-iter", type=int, default=30)
     args = ap.parse_args()

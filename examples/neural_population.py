@@ -23,6 +23,9 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."
 
 
 def main():
+    from vjf_tpu.utils.compile_cache import maybe_enable_from_env
+
+    maybe_enable_from_env()  # $VJF_COMPILE_CACHE: skip cold XLA compiles
     parser = argparse.ArgumentParser()
     parser.add_argument("--trials", type=int, default=256)
     parser.add_argument("--steps", type=int, default=2000)

@@ -125,3 +125,34 @@ def test_sgp_adapt_jit_wrapper_is_cached():
     first = core._ADAPT_JIT[0]
     core._sgp_adapt_step(cfg, state, q, us)
     assert core._ADAPT_JIT[0] is first and len(core._ADAPT_JIT) == 1
+
+
+def test_compile_cache_enable_and_env_gate(tmp_path, monkeypatch):
+    """utils.compile_cache: explicit enable configures jax's persistent
+    compilation cache at the requested path; the env-gated hook is a no-op
+    without $VJF_COMPILE_CACHE, uses a path-like value as the directory,
+    and maps bare truthy values to the default cache location."""
+    import jax
+
+    from vjf_tpu.utils import compile_cache as cc
+
+    prev = jax.config.jax_compilation_cache_dir
+    try:
+        p = cc.enable_compilation_cache(str(tmp_path / "xla"),
+                                        min_compile_secs=60.0)
+        assert p == str(tmp_path / "xla")
+        assert jax.config.jax_compilation_cache_dir == p
+        import os
+        assert os.path.isdir(p)
+
+        monkeypatch.delenv("VJF_COMPILE_CACHE", raising=False)
+        assert cc.maybe_enable_from_env() is None
+
+        monkeypatch.setenv("VJF_COMPILE_CACHE", str(tmp_path / "xla2"))
+        assert cc.maybe_enable_from_env() == str(tmp_path / "xla2")
+
+        monkeypatch.setattr(cc, "_DEFAULT_DIR", str(tmp_path / "dflt"))
+        monkeypatch.setenv("VJF_COMPILE_CACHE", "1")
+        assert cc.maybe_enable_from_env() == str(tmp_path / "dflt")
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prev)
