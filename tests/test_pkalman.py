@@ -609,3 +609,112 @@ def test_smoothing_with_sgp_dynamics(key):
     fb, sb = smoothing.smooth_batch(cfg, state, yb)
     assert sb.means.shape == (30, 4, 2)
     assert np.all(np.isfinite(np.asarray(sb.means)))
+
+
+def test_smooth_controls_linearization_exact(key):
+    """linearize_dynamics(u_ref=...) (models/smoothing.py): for a udim > 0
+    model the affine model must reproduce the transition mean EXACTLY at
+    the linearization point — A x0 + c == f(x0, u0) — with the control
+    entering the offset (different u -> different c), the Jacobian taken
+    w.r.t. x only, and smoothing without controls must fail loudly (it
+    previously crashed with a cryptic dot_general shape error)."""
+    from vjf_tpu.config import VJFConfig
+    from vjf_tpu.models import smoothing as SM
+    from vjf_tpu.models import vjf as core
+
+    cfg = VJFConfig(ydim=6, xdim=2, udim=2, n_rbf=12, hidden_sizes=(6,),
+                    likelihood="gaussian", dtype="float64")
+    state = core.init_state(key, cfg)
+    # give the dynamics non-trivial weights so f depends on (x, u)
+    rng = np.random.default_rng(0)
+    blr = state.dynamics.blr
+    state = state._replace(dynamics=state.dynamics._replace(
+        blr=blr._replace(w_mean=jnp.asarray(
+            rng.normal(scale=0.3, size=np.asarray(blr.w_mean).shape)))))
+
+    from vjf_tpu.models import dynamics as dyn
+
+    x0 = jnp.asarray([0.4, -0.2])
+    u0 = jnp.asarray([0.7, -1.1])
+    a, c = SM.linearize_dynamics(cfg, state, x0, u_ref=u0)
+    f0 = dyn.transition_gaussian(state.dynamics, x0[None], u0[None],
+                                 cfg.leak).mean[0]
+    np.testing.assert_allclose(np.asarray(a @ x0 + c), np.asarray(f0),
+                               rtol=1e-9, atol=1e-12)
+    # a different control shifts the offset (controls reach the dynamics)
+    _, c2 = SM.linearize_dynamics(cfg, state, x0, u_ref=2.0 * u0)
+    assert np.abs(np.asarray(c2 - c)).max() > 1e-6
+    # Jacobian is w.r.t. x only: finite differences at fixed u agree
+    eps = 1e-6
+    for j in range(cfg.xdim):
+        dx = jnp.zeros(cfg.xdim).at[j].set(eps)
+        fd = (dyn.transition_gaussian(state.dynamics, (x0 + dx)[None],
+                                      u0[None], cfg.leak).mean[0] - f0) / eps
+        np.testing.assert_allclose(np.asarray(a[:, j]), np.asarray(fd),
+                                   rtol=1e-4, atol=1e-6)
+
+    # missing controls fail loudly at every entry point
+    y = jnp.zeros((8, cfg.ydim))
+    with pytest.raises(ValueError, match="udim"):
+        SM.smooth(cfg, state, y)
+    with pytest.raises(ValueError, match="udim"):
+        SM.smooth_batch(cfg, state, jnp.zeros((8, 3, cfg.ydim)))
+    # wrong length fails loudly too
+    with pytest.raises(ValueError, match="us must be"):
+        SM.smooth(cfg, state, y, us=jnp.zeros((5, cfg.udim)))
+
+
+def test_smooth_controls_drive_recovery(key):
+    """Post-hoc smoothing of a control-DRIVEN system (the r2 fuzz find:
+    udim > 0 smoothing used to crash): with the true control sequence the
+    smoother recovers the latent well; zeroed controls measurably degrade
+    it (the offset term carries the drive). Batch arm: (T, B, udim)
+    per-trial controls through smooth_batch == per-trial smooth()."""
+    from vjf_tpu.config import VJFConfig
+    from vjf_tpu.models import dynamics as dyn
+    from vjf_tpu.models import smoothing as SM
+    from vjf_tpu.models import vjf as core
+
+    rng = np.random.default_rng(3)
+    T, xdim, ydim, udim = 200, 2, 12, 2
+    Bm = np.array([[0.8, 0.0], [0.0, -0.6]])
+    u = np.sin(np.stack([np.linspace(0, 9, T), np.linspace(0, 5, T)], -1))
+    u += 0.2 * rng.normal(size=u.shape)
+    x = np.zeros((T, xdim))
+    for t in range(T - 1):
+        # filter alignment: u[t+1] drives the transition INTO t+1
+        x[t + 1] = 0.9 * x[t] + Bm @ u[t + 1] + 0.03 * rng.normal(size=xdim)
+    C = rng.normal(size=(ydim, xdim))
+    y = x @ C.T + 0.05 * rng.normal(size=(T, ydim))
+
+    cfg = VJFConfig(ydim=ydim, xdim=xdim, udim=udim, n_rbf=24,
+                    hidden_sizes=(8,), likelihood="gaussian", dtype="float64")
+    state = core.init_state(key, cfg)
+    state = state._replace(
+        params=state.params._replace(
+            decoder=type(state.params.decoder)(
+                jnp.asarray(C), jnp.zeros(ydim))
+        ),
+        dynamics=dyn.dynamics_initialize(
+            cfg, key, state.dynamics, jnp.asarray(x[1:]), jnp.asarray(x[:-1]),
+            u=jnp.asarray(u[1:]),
+        ),
+    )
+
+    us = jnp.asarray(u)
+    _, sm = SM.smooth_iterated(cfg, state, jnp.asarray(y), n_iter=3, us=us)
+    rmse = np.sqrt(np.mean((np.asarray(sm.means) - x) ** 2))
+    _, sm0 = SM.smooth_iterated(cfg, state, jnp.asarray(y), n_iter=3,
+                                us=jnp.zeros_like(us))
+    rmse0 = np.sqrt(np.mean((np.asarray(sm0.means) - x) ** 2))
+    assert rmse < 0.2, rmse                      # true controls: tight
+    assert rmse < 0.8 * rmse0, (rmse, rmse0)     # zeroed controls: worse
+
+    # batch arm: two trials with per-trial controls == per-trial smooth()
+    yb = jnp.stack([jnp.asarray(y), jnp.asarray(y)], axis=1)
+    ub = jnp.stack([us, jnp.zeros_like(us)], axis=1)
+    _, smb = SM.smooth_batch(cfg, state, yb, us=ub, n_iter=3)
+    np.testing.assert_allclose(np.asarray(smb.means[:, 0]),
+                               np.asarray(sm.means), rtol=1e-7, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(smb.means[:, 1]),
+                               np.asarray(sm0.means), rtol=1e-7, atol=1e-9)

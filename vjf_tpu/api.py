@@ -618,7 +618,8 @@ class VJF:
 
     # -- post-hoc smoothing (capability beyond the reference) -------------
     def smooth(self, y: Array, x_ref: Optional[Array] = None,
-               channel_mask: Optional[Array] = None, mesh=None):
+               channel_mask: Optional[Array] = None, mesh=None,
+               u: Optional[Array] = None):
         """Parallel-in-time RTS smoothing under the trained model —
         O(log T) depth via the associative-scan Kalman core
         (``models/smoothing.py``). Gaussian likelihoods use the
@@ -636,6 +637,12 @@ class VJF:
         gain a trial axis), optionally sharded over ``mesh`` (trials on
         ``dp``, zero collectives).
 
+        ``u``: control inputs — REQUIRED when the model has ``udim > 0``
+        (the velocity features run over ``cat(x, u)``); ``(T, udim)`` for
+        one sequence, ``(T, B, udim)`` per-trial (or ``(T, udim)`` shared)
+        for a batch. ``u[t]`` drives the transition into step t, matching
+        ``filter``'s alignment.
+
         ``channel_mask``: optional (T, ydim) 0/1 missing-observation mask
         — masked entries drop out of the update exactly (infinite
         observation variance, zero Kalman gain); their stored values may
@@ -648,11 +655,11 @@ class VJF:
         if y.ndim == 3:
             return smoothing.smooth_batch(
                 self.cfg, self.state, y, x_ref=x_ref,
-                channel_mask=channel_mask, mesh=mesh,
+                channel_mask=channel_mask, mesh=mesh, us=u,
             )
         return smoothing.smooth(
             self.cfg, self.state, y, x_ref=x_ref,  # wire ingest in smooth()
-            channel_mask=channel_mask,
+            channel_mask=channel_mask, us=u,
         )
 
     # -- persistence (capability beyond the reference) --------------------

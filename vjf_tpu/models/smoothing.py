@@ -21,54 +21,108 @@ from .vjf import TrainState, _transition, wire_ingest
 
 
 def linearize_dynamics(
-    cfg: VJFConfig, state: TrainState, x_ref: Optional[Array] = None
+    cfg: VJFConfig,
+    state: TrainState,
+    x_ref: Optional[Array] = None,
+    u_ref: Optional[Array] = None,
 ) -> Tuple[Array, Array]:
     """First-order model ``x[t] ~= A x[t-1] + c`` of the learned transition
-    mean around ``x_ref``.
+    mean around ``(x_ref, u_ref)``.
 
     ``x_ref`` is a single ``(xdim,)`` point (default: origin) or a
     ``(T, xdim)`` batch of points — the latter returns per-point
     ``(T, xdim, xdim)`` / ``(T, xdim)`` affine models (no time shift is
     applied here; see :func:`_linearize_for_sequence`).
+
+    ``u_ref``: the control input(s) the transition is evaluated at —
+    REQUIRED when ``cfg.udim > 0`` (the velocity features run over
+    ``cat(x, u)``, so a control-driven model cannot be linearized without
+    them). A single ``(udim,)`` point or a ``(T, udim)`` sequence; controls
+    are exogenous and KNOWN, so they enter the per-step offset ``c``
+    exactly — the Jacobian is taken w.r.t. ``x`` only. Either argument
+    being per-step broadcasts the other.
     """
     tr = _transition(cfg)
     if x_ref is None:
         x_ref = jnp.zeros((cfg.xdim,), cfg.jdtype)
     x_ref = jnp.asarray(x_ref, cfg.jdtype)
+    if cfg.udim > 0:
+        if u_ref is None:
+            raise ValueError(
+                f"this model has udim={cfg.udim}: the transition features "
+                "run over cat(x, u), so smoothing/linearization needs the "
+                "control sequence — pass us= (core) / u= (facade)"
+            )
+        u_ref = jnp.asarray(u_ref, cfg.jdtype)
+    else:
+        # width-0 controls are a transition no-op (nonecat passthrough);
+        # one uniform (x, u) code path below
+        u_ref = jnp.zeros((0,), cfg.jdtype)
 
-    def mean_fn(x):
-        g = tr.transition_gaussian(state.dynamics, x[None, :], None, cfg.leak)
+    def mean_fn(x, u):
+        g = tr.transition_gaussian(
+            state.dynamics, x[None, :], u[None, :], cfg.leak
+        )
         return g.mean[0]
 
-    if x_ref.ndim == 2:
-        a = jax.vmap(jax.jacfwd(mean_fn))(x_ref)
-        c = jax.vmap(mean_fn)(x_ref) - jnp.einsum("tij,tj->ti", a, x_ref)
+    if x_ref.ndim == 2 or u_ref.ndim == 2:
+        t = x_ref.shape[0] if x_ref.ndim == 2 else u_ref.shape[0]
+        xr = (x_ref if x_ref.ndim == 2
+              else jnp.broadcast_to(x_ref, (t, cfg.xdim)))
+        ur = (u_ref if u_ref.ndim == 2
+              else jnp.broadcast_to(u_ref, (t, u_ref.shape[-1])))
+        a = jax.vmap(jax.jacfwd(mean_fn))(xr, ur)
+        c = jax.vmap(mean_fn)(xr, ur) - jnp.einsum("tij,tj->ti", a, xr)
         return a, c
-    a = jax.jacfwd(mean_fn)(x_ref)
-    c = mean_fn(x_ref) - a @ x_ref
+    a = jax.jacfwd(mean_fn)(x_ref, u_ref)
+    c = mean_fn(x_ref, u_ref) - a @ x_ref
     return a, c
 
 
 def _linearize_for_sequence(
-    cfg: VJFConfig, state: TrainState, x_ref: Optional[Array], t_len: int
+    cfg: VJFConfig,
+    state: TrainState,
+    x_ref: Optional[Array],
+    t_len: int,
+    us: Optional[Array] = None,
 ) -> Tuple[Array, Array]:
     """Per-sequence linearization: a ``(T, xdim)`` reference trajectory
     (e.g. the filter's posterior means) linearizes the transition INTO step
     ``t`` at ``x_ref[t-1]`` (prior mean for t=0 — the same convention as
     :func:`smooth_iterated`); a single point or ``None`` falls back to the
-    global affine model."""
+    global affine model.
+
+    ``us``: (T, udim) control sequence, required when ``cfg.udim > 0``;
+    ``us[t]`` drives the transition INTO step t (the filter's alignment:
+    step t consumes ``u[t]``), so it pairs with ``x_ref[t-1]`` un-shifted.
+    """
+    if cfg.udim > 0:
+        if us is None:
+            # loud here too (linearize_dynamics would also raise): the
+            # caller-facing argument name differs per surface
+            raise ValueError(
+                f"this model has udim={cfg.udim}: pass the (T, udim) "
+                "control sequence (us= / facade u=) to smooth it"
+            )
+        us = jnp.asarray(us, cfg.jdtype)
+        if us.shape != (t_len, cfg.udim):
+            raise ValueError(
+                f"us must be (T, udim)=({t_len}, {cfg.udim}); got {us.shape}"
+            )
+    else:
+        us = None
     if x_ref is None:
-        return linearize_dynamics(cfg, state, None)
+        return linearize_dynamics(cfg, state, None, u_ref=us)
     x_ref = jnp.asarray(x_ref, cfg.jdtype)
     if x_ref.ndim == 1:
-        return linearize_dynamics(cfg, state, x_ref)
+        return linearize_dynamics(cfg, state, x_ref, u_ref=us)
     if x_ref.shape != (t_len, cfg.xdim):
         raise ValueError(
             f"x_ref must be (xdim,) or (T, xdim)=({t_len}, {cfg.xdim}); "
             f"got {x_ref.shape}"
         )
     pts = jnp.concatenate([state.params.prior.mean[None], x_ref[:-1]], axis=0)
-    return linearize_dynamics(cfg, state, pts)
+    return linearize_dynamics(cfg, state, pts, u_ref=us)
 
 
 def _mask_promote(channel_mask, ys):
@@ -85,6 +139,7 @@ def smooth(
     ys: Array,
     x_ref: Optional[Array] = None,
     channel_mask: Optional[Array] = None,
+    us: Optional[Array] = None,
 ) -> Tuple[pkalman.FilterResult, pkalman.SmoothResult]:
     """Parallel RTS smoothing of one observation sequence (T, ydim).
 
@@ -92,8 +147,12 @@ def smooth(
     iterated-Laplace variant). ``x_ref`` sets the linearization: a single
     ``(xdim,)`` point (default origin) or a ``(T, xdim)`` reference
     trajectory — e.g. the filter's posterior means — for per-step affine
-    dynamics. Controls are folded into the linearization point's velocity;
-    for strongly input-driven systems linearize per-regime and stitch.
+    dynamics.
+
+    ``us``: (T, udim) control sequence — REQUIRED when ``cfg.udim > 0``
+    (the velocity features run over ``cat(x, u)``). ``us[t]`` drives the
+    transition into step t, the filter's alignment; controls are exogenous
+    so they enter the per-step affine offset exactly.
 
     ``channel_mask``: optional (T, ydim) 0/1 missing-observation mask —
     masked entries get infinite observation variance (exactly zero Kalman
@@ -102,14 +161,14 @@ def smooth(
     """
     if cfg.likelihood == "poisson":
         return smooth_poisson(cfg, state, ys, x_ref=x_ref,
-                              channel_mask=channel_mask)
+                              channel_mask=channel_mask, us=us)
     if cfg.likelihood != "gaussian":
         raise NotImplementedError(f"unknown likelihood {cfg.likelihood}")
     ys = wire_ingest(ys, cfg.jdtype)  # two-step ingest (see core fit())
     if ys.ndim != 2:
         raise ValueError("smooth() takes one (T, ydim) sequence")
 
-    a, c = _linearize_for_sequence(cfg, state, x_ref, ys.shape[0])
+    a, c = _linearize_for_sequence(cfg, state, x_ref, ys.shape[0], us=us)
     return _smooth_affine(cfg, state, ys, a, c, channel_mask=channel_mask)
 
 
@@ -155,6 +214,7 @@ def smooth_poisson(
     x_ref: Optional[Array] = None,
     relinearize_dynamics: bool = True,
     channel_mask: Optional[Array] = None,
+    us: Optional[Array] = None,
 ) -> Tuple[pkalman.FilterResult, pkalman.SmoothResult]:
     """Iterated Laplace (EKS-style) parallel smoothing for the POISSON
     likelihood — the flagship observation model (r1 VERDICT item 5).
@@ -176,7 +236,8 @@ def smooth_poisson(
 
     ``channel_mask``: optional (T, ydim) 0/1 — a masked count contributes
     exactly nothing (infinite working variance = zero gain); stored values
-    may be NaN.
+    may be NaN. ``us``: (T, udim) controls, required when ``cfg.udim > 0``
+    (see :func:`smooth`); every re-linearization pass uses them.
     """
     if n_iter < 1:
         raise ValueError(f"smooth_poisson: n_iter must be >= 1, got {n_iter}")
@@ -191,7 +252,7 @@ def smooth_poisson(
     d_vec = state.params.decoder.b
     q, _, _, m0, p0 = _system_matrices(cfg, state, with_r=False)
 
-    a0, c0 = _linearize_for_sequence(cfg, state, x_ref, t_len)
+    a0, c0 = _linearize_for_sequence(cfg, state, x_ref, t_len, us=us)
     # working-response init: eta ~= log(y + 0.5) keeps lambda_hat sane for
     # zero counts before the first smoothing pass
     eta_hat = jnp.log(ys + 0.5)
@@ -214,7 +275,7 @@ def smooth_poisson(
         eta_hat = smoothed.means @ c_mat.T + d_vec
         if relinearize_dynamics and it + 1 < n_iter:
             a_seq, c_seq = _linearize_for_sequence(
-                cfg, state, smoothed.means, t_len
+                cfg, state, smoothed.means, t_len, us=us
             )
     return filtered, smoothed
 
@@ -227,6 +288,7 @@ def smooth_batch(
     channel_mask: Optional[Array] = None,
     n_iter: Optional[int] = None,
     mesh=None,
+    us: Optional[Array] = None,
 ) -> Tuple[pkalman.FilterResult, pkalman.SmoothResult]:
     """Batched post-hoc smoothing of ``(T, B, ydim)`` trials — ``vmap`` of
     :func:`smooth_iterated` over the trial axis, optionally sharded over a
@@ -243,6 +305,8 @@ def smooth_batch(
 
     ``x_ref``: optional (T, B, xdim) per-trial linearization trajectories
     — e.g. ``FitResult.mu`` — or None for the global affine model.
+    ``us``: (T, B, udim) per-trial controls or (T, udim) shared — required
+    when ``cfg.udim > 0`` (see :func:`smooth`).
     ``channel_mask``: (T, ydim) shared across trials or (T, B, ydim)
     per-trial.
     ``mesh``: optional ``jax.sharding.Mesh`` — trials shard over ``dp``
@@ -284,17 +348,38 @@ def smooth_batch(
                 "smooth_batch: channel_mask must be (T, ydim) shared or "
                 f"(T, B, ydim) per-trial, got {channel_mask.shape}"
             )
+    us_axis = None
+    if cfg.udim > 0 and us is None:
+        raise ValueError(
+            f"this model has udim={cfg.udim}: pass the control sequence "
+            "us= ((T, B, udim) per-trial or (T, udim) shared) to smooth it"
+        )
+    if us is not None:
+        us = jnp.asarray(us, cfg.jdtype)
+        if us.ndim == 3:
+            if us.shape != (t_len, n_batch, cfg.udim):
+                raise ValueError(
+                    f"smooth_batch: 3-d us must be (T, B, udim) = "
+                    f"{(t_len, n_batch, cfg.udim)}, got {us.shape}"
+                )
+            us_axis = 1
+        elif us.shape != (t_len, cfg.udim):
+            raise ValueError(
+                "smooth_batch: us must be (T, udim) shared or (T, B, udim) "
+                f"per-trial, got {us.shape}"
+            )
 
     # one jitted wrapper per (cfg, n_iter, axes) — a fresh jax.jit per call
     # would discard the trace cache (the _ADAPT_JIT trap, models/vjf.py)
-    jk = (cfg, n_iter, xr_axis, cm_axis)
+    jk = (cfg, n_iter, xr_axis, cm_axis, us_axis)
     if jk not in _BATCH_SMOOTH_JIT:
-        def one(st, y, xr, cm):
+        def one(st, y, xr, cm, uu):
             return smooth_iterated(cfg, st, y, n_iter=n_iter, x_ref=xr,
-                                   channel_mask=cm)
+                                   channel_mask=cm, us=uu)
 
         _BATCH_SMOOTH_JIT[jk] = jax.jit(
-            jax.vmap(one, in_axes=(None, 1, xr_axis, cm_axis), out_axes=1)
+            jax.vmap(one, in_axes=(None, 1, xr_axis, cm_axis, us_axis),
+                     out_axes=1)
         )
     fn = _BATCH_SMOOTH_JIT[jk]
     if mesh is not None:
@@ -312,8 +397,10 @@ def smooth_batch(
                 x_ref = jax.device_put(x_ref, trial)
             if cm_axis is not None:
                 channel_mask = jax.device_put(channel_mask, trial)
+            if us_axis is not None:
+                us = jax.device_put(us, trial)
         # non-dividing batch: fall through single-device (correct either way)
-    return fn(state, ys, x_ref, channel_mask)
+    return fn(state, ys, x_ref, channel_mask, us)
 
 
 def smooth_iterated(
@@ -323,6 +410,7 @@ def smooth_iterated(
     n_iter: int = 3,
     x_ref: Optional[Array] = None,
     channel_mask: Optional[Array] = None,
+    us: Optional[Array] = None,
 ) -> Tuple[pkalman.FilterResult, pkalman.SmoothResult]:
     """Iterated extended smoothing: re-linearize the learned velocity field
     along the previous smoothed trajectory (per-timestep A_t, c_t) and
@@ -340,17 +428,17 @@ def smooth_iterated(
     if cfg.likelihood == "poisson":
         return smooth_poisson(
             cfg, state, ys, n_iter=n_iter, x_ref=x_ref,
-            relinearize_dynamics=True, channel_mask=channel_mask,
+            relinearize_dynamics=True, channel_mask=channel_mask, us=us,
         )
     if cfg.likelihood != "gaussian":
         raise NotImplementedError(f"unknown likelihood {cfg.likelihood}")
     ys = wire_ingest(ys, cfg.jdtype)  # two-step ingest (see core fit())
     filtered, smoothed = smooth(cfg, state, ys, x_ref,
-                                channel_mask=channel_mask)
+                                channel_mask=channel_mask, us=us)
     for _ in range(n_iter - 1):
         # transition INTO t linearized at the smoothed mean of t-1
         a_seq, c_seq = _linearize_for_sequence(
-            cfg, state, smoothed.means, ys.shape[0]
+            cfg, state, smoothed.means, ys.shape[0], us=us
         )
         filtered, smoothed = _smooth_affine(cfg, state, ys, a_seq, c_seq,
                                             channel_mask=channel_mask)
