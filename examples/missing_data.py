@@ -93,6 +93,17 @@ def main():
           f"{latent_r2(np.asarray(smoothed.means), x1):.3f}",
           f"finite={ok}")
 
+    # --- 4. co-smoothing: hold out whole channels, score prediction -----
+    # (the real-data evaluation protocol — the model never sees these
+    # channels during inference; models/evaluate.py)
+    held = [2, 9, 14]
+    res = model2.evaluate(y[:, 0], heldout=held)
+    print("co-smoothing (held-out channels", held, "):",
+          f"pred R^2 = {float(res.r2):.3f},",
+          f"loglik gain over null = {float(res.loglik - res.loglik_null):.1f} nats")
+    assert float(res.loglik) > float(res.loglik_null), \
+        "held-out prediction must beat the constant null"
+
 
 if __name__ == "__main__":
     main()

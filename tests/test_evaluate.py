@@ -1,0 +1,154 @@
+"""Held-out-channel (co-smoothing) evaluation — ``models/evaluate.py``.
+
+The reference scores only latent recovery on synthetic data
+(``/root/reference/script/example.py:60-88``); this module's protocol —
+smooth from observed channels, score predictions of channels the model
+never saw — is the capability a real-data user needs. Tests pin:
+no-peeking (held-out values influence scoring only, never inference),
+bits/spike > 0 for a good model on synthetic Poisson data, the Gaussian
+variant, batch == per-trial, and argument validation.
+"""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vjf_tpu.config import VJFConfig
+from vjf_tpu.models import dynamics as dyn
+from vjf_tpu.models import evaluate as EV
+from vjf_tpu.models import vjf as core
+
+
+def _rotation_latent(rng, T, xdim=2, th=0.12, damp=0.98, q=0.05):
+    A = damp * np.array([[np.cos(th), -np.sin(th)], [np.sin(th), np.cos(th)]])
+    x = np.zeros((T, xdim))
+    x[0] = [1.0, 0.0]
+    for t in range(T - 1):
+        x[t + 1] = A @ x[t] + q * rng.normal(size=xdim)
+    return x
+
+
+def _installed_state(key, cfg, x, C, d):
+    """True decoder + dynamics fitted to the true latent pairs (the pattern
+    of tests/test_pkalman.py — isolates the evaluation from training)."""
+    state = core.init_state(key, cfg)
+    return state._replace(
+        params=state.params._replace(
+            decoder=type(state.params.decoder)(jnp.asarray(C), jnp.asarray(d))
+        ),
+        dynamics=dyn.dynamics_initialize(
+            cfg, key, state.dynamics, jnp.asarray(x[1:]), jnp.asarray(x[:-1])
+        ),
+    )
+
+
+def _poisson_setup(key, seed=8, T=300, ydim=30):
+    rng = np.random.default_rng(seed)
+    x = _rotation_latent(rng, T)
+    C = rng.normal(size=(ydim, 2))
+    d = np.full(ydim, 0.3)
+    lam = np.exp(np.clip(x @ C.T + d, None, 5))
+    y = rng.poisson(lam).astype(np.float64)
+    cfg = VJFConfig(ydim=ydim, xdim=2, udim=0, n_rbf=32, hidden_sizes=(8,),
+                    likelihood="poisson", dtype="float64")
+    return cfg, _installed_state(key, cfg, x, C, d), y
+
+
+def test_heldout_eval_poisson_bits_per_spike(key):
+    cfg, state, y = _poisson_setup(key)
+    held = [2, 7, 11, 19, 28]
+    res = EV.heldout_eval(cfg, state, y, held)
+    assert list(res.heldout) == held
+    assert res.eta.shape == (y.shape[0], len(held))
+    assert np.isfinite(float(res.loglik))
+    # a model with the true decoder and a fitted transition must beat the
+    # constant-mean-rate null on channels it never observed
+    assert float(res.loglik) > float(res.loglik_null)
+    assert float(res.bits_per_spike) > 0.05, float(res.bits_per_spike)
+    assert float(res.r2) > 0.0
+
+    # boolean-mask spec is equivalent to index spec
+    mask = np.zeros(cfg.ydim, dtype=bool)
+    mask[held] = True
+    res_b = EV.heldout_eval(cfg, state, y, mask)
+    np.testing.assert_array_equal(np.asarray(res_b.pred), np.asarray(res.pred))
+
+
+def test_heldout_eval_never_peeks(key):
+    """Held-out VALUES feed scoring only: corrupting them changes no
+    prediction and no latent (the smoother sees an exact-missing channel)."""
+    cfg, state, y = _poisson_setup(key)
+    held = [0, 5, 9]
+    res = EV.heldout_eval(cfg, state, y, held)
+    y_bad = y.copy()
+    y_bad[:, held] = 999.0
+    res_bad = EV.heldout_eval(cfg, state, y_bad, held)
+    np.testing.assert_array_equal(np.asarray(res_bad.pred),
+                                  np.asarray(res.pred))
+    np.testing.assert_array_equal(np.asarray(res_bad.smoothed_means),
+                                  np.asarray(res.smoothed_means))
+    # ... while the scores DO consume the stored values
+    assert float(res_bad.loglik) != float(res.loglik)
+
+
+def test_heldout_eval_gaussian(key):
+    rng = np.random.default_rng(3)
+    T, ydim = 300, 20
+    x = _rotation_latent(rng, T)
+    C = rng.normal(size=(ydim, 2))
+    d = rng.normal(size=ydim) * 0.1
+    y = x @ C.T + d + 0.1 * rng.normal(size=(T, ydim))
+    cfg = VJFConfig(ydim=ydim, xdim=2, udim=0, n_rbf=32, hidden_sizes=(8,),
+                    likelihood="gaussian", dtype="float64")
+    state = _installed_state(key, cfg, x, C, d)
+    # match the generator's observation noise (var 0.01)
+    state = state._replace(params=state.params._replace(
+        likelihood=type(state.params.likelihood)(
+            jnp.asarray(np.log(0.01)))))
+    res = EV.heldout_eval(cfg, state, y, [1, 8, 15])
+    assert res.bits_per_spike is None
+    assert float(res.loglik) > float(res.loglik_null)
+    assert float(res.r2) > 0.5, float(res.r2)
+
+
+def test_heldout_eval_batch_matches_per_trial(key):
+    cfg, state, y = _poisson_setup(key, T=120)
+    rng = np.random.default_rng(11)
+    yb = np.stack([y, rng.permutation(y), y[::-1].copy()], axis=1)  # (T,3,yd)
+    held = [4, 13]
+    res_b = EV.heldout_eval(cfg, state, yb, held, n_iter=3)
+    assert res_b.pred.shape == (120, 3, 2)
+    per = [EV.heldout_eval(cfg, state, yb[:, i], held, n_iter=3)
+           for i in range(3)]
+    np.testing.assert_allclose(
+        np.asarray(res_b.pred),
+        np.stack([np.asarray(p.pred) for p in per], axis=1),
+        rtol=1e-10, atol=1e-12,
+    )
+    # pooled loglik == sum of per-trial logliks
+    np.testing.assert_allclose(
+        float(res_b.loglik), sum(float(p.loglik) for p in per), rtol=1e-10)
+
+
+def test_heldout_eval_validation(key):
+    cfg, state, y = _poisson_setup(key, T=60)
+    with pytest.raises(ValueError, match="no channels"):
+        EV.heldout_eval(cfg, state, y, np.array([], dtype=int))
+    with pytest.raises(ValueError, match="every channel"):
+        EV.heldout_eval(cfg, state, y, np.arange(cfg.ydim))
+    with pytest.raises(ValueError, match="in \\[0"):
+        EV.heldout_eval(cfg, state, y, [cfg.ydim])
+    with pytest.raises(ValueError, match="shape"):
+        EV.heldout_eval(cfg, state, y, np.ones(3, dtype=bool))
+
+
+def test_oo_api_evaluate_facade(key):
+    from vjf_tpu.api import VJF
+
+    rng = np.random.default_rng(5)
+    y = rng.poisson(1.0, size=(80, 12)).astype(np.float64)
+    model = VJF.make_model(12, 2, n_rbf=8, hidden_sizes=[6],
+                          likelihood="poisson", dtype="float64")
+    res = model.evaluate(y, heldout=[3, 9], n_iter=2)
+    assert res.pred.shape == (80, 2)
+    assert np.all(np.isfinite(np.asarray(res.pred)))
+    assert np.isfinite(float(res.loglik))

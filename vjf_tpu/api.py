@@ -662,6 +662,31 @@ class VJF:
             channel_mask=channel_mask, us=u,
         )
 
+    # -- held-out evaluation (capability beyond the reference) ------------
+    def evaluate(self, y: Array, heldout, x_ref: Optional[Array] = None,
+                 u: Optional[Array] = None, n_iter: Optional[int] = None,
+                 mesh=None):
+        """Co-smoothing evaluation (``models/evaluate.py``): infer latents
+        from the observed channels only (``heldout`` masked out of the
+        smoother exactly) and score the predictive log-likelihood of the
+        held-out channels the model never saw — the standard protocol for
+        latent population models on real data, where no true latent exists
+        to compare against. Returns a :class:`HeldoutEval` with ``loglik``
+        vs the constant-rate null, ``bits_per_spike`` (Poisson), prediction
+        ``r2``, the predicted rates/means, and the smoothed latents.
+
+        ``y``: (T, ydim) or a (T, B, ydim) trial batch (one vmapped
+        dispatch, optionally sharded over ``mesh``). ``heldout``: int
+        channel indices or a boolean (ydim,) mask. ``u`` required when
+        ``udim > 0`` (see :meth:`smooth`).
+        """
+        from .models import evaluate as EV
+
+        return EV.heldout_eval(
+            self.cfg, self.state, y, heldout, x_ref=x_ref, us=u,
+            n_iter=n_iter, mesh=mesh,
+        )
+
     # -- persistence (capability beyond the reference) --------------------
     # The reference cannot checkpoint: its regression state and counters are
     # plain attributes invisible to state_dict() (vjf/module.py:46-54,

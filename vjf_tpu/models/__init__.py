@@ -1,6 +1,7 @@
 from . import (
     decoder,
     dynamics,
+    evaluate,
     likelihoods,
     rbf,
     rbfn,
@@ -16,6 +17,7 @@ from .vjf import Metrics, Params, TrainState, filter_step, fit, forecast, init_s
 __all__ = [
     "decoder",
     "dynamics",
+    "evaluate",
     "likelihoods",
     "rbf",
     "recognition",
