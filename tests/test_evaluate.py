@@ -141,6 +141,62 @@ def test_heldout_eval_validation(key):
         EV.heldout_eval(cfg, state, y, np.ones(3, dtype=bool))
 
 
+def test_heldout_eval_with_dropout_mask(key):
+    """channel_mask composes with heldout: inference sees observed AND not
+    held out; scores run over observed held-out entries only (a held-out
+    entry that was never recorded contributes nothing — its stored value
+    may be anything, including NaN)."""
+    cfg, state, y = _poisson_setup(key, T=150)
+    held = [3, 12, 20]
+    rng = np.random.default_rng(17)
+    cm = (rng.uniform(size=y.shape) > 0.25).astype(np.float64)
+
+    res = EV.heldout_eval(cfg, state, y, held, channel_mask=cm, n_iter=3)
+    assert np.isfinite(float(res.loglik))
+    assert float(res.loglik) > float(res.loglik_null)
+
+    # dropped held-out entries are fully inert: corrupt them (NaN) — every
+    # output is unchanged, predictions AND scores
+    y_bad = y.copy()
+    drop_h = cm[:, held] == 0
+    assert drop_h.any()
+    yh = y_bad[:, held]
+    yh[drop_h] = np.nan
+    y_bad[:, held] = yh
+    res_bad = EV.heldout_eval(cfg, state, y_bad, held, channel_mask=cm,
+                              n_iter=3)
+    np.testing.assert_array_equal(np.asarray(res_bad.pred),
+                                  np.asarray(res.pred))
+    np.testing.assert_array_equal(np.asarray(res_bad.loglik),
+                                  np.asarray(res.loglik))
+
+    # all-ones mask == no mask
+    res_ones = EV.heldout_eval(cfg, state, y, held,
+                               channel_mask=np.ones_like(y), n_iter=3)
+    res_none = EV.heldout_eval(cfg, state, y, held, n_iter=3)
+    np.testing.assert_array_equal(np.asarray(res_ones.pred),
+                                  np.asarray(res_none.pred))
+    np.testing.assert_allclose(float(res_ones.loglik),
+                               float(res_none.loglik), rtol=1e-12)
+
+    # shape validation
+    with pytest.raises(ValueError, match="channel_mask"):
+        EV.heldout_eval(cfg, state, y, held, channel_mask=np.ones((3, 3)))
+
+
+def test_heldout_eval_sgp_dynamics(key):
+    """evaluate rides the shared transition interface — SGP included."""
+    cfg = VJFConfig(ydim=8, xdim=2, udim=0, n_rbf=12, hidden_sizes=(6,),
+                    likelihood="gaussian", dtype="float32", dynamics="sgp",
+                    rls_backend="nsv")
+    state = core.init_state(key, cfg)
+    rng = np.random.default_rng(1)
+    y = rng.normal(size=(30, 8)).astype(np.float32)
+    res = EV.heldout_eval(cfg, state, y, [2, 6], n_iter=2)
+    assert res.pred.shape == (30, 2)
+    assert np.all(np.isfinite(np.asarray(res.pred)))
+
+
 def test_oo_api_evaluate_facade(key):
     from vjf_tpu.api import VJF
 

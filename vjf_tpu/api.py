@@ -665,7 +665,7 @@ class VJF:
     # -- held-out evaluation (capability beyond the reference) ------------
     def evaluate(self, y: Array, heldout, x_ref: Optional[Array] = None,
                  u: Optional[Array] = None, n_iter: Optional[int] = None,
-                 mesh=None):
+                 mesh=None, channel_mask: Optional[Array] = None):
         """Co-smoothing evaluation (``models/evaluate.py``): infer latents
         from the observed channels only (``heldout`` masked out of the
         smoother exactly) and score the predictive log-likelihood of the
@@ -678,13 +678,16 @@ class VJF:
         ``y``: (T, ydim) or a (T, B, ydim) trial batch (one vmapped
         dispatch, optionally sharded over ``mesh``). ``heldout``: int
         channel indices or a boolean (ydim,) mask. ``u`` required when
-        ``udim > 0`` (see :meth:`smooth`).
+        ``udim > 0`` (see :meth:`smooth`). ``channel_mask``: optional
+        observed-entry 0/1 mask for recordings with electrode dropout —
+        composes with ``heldout`` (inference sees observed AND not held
+        out; scores run over observed held-out entries only).
         """
         from .models import evaluate as EV
 
         return EV.heldout_eval(
             self.cfg, self.state, y, heldout, x_ref=x_ref, us=u,
-            n_iter=n_iter, mesh=mesh,
+            n_iter=n_iter, mesh=mesh, channel_mask=channel_mask,
         )
 
     # -- persistence (capability beyond the reference) --------------------

@@ -106,6 +106,7 @@ def heldout_eval(
     us: Optional[Array] = None,
     n_iter: Optional[int] = None,
     mesh=None,
+    channel_mask: Optional[Array] = None,
 ) -> HeldoutEval:
     """Co-smoothing evaluation: smooth with ``heldout`` channels masked
     out (they contribute exactly nothing to inference — the missing-data
@@ -117,6 +118,14 @@ def heldout_eval(
     out. ``x_ref`` / ``us`` / ``n_iter`` / ``mesh`` pass through to the
     smoother (:func:`vjf_tpu.models.smoothing.smooth_iterated` /
     :func:`~vjf_tpu.models.smoothing.smooth_batch`).
+
+    ``channel_mask``: optional (T, ydim) (or (T, B, ydim) per-trial) 0/1
+    observed-entry mask for data with electrode dropout — entries missing
+    in the RECORDING. It composes with ``heldout``: inference sees only
+    entries that are observed AND not held out; scoring (loglik, null,
+    spikes, R²) runs over the observed held-out entries only (a held-out
+    entry that was never recorded contributes nothing to either side, and
+    its stored value may be NaN).
 
     The held-out VALUES in ``ys`` are used only for scoring, never for
     inference — pinned by ``tests/test_evaluate.py`` (corrupting them
@@ -132,28 +141,57 @@ def heldout_eval(
 
     cm_row = np.ones((cfg.ydim,), dtype=np.float64)
     cm_row[idx] = 0.0
-    channel_mask = jnp.asarray(
+    held_mask = jnp.asarray(
         np.broadcast_to(cm_row, (t_len, cfg.ydim)).copy(), cfg.jdtype
     )
+    if channel_mask is not None:
+        channel_mask = jnp.asarray(channel_mask, cfg.jdtype)
+        valid = ((t_len, cfg.ydim),) + (
+            ((t_len, ys.shape[1], cfg.ydim),) if ys.ndim == 3 else ()
+        )
+        if channel_mask.shape not in valid:
+            raise ValueError(
+                f"channel_mask must have shape in {valid}; "
+                f"got {channel_mask.shape}"
+            )
+        if channel_mask.ndim == 3 and held_mask.ndim == 2:
+            held_mask = held_mask[:, None, :]
+        infer_mask = channel_mask * held_mask
+        # scoring weight: observed AND held out
+        obs_w = channel_mask[..., idx]
+        if obs_w.ndim == 2 and ys.ndim == 3:
+            obs_w = obs_w[:, None, :]
+        obs_w = jnp.broadcast_to(obs_w, ys[..., idx].shape)
+    else:
+        infer_mask = held_mask
+        obs_w = jnp.ones_like(ys[..., idx])
 
     kw = {} if n_iter is None else {"n_iter": n_iter}
     if ys.ndim == 3:
         _, smoothed = smoothing.smooth_batch(
-            cfg, state, ys, x_ref=x_ref, channel_mask=channel_mask,
+            cfg, state, ys, x_ref=x_ref, channel_mask=infer_mask,
             mesh=mesh, us=us, **kw,
         )
     else:
         _, smoothed = smoothing.smooth_iterated(
-            cfg, state, ys, x_ref=x_ref, channel_mask=channel_mask,
+            cfg, state, ys, x_ref=x_ref, channel_mask=infer_mask,
             us=us, **kw,
         )
 
     c_h = state.params.decoder.w[idx]           # (k, xdim)
     d_h = state.params.decoder.b[idx]           # (k,)
-    y_h = ys[..., idx]                          # (T[, B], k)
+    # scored values: 0 at unobserved entries (stored NaN must not leak
+    # through 0*NaN into the weighted sums)
+    y_h = jnp.where(obs_w > 0, ys[..., idx], 0.0)
     eta = smoothed.means @ c_h.T + d_h          # (T[, B], k)
     # per-channel latent-uncertainty variance diag(C P C^T)
     s2 = jnp.einsum("ki,...ij,kj->...k", c_h, smoothed.covs, c_h)
+
+    def _chan_mean(v):
+        """Per-channel weighted mean over all (T[, B]) observed entries."""
+        w = obs_w.reshape(-1, idx.size)
+        return (jnp.sum(w * v.reshape(-1, idx.size), axis=0)
+                / jnp.clip(jnp.sum(w, axis=0), 1e-12))
 
     if cfg.likelihood == "poisson":
         # posterior-predictive mean rate (lognormal mean), under the same
@@ -161,13 +199,15 @@ def heldout_eval(
         # (likelihoods.py poisson_nll, /root/reference/vjf/likelihood.py:60)
         log_rate = jnp.clip(eta + 0.5 * s2, None, cfg.poisson_clamp)
         pred = jnp.exp(log_rate)
-        loglik = jnp.sum(y_h * log_rate - pred - gammaln(y_h + 1.0))
-        # null: per-channel constant mean rate on the evaluated segment
-        rate0 = jnp.clip(jnp.mean(y_h.reshape(-1, idx.size), axis=0), 1e-10)
-        loglik_null = jnp.sum(
-            y_h * jnp.log(rate0) - rate0 - gammaln(y_h + 1.0)
+        loglik = jnp.sum(
+            obs_w * (y_h * log_rate - pred - gammaln(y_h + 1.0))
         )
-        n_spikes = jnp.sum(y_h)
+        # null: per-channel constant mean rate on the evaluated segment
+        rate0 = jnp.clip(_chan_mean(y_h), 1e-10)
+        loglik_null = jnp.sum(
+            obs_w * (y_h * jnp.log(rate0) - rate0 - gammaln(y_h + 1.0))
+        )
+        n_spikes = jnp.sum(obs_w * y_h)
         bits = jnp.where(
             n_spikes > 0,
             (loglik - loglik_null) / (n_spikes * jnp.log(2.0)),
@@ -179,20 +219,17 @@ def heldout_eval(
         var = s2 + jnp.exp(state.params.likelihood.logvar)
         pred = eta
         loglik = -0.5 * jnp.sum(
-            jnp.log(2.0 * jnp.pi * var) + (y_h - pred) ** 2 / var
+            obs_w * (jnp.log(2.0 * jnp.pi * var) + (y_h - pred) ** 2 / var)
         )
-        flat = y_h.reshape(-1, idx.size)
-        mu0 = jnp.mean(flat, axis=0)
-        var0 = jnp.clip(jnp.var(flat, axis=0), 1e-12)
+        mu0 = _chan_mean(y_h)
+        var0 = jnp.clip(_chan_mean((y_h - mu0) ** 2), 1e-12)
         loglik_null = -0.5 * jnp.sum(
-            jnp.log(2.0 * jnp.pi * var0) + (y_h - mu0) ** 2 / var0
+            obs_w * (jnp.log(2.0 * jnp.pi * var0) + (y_h - mu0) ** 2 / var0)
         )
         bits = None
 
-    resid = jnp.sum((y_h - pred) ** 2)
-    total = jnp.sum(
-        (y_h - jnp.mean(y_h.reshape(-1, idx.size), axis=0)) ** 2
-    )
+    resid = jnp.sum(obs_w * (y_h - pred) ** 2)
+    total = jnp.sum(obs_w * (y_h - _chan_mean(y_h)) ** 2)
     r2 = 1.0 - resid / jnp.clip(total, 1e-12)
 
     return HeldoutEval(
