@@ -197,6 +197,27 @@ def test_heldout_eval_sgp_dynamics(key):
     assert np.all(np.isfinite(np.asarray(res.pred)))
 
 
+def test_kfold_channel_eval(key):
+    """Every channel scored exactly once; pooled scores add up; pooled
+    bits/spike weights folds by their spikes (total gain / total spikes)."""
+    cfg, state, y = _poisson_setup(key, T=120)
+    res = EV.kfold_channel_eval(cfg, state, y, n_folds=5, n_iter=2)
+    cover = np.concatenate([f.heldout for f in res.folds])
+    assert sorted(cover.tolist()) == list(range(cfg.ydim))
+    np.testing.assert_allclose(
+        res.loglik, sum(float(f.loglik) for f in res.folds), rtol=1e-12)
+    total_spk = sum(float(f.n_spikes) for f in res.folds)
+    assert total_spk == float(np.sum(y))
+    expect_bits = (res.loglik - res.loglik_null) / (total_spk * np.log(2.0))
+    np.testing.assert_allclose(res.bits_per_spike, expect_bits, rtol=1e-12)
+    # a true-decoder model beats the null over the whole population
+    assert res.bits_per_spike > 0.0
+    assert res.r2.shape == (5,)
+
+    with pytest.raises(ValueError, match="n_folds"):
+        EV.kfold_channel_eval(cfg, state, y, n_folds=1)
+
+
 def test_oo_api_evaluate_facade(key):
     from vjf_tpu.api import VJF
 

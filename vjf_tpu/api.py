@@ -690,6 +690,22 @@ class VJF:
             n_iter=n_iter, mesh=mesh, channel_mask=channel_mask,
         )
 
+    def evaluate_kfold(self, y: Array, n_folds: int = 5, seed: int = 0,
+                       **kwargs):
+        """Population-level co-smoothing: rotate :meth:`evaluate` over
+        ``n_folds`` disjoint channel folds so every channel is scored by a
+        smoother that never saw it (``models/evaluate.py:
+        kfold_channel_eval``). Returns a :class:`KFoldEval` with per-fold
+        results and pooled scores. ``kwargs`` as in :meth:`evaluate`
+        (``u`` maps to the core's ``us``)."""
+        from .models import evaluate as EV
+
+        if "u" in kwargs:
+            kwargs["us"] = kwargs.pop("u")
+        return EV.kfold_channel_eval(
+            self.cfg, self.state, y, n_folds=n_folds, seed=seed, **kwargs
+        )
+
     # -- persistence (capability beyond the reference) --------------------
     # The reference cannot checkpoint: its regression state and counters are
     # plain attributes invisible to state_dict() (vjf/module.py:46-54,

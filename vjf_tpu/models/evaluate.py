@@ -66,6 +66,7 @@ class HeldoutEval(NamedTuple):
     r2: Array
     heldout: np.ndarray        # (k,) int channel indices actually used
     smoothed_means: Array      # (T[, B], xdim) latents from observed channels
+    n_spikes: Optional[Array] = None   # Poisson: scored (observed) spikes
 
 
 def _normalize_heldout(heldout, ydim: int) -> np.ndarray:
@@ -207,10 +208,10 @@ def heldout_eval(
         loglik_null = jnp.sum(
             obs_w * (y_h * jnp.log(rate0) - rate0 - gammaln(y_h + 1.0))
         )
-        n_spikes = jnp.sum(obs_w * y_h)
+        n_spk = jnp.sum(obs_w * y_h)
         bits = jnp.where(
-            n_spikes > 0,
-            (loglik - loglik_null) / (n_spikes * jnp.log(2.0)),
+            n_spk > 0,
+            (loglik - loglik_null) / (n_spk * jnp.log(2.0)),
             jnp.nan,
         )
     else:
@@ -227,6 +228,7 @@ def heldout_eval(
             obs_w * (jnp.log(2.0 * jnp.pi * var0) + (y_h - mu0) ** 2 / var0)
         )
         bits = None
+        n_spk = None
 
     resid = jnp.sum(obs_w * (y_h - pred) ** 2)
     total = jnp.sum(obs_w * (y_h - _chan_mean(y_h)) ** 2)
@@ -235,5 +237,59 @@ def heldout_eval(
     return HeldoutEval(
         eta=eta, pred=pred, loglik=loglik, loglik_null=loglik_null,
         bits_per_spike=bits, r2=r2, heldout=idx,
-        smoothed_means=smoothed.means,
+        smoothed_means=smoothed.means, n_spikes=n_spk,
+    )
+
+
+class KFoldEval(NamedTuple):
+    """Result of :func:`kfold_channel_eval`. ``folds`` holds the per-fold
+    :class:`HeldoutEval`s (fold f's channels are ``folds[f].heldout``);
+    the scalars pool over folds, so every channel is scored exactly once
+    while inference for each fold still sees the other ``k-1`` folds."""
+
+    folds: Tuple[HeldoutEval, ...]
+    loglik: float
+    loglik_null: float
+    bits_per_spike: Optional[float]   # Poisson; pooled over all folds
+    r2: np.ndarray                    # (k,) per-fold prediction R²
+
+
+def kfold_channel_eval(
+    cfg: VJFConfig,
+    state: TrainState,
+    ys: Array,
+    n_folds: int = 5,
+    seed: int = 0,
+    **kwargs,
+) -> KFoldEval:
+    """Rotate :func:`heldout_eval` over ``n_folds`` disjoint channel folds
+    (a random balanced partition, ``seed``-deterministic) so EVERY channel
+    gets a co-smoothing score from a smoother that never saw it —
+    population-level evaluation with no sacrificed channels. ``kwargs``
+    pass through to :func:`heldout_eval` (``x_ref``/``us``/``n_iter``/
+    ``mesh``/``channel_mask``).
+
+    Pooled ``bits_per_spike`` uses total loglik gain over total spikes
+    (not a mean of per-fold ratios — folds with more spikes weigh more,
+    matching the single-split definition applied to the union).
+    """
+    if not 2 <= n_folds <= cfg.ydim:
+        raise ValueError(
+            f"n_folds must be in [2, ydim={cfg.ydim}]; got {n_folds}"
+        )
+    perm = np.random.default_rng(seed).permutation(cfg.ydim)
+    folds = tuple(
+        heldout_eval(cfg, state, ys, np.sort(perm[f::n_folds]), **kwargs)
+        for f in range(n_folds)
+    )
+    ll = float(sum(float(f.loglik) for f in folds))
+    ll0 = float(sum(float(f.loglik_null) for f in folds))
+    if cfg.likelihood == "poisson":
+        n_spk = sum(float(f.n_spikes) for f in folds)
+        bits = (ll - ll0) / (n_spk * np.log(2.0)) if n_spk > 0 else float("nan")
+    else:
+        bits = None
+    return KFoldEval(
+        folds=folds, loglik=ll, loglik_null=ll0, bits_per_spike=bits,
+        r2=np.array([float(f.r2) for f in folds]),
     )
