@@ -218,6 +218,56 @@ def test_kfold_channel_eval(key):
         EV.kfold_channel_eval(cfg, state, y, n_folds=1)
 
 
+def test_heldout_default_n_iter_shape_invariant(key):
+    """ADVICE r2 (medium): default n_iter resolves ONCE in heldout_eval —
+    the same data as (T, ydim) and (T, 1, ydim) scores identically with
+    n_iter unspecified (previously 3 vs 8 for Poisson)."""
+    cfg, state, y = _poisson_setup(key, T=100)
+    held = [4, 13]
+    res_2d = EV.heldout_eval(cfg, state, y, held)
+    res_3d = EV.heldout_eval(cfg, state, y[:, None, :], held)
+    np.testing.assert_allclose(
+        np.asarray(res_3d.pred)[:, 0], np.asarray(res_2d.pred),
+        rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(float(res_3d.loglik), float(res_2d.loglik),
+                               rtol=1e-10)
+
+
+def test_heldout_mesh_with_2d_raises(key):
+    """ADVICE r2 (low): mesh= only applies to batched input — silent
+    unsharded execution is replaced by a loud error."""
+    cfg, state, y = _poisson_setup(key, T=40)
+    from vjf_tpu.parallel import make_mesh
+
+    with pytest.raises(ValueError, match="mesh"):
+        EV.heldout_eval(cfg, state, y, [2, 5], mesh=make_mesh(1))
+
+
+def test_heldout_gaussian_null_floor_single_entry(key):
+    """ADVICE r2 (low): a held-out channel with ONE observed entry must not
+    hand the null a near-zero variance (+13 nats/entry). The null variance
+    is floored at 1% of the pooled held-out variance."""
+    rng = np.random.default_rng(9)
+    T, ydim = 120, 12
+    x = _rotation_latent(rng, T)
+    C = rng.normal(size=(ydim, 2))
+    d = np.zeros(ydim)
+    y = x @ C.T + d + 0.1 * rng.normal(size=(T, ydim))
+    cfg = VJFConfig(ydim=ydim, xdim=2, udim=0, n_rbf=16, hidden_sizes=(6,),
+                    likelihood="gaussian", dtype="float64")
+    state = _installed_state(key, cfg, x, C, d)
+    state = state._replace(params=state.params._replace(
+        likelihood=type(state.params.likelihood)(jnp.asarray(np.log(0.01)))))
+    held = [1, 7]
+    cm = np.ones_like(y)
+    cm[1:, 7] = 0.0     # channel 7: exactly one observed entry
+    res = EV.heldout_eval(cfg, state, y, held, channel_mask=cm, n_iter=1)
+    assert np.isfinite(float(res.loglik_null))
+    # the one-entry channel's null no longer scores ~+13 nats: the model
+    # (true decoder, matched noise) still beats the null overall
+    assert float(res.loglik) > float(res.loglik_null)
+
+
 def test_oo_api_evaluate_facade(key):
     from vjf_tpu.api import VJF
 

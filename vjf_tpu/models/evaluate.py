@@ -45,7 +45,10 @@ class HeldoutEval(NamedTuple):
     posterior over the latent propagated through the log link) or the
     Gaussian mean ``C m + d``. ``eta`` is the natural parameter ``C m + d``.
     Shapes: (T, k) for one sequence, (T, B, k) for a batch, where k is the
-    number of held-out channels (ordered as in ``heldout``).
+    number of held-out channels. Columns follow ``res.heldout`` — the
+    SORTED UNIQUE indices — not the order the caller passed (e.g.
+    ``heldout=[9, 2]`` yields columns for channels ``[2, 9]``); index
+    ``pred``/``eta`` by ``res.heldout``, never by the original list.
 
     ``loglik`` / ``loglik_null`` are TOTAL predictive log-likelihoods (nats)
     of the held-out entries under the model / under the per-channel constant
@@ -116,9 +119,15 @@ def heldout_eval(
     ``ys``: (T, ydim) one sequence or (T, B, ydim) a batch of trials (the
     batch smooths in one vmapped dispatch; scores pool over trials).
     ``heldout``: int indices or a boolean (ydim,) mask of channels to hold
-    out. ``x_ref`` / ``us`` / ``n_iter`` / ``mesh`` pass through to the
+    out — normalized to SORTED UNIQUE indices; the returned ``eta`` /
+    ``pred`` columns follow ``res.heldout`` (sorted), NOT the caller's
+    argument order. ``x_ref`` / ``us`` / ``n_iter`` pass through to the
     smoother (:func:`vjf_tpu.models.smoothing.smooth_iterated` /
-    :func:`~vjf_tpu.models.smoothing.smooth_batch`).
+    :func:`~vjf_tpu.models.smoothing.smooth_batch`); ``n_iter=None``
+    resolves to 8 for Poisson / 1 for Gaussian identically for BOTH input
+    shapes, so (T, ydim) and (T, 1, ydim) score the same data the same
+    way. ``mesh`` shards the batched smoother over trials and applies only
+    to (T, B, ydim) input — passing it with a 2-d ``ys`` raises.
 
     ``channel_mask``: optional (T, ydim) (or (T, B, ydim) per-trial) 0/1
     observed-entry mask for data with electrode dropout — entries missing
@@ -167,16 +176,25 @@ def heldout_eval(
         infer_mask = held_mask
         obs_w = jnp.ones_like(ys[..., idx])
 
-    kw = {} if n_iter is None else {"n_iter": n_iter}
+    # one shared default for both input shapes (smooth_batch's resolution);
+    # (T, ydim) vs (T, 1, ydim) must score identically
+    if n_iter is None:
+        n_iter = 8 if cfg.likelihood == "poisson" else 1
     if ys.ndim == 3:
         _, smoothed = smoothing.smooth_batch(
             cfg, state, ys, x_ref=x_ref, channel_mask=infer_mask,
-            mesh=mesh, us=us, **kw,
+            mesh=mesh, us=us, n_iter=n_iter,
         )
     else:
+        if mesh is not None:
+            raise ValueError(
+                "mesh= applies only to batched (T, B, ydim) input; a single "
+                "(T, ydim) sequence smooths unsharded — drop mesh or add a "
+                "trial axis"
+            )
         _, smoothed = smoothing.smooth_iterated(
             cfg, state, ys, x_ref=x_ref, channel_mask=infer_mask,
-            us=us, **kw,
+            us=us, n_iter=n_iter,
         )
 
     c_h = state.params.decoder.w[idx]           # (k, xdim)
@@ -223,7 +241,15 @@ def heldout_eval(
             obs_w * (jnp.log(2.0 * jnp.pi * var) + (y_h - pred) ** 2 / var)
         )
         mu0 = _chan_mean(y_h)
-        var0 = jnp.clip(_chan_mean((y_h - mu0) ** 2), 1e-12)
+        var0_mle = _chan_mean((y_h - mu0) ** 2)
+        # floor at 1% of the pooled held-out variance: a channel with <2
+        # observed entries (possible under channel_mask dropout) has MLE
+        # variance ~0, and an unfloored null would gain ~+13 nats per such
+        # entry, spuriously reporting the model as losing to the null
+        w_all = obs_w.reshape(-1, idx.size)
+        pooled = (jnp.sum(w_all * (y_h.reshape(-1, idx.size) - mu0) ** 2)
+                  / jnp.clip(jnp.sum(w_all), 1.0))
+        var0 = jnp.clip(var0_mle, jnp.maximum(1e-2 * pooled, 1e-12))
         loglik_null = -0.5 * jnp.sum(
             obs_w * (jnp.log(2.0 * jnp.pi * var0) + (y_h - mu0) ** 2 / var0)
         )
