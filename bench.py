@@ -89,13 +89,14 @@ def main() -> None:
     out = epochs_fn(cfg, StepFlags(), state, ys, us, keys, lrs)
     loss = float(np.asarray(out.epoch_loss[-1]))
 
-    best = float("inf")
+    times = []
     for i in range(reps):
         lr_i = lrs * (1.0 + 1e-6 * (i + 1))
         t0 = time.perf_counter()
         out = epochs_fn(cfg, StepFlags(), state, ys, us, keys, lr_i)
         loss = float(np.asarray(out.epoch_loss[-1]))  # forces completion
-        best = min(best, time.perf_counter() - t0)
+        times.append(time.perf_counter() - t0)
+    best = min(times)
     assert np.isfinite(loss) and loss != 0.0, f"degenerate loss {loss}"
     max_tau = float(np.asarray(out.max_tau).max())
     assert max_tau < 0.7, f"Newton-Schulz never contracted (tau={max_tau})"
@@ -106,6 +107,7 @@ def main() -> None:
     assert hot < 0.01, f"benchmark dropped {100 * hot:.1f}% of RLS updates"
 
     steps_per_sec = t_chunk * n_epochs / best
+    median_sps = t_chunk * n_epochs / float(np.median(times))
     print(
         json.dumps(
             {
@@ -113,6 +115,13 @@ def main() -> None:
                 "value": round(steps_per_sec, 1),
                 "unit": "timesteps/s/chip",
                 "vs_baseline": round(steps_per_sec / BASELINE_STEPS_PER_SEC, 2),
+                # variance documentation (VERDICT r2 #7): value stays
+                # best-of-reps (the driver's contract — least tunnel/
+                # contention noise); median over the same reps quantifies
+                # the spread on a shared chip
+                "median": round(median_sps, 1),
+                "median_vs_baseline": round(median_sps / BASELINE_STEPS_PER_SEC, 2),
+                "reps": reps,
             }
         )
     )

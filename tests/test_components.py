@@ -254,6 +254,88 @@ def test_nonbayes_linear_regression(key):
     assert float(loss_fn(state)) < 0.5 * l0
 
 
+def test_joseph_quirk_matches_torch_reference(key):
+    """``joseph_update(quirk=True)`` replicates the reference's
+    double-``S^{-1}`` gain (``vjf/kalman.py:131-139``) bit-faithfully on
+    identical inputs — the strict-parity mode VERDICT r2 asked for; the
+    default (quirk=False) is the corrected update and must differ."""
+    torch = pytest.importorskip("torch")
+
+    from vjf import kalman as ref_kalman
+    from vjf_tpu.ops import kalman as K
+
+    torch.set_default_dtype(torch.double)
+    rng = np.random.default_rng(42)
+    nf, nout, b = 6, 3, 4
+    w = rng.normal(size=(nf, nout))
+    a_raw = rng.normal(size=(nf, nf))
+    v0 = a_raw @ a_raw.T + nf * np.eye(nf)         # PD covariance
+    l0 = np.linalg.cholesky(v0)
+    h = rng.normal(size=(b, nf))
+    target = rng.normal(size=(b, nout))
+    q = 0.01 * np.eye(nf)
+    r = 0.5 * np.eye(b)
+
+    ty, tx, tv = ref_kalman.predict(
+        torch.tensor(w), torch.tensor(l0), torch.eye(nf), torch.tensor(q),
+        torch.tensor(h), torch.tensor(r))
+    tw, tl = ref_kalman.joseph_update(
+        torch.tensor(target), ty, tx, tv, torch.tensor(h), torch.tensor(r))
+
+    jy, jx, jv = K.predict(
+        jnp.asarray(w), jnp.asarray(l0), jnp.eye(nf), jnp.asarray(q),
+        jnp.asarray(h))
+    np.testing.assert_allclose(np.asarray(jv), tv.numpy(), rtol=1e-10,
+                               atol=1e-12)
+    jw_q, jl_q = K.joseph_update(
+        jnp.asarray(target), jy, jx, jv, jnp.asarray(h), jnp.asarray(r),
+        quirk=True)
+    np.testing.assert_allclose(np.asarray(jw_q), tw.numpy(), rtol=1e-9,
+                               atol=1e-11)
+    np.testing.assert_allclose(np.asarray(jl_q @ jl_q.T),
+                               (tl @ tl.T).numpy(), rtol=1e-9, atol=1e-11)
+    # the corrected default is a DIFFERENT update (the quirk is real)
+    jw_c, _ = K.joseph_update(
+        jnp.asarray(target), jy, jx, jv, jnp.asarray(h), jnp.asarray(r))
+    assert not np.allclose(np.asarray(jw_c), tw.numpy(), atol=1e-6)
+
+
+def test_regression_kalman_quirk_matches_torch_reference(key):
+    """``regression.kalman(quirk=True)`` == the reference's
+    ``LinearRegression.kalman`` (``vjf/module.py:114-142``) end-to-end,
+    copied weights and features, cfg.joseph_quirk plumbing included."""
+    torch = pytest.importorskip("torch")
+
+    from vjf.module import RBF as RefRBF
+    from vjf.module import LinearRegression as RefLR
+    from vjf_tpu.models import regression as R
+
+    torch.set_default_dtype(torch.double)
+    rng = np.random.default_rng(7)
+    nf, xdim, nout, b = 9, 2, 2, 5
+    ref = RefLR(RefRBF(xdim, nf), nout)
+    w0 = rng.normal(size=(nf, nout))
+    c_raw = rng.normal(size=(nf, nf)) * 0.3
+    v0 = c_raw @ c_raw.T + np.eye(nf)
+    ref.w_mean = torch.tensor(w0)
+    ref.w_chol = torch.tensor(np.linalg.cholesky(v0))
+    x = rng.normal(size=(b, xdim))
+    target = rng.normal(size=(b, nout))
+    v, diffusion = 0.3, 0.05
+    feat = ref.feature(torch.tensor(x)).numpy()     # same features both sides
+    ref.kalman(torch.tensor(x), torch.tensor(target), torch.tensor(v),
+               diffusion=diffusion)
+
+    state = R.CovarianceBLR(jnp.asarray(w0), jnp.asarray(v0))
+    new = R.kalman(state, jnp.asarray(feat), jnp.asarray(target),
+                   jnp.asarray(v), diffusion=diffusion, quirk=True)
+    np.testing.assert_allclose(np.asarray(new.w_mean), ref.w_mean.numpy(),
+                               rtol=1e-9, atol=1e-11)
+    ref_cov = (ref.w_chol @ ref.w_chol.t()).numpy()
+    np.testing.assert_allclose(np.asarray(new.cov), ref_cov,
+                               rtol=1e-9, atol=1e-11)
+
+
 def test_update_per_module_toggles(key):
     """VJF.update(likelhood=, transition=) — vjf/model.py:156-177: each
     toggle gates exactly its module's closed-form update."""

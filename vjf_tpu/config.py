@@ -59,6 +59,12 @@ class VJFConfig:
     # vjf/model.py:372, w[t] = w[t-1] + N(0, diffusion I))
     dynamics_update: str = "rls"
     kalman_diffusion: float = 0.01        # vjf/model.py:372 default
+    # strict-parity replication of the reference's double-S^{-1} gain in
+    # joseph_update (vjf/kalman.py:131-139): the innovation, H, and sqrt(R)
+    # each get an extra cholesky_solve, so the effective gain is K S^{-1}.
+    # Default off = the correct standard Joseph update (deviation #2,
+    # docs/ARCHITECTURE.md); mirrors the trace_quirk treatment.
+    joseph_quirk: bool = False
 
     # --- fit loop (vjf/model.py:223-224) ---
     beta: float = 0.1                     # running-loss discount

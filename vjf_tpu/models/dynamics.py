@@ -245,7 +245,8 @@ def blr_residual_update(
             # the reference's commented weight-diffusion alternative
             # (vjf/model.py:372): w[t] = w[t-1] + N(0, diffusion I)
             blr = regression.kalman(
-                blr, feat, dx, jnp.exp(logvar), diffusion=cfg.kalman_diffusion
+                blr, feat, dx, jnp.exp(logvar), diffusion=cfg.kalman_diffusion,
+                quirk=cfg.joseph_quirk,
             )
         else:
             blr = regression.rls(

@@ -405,6 +405,7 @@ def kalman(
     target: Array,
     v: Array,
     diffusion: float = 0.0,
+    quirk: bool = False,
 ) -> BLRState:
     """Weight-diffusion Kalman update ``w[t] = w[t-1] + N(0, diffusion I)``,
     ``target = F w[t] + N(0, v)`` — mirrors ``vjf/module.py:114-142`` via the
@@ -412,12 +413,16 @@ def kalman(
 
     State lives in weight space: "x" is the (n_feature, n_out) weight matrix
     with output dims playing the batch role, H is the feature matrix.
+
+    ``quirk=True`` (``cfg.joseph_quirk``) runs the measurement update with
+    the reference's double-``S^{-1}`` gain (``vjf/kalman.py:131-139``) for
+    bit-faithful parity runs; see :func:`vjf_tpu.ops.kalman.joseph_update`.
     """
     if isinstance(state, PrecisionBLR):
         # Convert to covariance form, update, convert back.
         u0 = state.prec_chol_inv_t
         cov_state = CovarianceBLR(state.w_mean, u0 @ u0.T)
-        new = kalman(cov_state, feat, target, v, diffusion)
+        new = kalman(cov_state, feat, target, v, diffusion, quirk)
         prec = jnp.linalg.inv(new.cov)
         chol = safe_cholesky(prec)
         return PrecisionBLR(new.w_mean, prec, chol, inv_tril_transpose(chol))
@@ -425,7 +430,10 @@ def kalman(
     if isinstance(state, NSVBLR):
         # cold path (weight-diffusion Kalman isn't used in the hot loop):
         # update in covariance form, rebuild the tracked pair exactly.
-        new = kalman(CovarianceBLR(state.w_mean, state.cov), feat, target, v, diffusion)
+        new = kalman(
+            CovarianceBLR(state.w_mean, state.cov), feat, target, v,
+            diffusion, quirk,
+        )
         return NSVBLR(new.w_mean, jnp.linalg.inv(new.cov), new.cov)
 
     nf = state.cov.shape[0]
@@ -435,7 +443,9 @@ def kalman(
     r = v * jnp.eye(b, dtype=feat.dtype)
     chol_v = safe_cholesky(state.cov)
     yhat, what, chol_vhat = _kalman_predict(state.w_mean, chol_v, eye, q, feat)
-    w_new, chol_new = _joseph_update(target, yhat, what, chol_vhat, feat, r)
+    w_new, chol_new = _joseph_update(
+        target, yhat, what, chol_vhat, feat, r, quirk=quirk
+    )
     return CovarianceBLR(w_new, chol_new @ chol_new.T)
 
 

@@ -83,6 +83,7 @@ def joseph_update(
     h: Array,
     r: Array,
     cholesky: bool = True,
+    quirk: bool = False,
 ) -> Tuple[Array, Array]:
     """Joseph-form measurement update.
 
@@ -97,6 +98,13 @@ def joseph_update(
     precision. We implement the standard Joseph update, validated by the
     invariant ``kalman(diffusion=0) == rls`` (exact Bayesian update), which
     the reference's version does not satisfy.
+
+    ``quirk=True`` replicates the reference's double-``S^{-1}`` behavior
+    bit-for-bit (the strict-parity mode, mirroring ``gaussian_loss``'s
+    ``trace_quirk``): the gain applied to the innovation, to H inside the
+    Joseph sandwich, and to ``sqrt(R)`` is ``K S^{-1}`` exactly as at
+    ``vjf/kalman.py:131-139``. Parity-tested against the live torch
+    reference in ``tests/test_components.py``.
     """
     e = y - yhat
     lhat = chol_vhat if cholesky else safe_cholesky(chol_vhat)
@@ -105,11 +113,16 @@ def joseph_update(
     s = hl @ hl.T + r
     ls = safe_cholesky(s)
     g = cho_solve(ls, h @ vhat).T            # K = Vhat H^T S^{-1}
-    x = xhat + g @ e
     eye = jnp.eye(vhat.shape[0], dtype=vhat.dtype)
-    i_kh = eye - g @ h
+    if quirk:
+        x = xhat + g @ cho_solve(ls, e)
+        i_kh = eye - g @ cho_solve(ls, h)
+        kr = g @ cho_solve(ls, jnp.sqrt(r))  # R assumed diagonal
+    else:
+        x = xhat + g @ e
+        i_kh = eye - g @ h
+        kr = g @ jnp.sqrt(r)                 # R assumed diagonal
     i_kh_l = i_kh @ lhat
-    kr = g @ jnp.sqrt(r)                     # R assumed diagonal
     v = i_kh_l @ i_kh_l.T + kr @ kr.T
     if cholesky:
         v = safe_cholesky(v)
