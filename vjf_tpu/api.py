@@ -597,6 +597,65 @@ class VJF:
             )
         return result.mu, result.logvar, result.loss
 
+    def fit_ensemble(
+        self,
+        y: Array,
+        u: Optional[Array] = None,
+        *,
+        n_models: int,
+        max_iter: int = 200,
+        beta: Optional[float] = None,
+        rtol: Optional[float] = None,
+        callback=None,
+        mask: Optional[Array] = None,
+        channel_mask: Optional[Array] = None,
+        mesh=None,
+        seed: Optional[int] = None,
+    ):
+        """Train ``n_models`` INDEPENDENT models (fresh seeds, this model's
+        config) in one dispatch stream — the productized multi-chip regime
+        (seed ensembles / per-subject sweeps; docs/ARCHITECTURE.md §4).
+        This instance is the config template; its own state is untouched.
+
+        Each member runs the full per-member ``fit`` state machine
+        (warm-up plateau, decoder freeze, bootstrap, convergence patience,
+        lr schedule — ``vjf/model.py:223-307`` semantics, members
+        transitioning independently; see ``parallel.fit_ensemble``).
+
+        ``y``: (T, B, ydim) shared data or (N, T, B, ydim) per member.
+        ``mesh``: optional Mesh sharding the MEMBER axis across chips
+        (zero collectives). Returns ``(result, members)`` — the
+        :class:`~vjf_tpu.parallel.ensemble.EnsembleFitResult` and a list
+        of ``n_models`` fitted :class:`VJF` instances ready for
+        ``forecast``/``filter``/``evaluate``.
+        """
+        from .parallel import fit_ensemble as _fit_ensemble
+        from .parallel import init_ensemble
+
+        if seed is None:
+            self.key, k_base = jax.random.split(self.key)
+        else:
+            k_base = jax.random.PRNGKey(seed)
+        k_init, k_fit = jax.random.split(k_base)
+        states = init_ensemble(k_init, self.cfg, n_models)
+        result = _fit_ensemble(
+            self.cfg, states, y, u, key=k_fit, max_iter=max_iter,
+            beta=beta, rtol=rtol, callback=callback, mask=mask,
+            channel_mask=channel_mask, mesh=mesh, lr0=self._lr,
+        )
+        members = []
+        for i in range(n_models):
+            m = object.__new__(VJF)
+            m.cfg = self.cfg
+            m.key = jax.random.fold_in(k_base, i + 1)
+            m.state = jax.tree.map(lambda x: x[i], result.states)
+            m._step_fn = self._step_fn
+            m._lr = float(result.lr[i])
+            m.epochs_run = int(result.epochs_run[i])
+            m._decoder_frozen = not bool(result.warm_up[i])
+            members.append(m)
+        return result, members
+
     # -- generation -------------------------------------------------------
     def forecast(
         self,

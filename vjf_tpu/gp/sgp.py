@@ -182,16 +182,20 @@ def update_from_features(
     feat: Array,
     warm_up: bool = False,
     weights: Optional[Array] = None,
+    warm_gate: Optional[Array] = None,
 ) -> SGPDynamicsState:
     """Mirror of RBFDS.update (``vjf/model.py:363-377``) on kernel features.
 
     ``weights``: optional (B,) 0/1 trial mask — zeroed feature rows drop
     out of the RLS statistics; masked rows are excluded from the residual
     MSE and sample count (see ``models/dynamics.py:update_from_features``).
+    ``warm_gate``: optional traced phase gate (see
+    ``models/dynamics.py:blr_residual_update``).
     """
     blr, logvar, n_sample = dyn.blr_residual_update(
         cfg, state.blr, state.logvar, state.n_sample, xt, xs, feat,
         warm_up=warm_up, weights=weights, update_rule="rls",
+        warm_gate=warm_gate,
     )
     return state._replace(blr=blr, logvar=logvar, n_sample=n_sample)
 

@@ -197,6 +197,7 @@ def update_from_features(
     feat: Array,
     warm_up: bool = False,
     weights: Optional[Array] = None,
+    warm_gate: Optional[Array] = None,
 ) -> DynamicsState:
     """Closed-form learning step with precomputed features —
     ``vjf/model.py:363-377``.
@@ -210,10 +211,14 @@ def update_from_features(
     row's feature row is zeroed — a zero row contributes nothing to the RLS
     sufficient statistics ``F^T F`` / ``F^T dx`` — and it is excluded from
     the residual MSE and the sample count.
+
+    ``warm_gate``: optional traced phase gate (see
+    :func:`blr_residual_update`).
     """
     blr, logvar, n_sample = blr_residual_update(
         cfg, state.blr, state.logvar, state.n_sample, xt, xs, feat,
         warm_up=warm_up, weights=weights, update_rule=cfg.dynamics_update,
+        warm_gate=warm_gate,
     )
     return DynamicsState(state.rbf, blr, logvar, n_sample)
 
@@ -229,29 +234,43 @@ def blr_residual_update(
     warm_up: bool = False,
     weights: Optional[Array] = None,
     update_rule: str = "rls",
+    warm_gate: Optional[Array] = None,
 ) -> Tuple[Any, Array, Array]:
     """The shared dynamics-learning tail (every dynamics family):
     closed-form weight update on ``dx`` (skipped during warm-up), then the
     state noise refreshed by a running variance of the POST-update residual
     MSE — the reference's ordering (``vjf/model.py:363-377``).
 
+    ``warm_gate``: optional TRACED scalar phase gate (1.0 = warm-up) for
+    ensemble fits whose members occupy different phases within one
+    dispatch (``parallel.fit_ensemble``). When given it OVERRIDES the
+    static ``warm_up`` flag: the weight update is computed unconditionally
+    and selected away while the gate is warm, so the residual/running-var
+    tail sees exactly the state either static phase would have seen.
+
     :return: ``(blr, logvar, n_sample)`` for the caller's state container.
     """
     if weights is not None:
         feat = feat * weights.astype(feat.dtype)[:, None]
     dx = xt - xs
-    if not warm_up:
+    if not warm_up or warm_gate is not None:
         if update_rule == "kalman":
             # the reference's commented weight-diffusion alternative
             # (vjf/model.py:372): w[t] = w[t-1] + N(0, diffusion I)
-            blr = regression.kalman(
+            new_blr = regression.kalman(
                 blr, feat, dx, jnp.exp(logvar), diffusion=cfg.kalman_diffusion,
                 quirk=cfg.joseph_quirk,
             )
         else:
-            blr = regression.rls(
+            new_blr = regression.rls(
                 blr, feat, dx, jnp.exp(logvar),
                 shrink=cfg.rls_shrink, jitter=cfg.chol_jitter,
+            )
+        if warm_gate is None:
+            blr = new_blr
+        else:
+            blr = jax.tree.map(
+                lambda n, o: jnp.where(warm_gate > 0, o, n), new_blr, blr
             )
 
     residual = dx - regression.predict_gaussian(blr, feat).mean

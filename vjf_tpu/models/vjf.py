@@ -242,9 +242,22 @@ def filter_step(
     lr: Array,
     mask: Optional[Array] = None,
     channel_mask: Optional[Array] = None,
+    warm_gate: Optional[Array] = None,
 ) -> Tuple[TrainState, Gaussian, Metrics]:
     """One fused filter-then-learn step — the body of ``VJF.filter``
     (``vjf/model.py:179-221``), compiled as a single XLA computation.
+
+    ``warm_gate``: optional TRACED scalar phase gate (1.0 = warm-up),
+    the ensemble-fit mechanism for members in different phases sharing one
+    dispatch (``parallel.fit_ensemble``). When given it overrides
+    ``flags.warm_up`` / ``flags.train_decoder``: the dynamics loss term is
+    scaled by ``(1 - warm_gate)``, the decoder SGD step is select-gated on
+    ``warm_gate > 0`` (trains only while warm), and the closed-form weight
+    update is computed then select-gated (see
+    :func:`~vjf_tpu.models.dynamics.blr_residual_update`). With
+    ``warm_gate`` at a constant 0.0/1.0 this is numerically identical to
+    the corresponding static-flag trace (``0 * l_dyn`` adds exact zeros;
+    selects copy bits) — property-tested in ``tests/test_ensemble.py``.
 
     Order mirrors the reference exactly: forward → loss → clipped SGD step
     → non-gradient updates (obs-noise running variance with the *post-SGD*
@@ -293,7 +306,11 @@ def filter_step(
             weights=weights, channel_mask=channel_mask,
         )
         loss = l_recon - h
-        if not flags.warm_up:                            # vjf/model.py:147-149
+        if warm_gate is not None:
+            # traced phase: (1 - gate) * l_dyn is exactly l_dyn when the
+            # gate is 0.0 and an exact zero (value AND gradient) at 1.0
+            loss = loss + (1.0 - warm_gate) * l_dyn
+        elif not flags.warm_up:                          # vjf/model.py:147-149
             loss = loss + l_dyn
         return loss, (aux, Metrics(loss, -l_recon, -l_dyn, h))
 
@@ -323,11 +340,21 @@ def filter_step(
             )
 
         params = state.params
+        if warm_gate is not None:
+            # decoder trains only during warm-up (the fit loop's freeze,
+            # vjf/model.py:283) — select-gated per traced phase
+            dec_new = sgd(params.decoder, grads.decoder)
+            decoder = jax.tree.map(
+                lambda a, b: jnp.where(warm_gate > 0, a, b),
+                dec_new, params.decoder,
+            )
+        elif flags.train_decoder:
+            decoder = sgd(params.decoder, grads.decoder)
+        else:
+            decoder = params.decoder
         new_params = Params(
             recognition=sgd(params.recognition, grads.recognition),
-            decoder=sgd(params.decoder, grads.decoder)
-            if flags.train_decoder
-            else params.decoder,
+            decoder=decoder,
             likelihood=sgd(params.likelihood, grads.likelihood),
             prior=params.prior,                          # never in the optimizer
         )
@@ -348,7 +375,7 @@ def filter_step(
     if flags.update and flags.update_transition:
         new_dynamics = _transition(cfg).update_from_features(
             cfg, dynamics, xt, xs, jax.lax.stop_gradient(feat),
-            warm_up=flags.warm_up, weights=weights,
+            warm_up=flags.warm_up, weights=weights, warm_gate=warm_gate,
         )
         # skip the closed-form update entirely if its inputs OR outputs are
         # non-finite (the unguarded recursion would otherwise cement NaNs
@@ -406,9 +433,16 @@ def run_epoch(
     q0: Optional[Gaussian] = None,
     mask: Optional[Array] = None,
     channel_mask: Optional[Array] = None,
+    warm_gate: Optional[Array] = None,
 ) -> EpochResult:
     """One full pass over time as a single ``lax.scan`` — replaces the hot
     Python loop at ``vjf/model.py:252-258``.
+
+    ``warm_gate``: optional traced scalar phase gate (see
+    :func:`filter_step`); a gated epoch always takes the XLA scan (the
+    pallas kernels bake the phase in statically — the ensemble driver
+    routes phase-mixed epochs here and phase-uniform epochs to the
+    static-flag fused path).
 
     :param ys: (T, B, ydim)
     :param us: (T, B, udim); pass udim=0 for autonomous systems
@@ -441,7 +475,7 @@ def run_epoch(
     # trap documented at parallel/sharded.py's call path)
     mask = _promote_mask(mask, t_len, n_batch, ys.dtype)
     channel_mask = _promote_channel_mask(channel_mask, ys.shape, ys.dtype)
-    if _fused.fused_enabled(cfg, state, n_batch=n_batch):
+    if warm_gate is None and _fused.fused_enabled(cfg, state, n_batch=n_batch):
         return _fused.run_epoch_fused(
             cfg, flags, state, ys, us, key, lr, noise=noise, q0=q0, mask=mask,
             channel_mask=channel_mask,
@@ -474,7 +508,7 @@ def run_epoch(
         cmk = rest[-1] if have_cm else None
         st, q, metrics = filter_step(
             cfg, flags, st, q, y, u, eps_s, eps_t, lr,
-            mask=m, channel_mask=cmk,
+            mask=m, channel_mask=cmk, warm_gate=warm_gate,
         )
         return (st, q), (q, metrics)
 

@@ -1,3 +1,4 @@
+from .ensemble import EnsembleFitResult, fit_ensemble
 from .mesh import make_mesh
 from .replicated import init_ensemble, run_epoch_ensemble, shard_ensemble
 from .sharded import (
@@ -10,6 +11,8 @@ from .sharded import (
 )
 
 __all__ = [
+    "EnsembleFitResult",
+    "fit_ensemble",
     "make_mesh",
     "init_ensemble",
     "run_epoch_ensemble",
