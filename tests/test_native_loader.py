@@ -110,6 +110,113 @@ def test_streaming_filter_partial_tail(tmp_path):
     assert np.all(np.isfinite(losses))
 
 
+def test_run_chunks_matches_sequential_epochs():
+    """core.run_chunks (the K-chunk device-side pipeline) == K sequential
+    run_epoch dispatches with the posterior carried, same keys — exact."""
+    import jax
+    import jax.numpy as jnp
+
+    from vjf_tpu.config import StepFlags, VJFConfig
+    from vjf_tpu.models import vjf as core
+
+    rng = np.random.default_rng(3)
+    K, L, B, ydim = 3, 24, 2, 8
+    cfg = VJFConfig(ydim=ydim, xdim=2, udim=0, n_rbf=10, hidden_sizes=(6,),
+                    likelihood="gaussian", dtype="float64")
+    state = core.init_state(jax.random.PRNGKey(0), cfg)
+    ys = jnp.asarray(rng.normal(size=(K, L, B, ydim)))
+    us = jnp.zeros((K, L, B, 0))
+    keys = jax.random.split(jax.random.PRNGKey(7), K)
+    lr = jnp.asarray(cfg.lr)
+    flags = StepFlags(warm_up=False, train_decoder=False)
+
+    blk = core.run_chunks(cfg, flags, state, ys, us, keys, lr)
+
+    st, q = state, None
+    seq_means, seq_losses = [], []
+    for i in range(K):
+        r = core.run_epoch(cfg, flags, st, ys[i], us[i], keys[i], lr, q0=q)
+        st = r.state
+        from vjf_tpu.types import Gaussian
+        q = Gaussian(r.q_means[-1], r.q_logvars[-1])
+        seq_means.append(np.asarray(r.q_means))
+        seq_losses.append(np.asarray(r.metrics.loss))
+
+    np.testing.assert_allclose(np.asarray(blk.q_means),
+                               np.stack(seq_means), rtol=1e-12, atol=1e-13)
+    np.testing.assert_allclose(np.asarray(blk.metrics.loss),
+                               np.stack(seq_losses), rtol=1e-12, atol=1e-13)
+    for a, b in zip(jax.tree_util.tree_leaves(blk.state),
+                    jax.tree_util.tree_leaves(st)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-12, atol=1e-13)
+    np.testing.assert_allclose(np.asarray(blk.q_last.mean),
+                               np.asarray(q.mean), rtol=1e-12)
+
+
+def test_streaming_blocked_end_to_end(tmp_path):
+    """chunks_per_dispatch=K: one yield per chunk, posterior carried across
+    block boundaries, leftover full chunks AND the partial tail flushed."""
+    from vjf_tpu import VJF
+
+    rng = np.random.default_rng(4)
+    chunk, B, ydim = 32, 1, 8
+    T = 5 * chunk + 20                       # 5 full chunks + partial tail
+    data = rng.normal(size=(T, B, ydim)).astype(np.float64)
+    path = tmp_path / "y.bin"
+    data.tofile(path)
+
+    model = VJF.make_model(ydim, 2, 0, n_rbf=10, hidden_sizes=[6],
+                           likelihood="gaussian", dtype="float64")
+    loader = StreamingLoader(str(path), ydim=ydim, batch=B, chunk=chunk,
+                             dtype=np.float64, native=False)
+    results = list(model.filter_stream(
+        loader, valid_fn=lambda: loader.last_valid, chunks_per_dispatch=2,
+    ))
+    # 2 blocks of 2 + 1 leftover + 1 tail = 6 yields (one per chunk)
+    assert len(results) == 6
+    assert results[-1].q_means.shape[0] == 20    # truncated tail
+    losses = np.concatenate([np.asarray(r.metrics.loss) for r in results])
+    assert losses.shape == (T,)
+    assert np.all(np.isfinite(losses))
+    assert int(model.state.dynamics.n_sample) > 0
+
+    # the posterior genuinely carries across block boundaries: chunk 2's
+    # first posterior differs from a fresh-prior filter of the same data
+    fresh = VJF.make_model(ydim, 2, 0, n_rbf=10, hidden_sizes=[6],
+                           likelihood="gaussian", dtype="float64")
+    r_fresh = list(fresh.filter_stream(
+        iter([data[2 * chunk: 3 * chunk]]), chunks_per_dispatch=1))
+    assert not np.allclose(np.asarray(results[2].q_means[0]),
+                           np.asarray(r_fresh[0].q_means[0]))
+
+
+def test_streaming_blocked_with_masks(tmp_path):
+    """Blocked mode composes with controls-free masks/channel_masks."""
+    from vjf_tpu import VJF
+
+    rng = np.random.default_rng(5)
+    chunk, B, ydim = 16, 2, 6
+    n_chunks = 4
+    T = n_chunks * chunk
+    data = rng.normal(size=(T, B, ydim)).astype(np.float64)
+
+    model = VJF.make_model(ydim, 2, 0, n_rbf=8, hidden_sizes=[5],
+                           likelihood="gaussian", dtype="float64")
+    chunks = [data[i * chunk: (i + 1) * chunk] for i in range(n_chunks)]
+    ms = [np.ones((chunk, B)) for _ in range(n_chunks)]
+    ms[1][:, 1] = 0.0
+    cms = [np.ones((chunk, B, ydim)) for _ in range(n_chunks)]
+    cms[2][:, 0, :2] = 0.0
+    results = list(model.filter_stream(
+        iter(chunks), masks=iter(ms), channel_masks=iter(cms),
+        chunks_per_dispatch=2,
+    ))
+    assert len(results) == n_chunks
+    losses = np.concatenate([np.asarray(r.metrics.loss) for r in results])
+    assert np.all(np.isfinite(losses))
+
+
 def test_streaming_demotes_mega_on_hot_tau(caplog):
     """filter_stream applies fit()'s hot-tau demotion policy (api.py): a
     pervasively hot NSV regime (B=1 SGP keeps the trace bound above the mega

@@ -265,6 +265,7 @@ class VJF:
         controls=None,
         masks=None,
         channel_masks=None,
+        chunks_per_dispatch: int = 1,
     ):
         """Stream chunks of observations through the fused filter-then-learn
         scan, carrying the posterior across chunk boundaries.
@@ -293,10 +294,32 @@ class VJF:
         ``device_prefetch(loader, valid_fn=...)`` yields — which carries
         the tail-chunk validity WITH the chunk (a consumer-side
         ``valid_fn()`` lags the producer when prefetching runs ahead).
+
+        ``chunks_per_dispatch = K > 1`` is the production pipeline mode
+        (the streaming analog of ``fit``'s ``epochs_per_dispatch``): K
+        consecutive full chunks are stacked on device and run as ONE
+        ``lax.scan`` dispatch (:func:`vjf_tpu.models.vjf.run_chunks`),
+        the posterior carried across chunk boundaries device-side —
+        amortizing the per-dispatch round-trip (the dominant cost of
+        small-chunk streams over a high-latency link; measured >=2x at
+        the streaming bench scale, docs/RESULTS.md). Results still yield
+        ONE EpochResult per chunk, but their ``state`` field holds the
+        block-FINAL state (intermediate per-chunk states are not
+        materialized), and the hot-tau demotion check resolves once per
+        K-block instead of once per chunk. A final short block (stream
+        end or tail chunk) flushes through the one-chunk path.
         """
         from itertools import repeat
 
         from .models import vjf as core
+
+        if chunks_per_dispatch > 1:
+            yield from self._filter_stream_blocked(
+                chunks, int(chunks_per_dispatch), warm_up=warm_up,
+                valid_fn=valid_fn, controls=controls, masks=masks,
+                channel_masks=channel_masks,
+            )
+            return
 
         cfg = self.cfg
         flags = StepFlags(
@@ -473,6 +496,244 @@ class VJF:
             q = Gaussian(result.q_means[-1], result.q_logvars[-1])
             yield result
         _final_hot_check(pending_hot)
+
+    def _filter_stream_blocked(
+        self,
+        chunks,
+        k_block: int,
+        *,
+        warm_up: bool,
+        valid_fn,
+        controls,
+        masks,
+        channel_masks,
+    ):
+        """K-chunk pipeline mode of :meth:`filter_stream` (see its
+        docstring): stack K full chunks, one ``run_chunks`` scan dispatch,
+        posterior carried device-side; leftovers and the tail chunk flush
+        through single dispatches / the per-step loop."""
+        from itertools import repeat
+
+        from .models import vjf as core
+
+        cfg = self.cfg
+        flags = StepFlags(
+            sgd=True, update=True, warm_up=warm_up,
+            train_decoder=not self._decoder_frozen,
+        )
+        run_blk = jax.jit(core.run_chunks, static_argnames=("cfg", "flags"))
+        run_one = jax.jit(core.run_epoch, static_argnames=("cfg", "flags"))
+        q = None
+        mega_guard = cfg.fused_epoch == "mega"
+        first_checked = False
+        pending_hot = None
+        if cfg.udim > 0 and controls is None:
+            raise ValueError(
+                f"filter_stream: the model has udim={cfg.udim} — pass "
+                "`controls=` (one (chunk_len, B, udim) array per chunk)"
+            )
+        u_it = iter(controls) if controls is not None else repeat(None)
+        m_it = iter(masks) if masks is not None else repeat(None)
+        cm_it = iter(channel_masks) if channel_masks is not None else repeat(None)
+
+        def _resolve_pending():
+            nonlocal pending_hot, cfg, mega_guard
+            if pending_hot is None:
+                return
+            hot_frac, pending_hot = float(pending_hot), None
+            if hot_frac > cfg.demote_hot_frac:
+                logger.warning(
+                    "streaming filter (K-block): %.1f%% of the previous "
+                    "block's post-prefix steps exceeded the Newton-Schulz "
+                    "escalation ceiling (samples dropped); demoting "
+                    "subsequent blocks to the XLA epoch.", 100 * hot_frac,
+                )
+                cfg = cfg.replace(fused_step="off")
+                mega_guard = False
+
+        def _flush_block(buf):
+            """One run_chunks dispatch over len(buf) <= k_block chunks.
+
+            Blocks always CONTINUE a stream (the first chunk runs alone,
+            below), so the per-step exact-inverse prefix is skipped
+            (``ns_prefix=0`` — pure mega): the carried NSV pair is already
+            contracted, and the per-block hot-tau check still guards a
+            regime change (measured: the prefix cost ~26% of every chunk
+            for protection only the stream's FIRST chunk needs)."""
+            nonlocal q, first_checked, pending_hot, cfg, mega_guard
+            cfg_blk = cfg.replace(ns_prefix=0)
+            if all(isinstance(b[0], np.ndarray) for b in buf):
+                # host chunks: ONE stacked wire-dtype transfer per block —
+                # K small puts contend with in-flight compute for the
+                # tunnel (measured: per-chunk puts under load cost ~5x
+                # their idle time); one large put amortizes the round-trip
+                # and compresses better
+                ys_blk = core.wire_put(np.stack([b[0] for b in buf]),
+                                       cfg.jdtype)
+            else:
+                ys_blk = jnp.stack([b[0] for b in buf])
+            us_blk = (
+                jnp.stack([b[1] for b in buf]) if buf[0][1] is not None
+                else jnp.zeros(
+                    ys_blk.shape[:3] + (0,), dtype=cfg.jdtype
+                )
+            )
+            m_blk = (
+                jnp.stack([b[2] for b in buf]) if buf[0][2] is not None
+                else None
+            )
+            cm_blk = (
+                jnp.stack([b[3] for b in buf]) if buf[0][3] is not None
+                else None
+            )
+            self.key, k = jax.random.split(self.key)
+            ks = jax.random.split(k, len(buf))
+            res = run_blk(
+                cfg_blk, flags, self.state, ys_blk, us_blk, ks,
+                jnp.asarray(self._lr, cfg.jdtype), q0=q,
+                masks=m_blk, channel_masks=cm_blk,
+            )
+            _resolve_pending()   # previous block's check (overlaps compute)
+            if mega_guard and not warm_up and res.metrics.tau is not None:
+                pending_hot = res.hot_frac       # fetched next block
+            self.state = res.state
+            q = Gaussian(res.q_last.mean, res.q_last.logvar)
+            for i in range(len(buf)):
+                yield core.EpochResult(
+                    state=self.state,
+                    q_means=res.q_means[i],
+                    q_logvars=res.q_logvars[i],
+                    metrics=jax.tree.map(lambda a: a[i], res.metrics),
+                )
+
+        buf = []
+        tail = None
+        for chunk in chunks:
+            n_valid_item = None
+            if isinstance(chunk, tuple):
+                chunk, n_valid_item = chunk
+            # NOTE: no eager per-chunk wire_put here — host chunks ride to
+            # the device as ONE stacked block transfer in _flush_block
+            # (fewer tunnel round-trips; puts during in-flight compute
+            # serialize against it); already-device chunks (e.g. from
+            # device_prefetch) pass through and stack on device.
+            t_len, n_batch = chunk.shape[0], chunk.shape[1]
+            uc = next(u_it, _EXHAUSTED) if controls is not None else None
+            m = next(m_it, _EXHAUSTED) if masks is not None else None
+            cm = next(cm_it, _EXHAUSTED) if channel_masks is not None else None
+            if uc is _EXHAUSTED or m is _EXHAUSTED or cm is _EXHAUSTED:
+                which = (
+                    "controls" if uc is _EXHAUSTED
+                    else "masks" if m is _EXHAUSTED else "channel_masks"
+                )
+                raise ValueError(
+                    f"filter_stream: the `{which}` iterable ran out before "
+                    "the chunk stream — provide one item per chunk"
+                )
+            uc = (
+                core._promote_u(uc, t_len, n_batch, cfg.jdtype)
+                if uc is not None else None
+            )
+            if m is not None:
+                m = core._promote_mask(m, t_len, n_batch, cfg.jdtype)
+            if cm is not None:
+                cm = core._promote_channel_mask(cm, chunk.shape, cfg.jdtype)
+            n_valid = (
+                n_valid_item if n_valid_item is not None
+                else valid_fn() if valid_fn is not None else t_len
+            )
+            if n_valid < t_len:
+                tail = (chunk, uc, m, cm, n_valid)
+                break
+            if not first_checked:
+                # the stream's FIRST chunk runs alone with the full
+                # exact-inverse prefix (fresh-state tau is large by
+                # construction) and a SYNCHRONOUS hot check — a hot
+                # regime is workload physics and shows immediately
+                us1 = (
+                    uc if uc is not None
+                    else jnp.zeros((t_len, n_batch, 0), dtype=cfg.jdtype)
+                )
+                chunk = core.wire_put(chunk, cfg.jdtype)
+                self.key, k = jax.random.split(self.key)
+                result = run_one(
+                    cfg, flags, self.state, chunk, us1, k,
+                    jnp.asarray(self._lr, cfg.jdtype), q0=q, mask=m,
+                    channel_mask=cm,
+                )
+                first_checked = True
+                if (
+                    mega_guard and not warm_up
+                    and result.metrics.tau is not None
+                    and t_len > cfg.ns_prefix
+                ):
+                    tau_seg = result.metrics.tau[cfg.ns_prefix:]
+                    hot_frac = float(jnp.mean(
+                        (tau_seg >= NS_TAU_MAX).astype(jnp.float32)))
+                    if hot_frac > cfg.demote_hot_frac:
+                        logger.warning(
+                            "streaming filter (K-block): %.1f%% of the "
+                            "first chunk's steps exceeded the Newton-Schulz "
+                            "escalation ceiling; demoting the stream to the "
+                            "XLA epoch and re-running the chunk.",
+                            100 * hot_frac,
+                        )
+                        cfg = cfg.replace(fused_step="off")
+                        mega_guard = False
+                        result = run_one(
+                            cfg, flags, self.state, chunk, us1, k,
+                            jnp.asarray(self._lr, cfg.jdtype), q0=q, mask=m,
+                            channel_mask=cm,
+                        )
+                self.state = result.state
+                q = Gaussian(result.q_means[-1], result.q_logvars[-1])
+                yield result
+                continue
+            buf.append((chunk, uc, m, cm))
+            if len(buf) == k_block:
+                yield from _flush_block(buf)
+                buf = []
+
+        # leftover full chunks (stream ended mid-block): one smaller block
+        if buf:
+            yield from _flush_block(buf)
+            buf = []
+
+        # tail chunk: per-step valid prefix (never train on padding)
+        if tail is not None:
+            chunk, uc, m, cm, n_valid = tail
+            if n_valid > 0:
+                q_means, q_logvars, per_step = [], [], []
+                for t in range(n_valid):
+                    q, loss, recon, dyn, ent = self.filter(
+                        chunk[t], u=uc[t] if uc is not None else None,
+                        qs=q, warm_up=warm_up, verbose=True,
+                        mask=m[t] if m is not None else None,
+                        channel_mask=cm[t] if cm is not None else None,
+                    )
+                    q_means.append(q.mean)
+                    q_logvars.append(q.logvar)
+                    per_step.append((loss, recon, dyn, ent))
+                metrics = core.Metrics(
+                    *(jnp.stack([m_[i] for m_ in per_step]) for i in range(4))
+                )
+                yield core.EpochResult(
+                    state=self.state,
+                    q_means=jnp.stack(q_means),
+                    q_logvars=jnp.stack(q_logvars),
+                    metrics=metrics,
+                )
+
+        if pending_hot is not None:
+            hot_frac = float(pending_hot)
+            if hot_frac > cfg.demote_hot_frac:
+                logger.warning(
+                    "streaming filter (K-block): %.1f%% of the last "
+                    "block's post-prefix steps exceeded the Newton-Schulz "
+                    "escalation ceiling (samples dropped; the stream ended "
+                    "before demotion could apply) — re-run that block with "
+                    "fused_step='off' if its updates matter.", 100 * hot_frac,
+                )
 
     # -- batch training ---------------------------------------------------
     def fit(

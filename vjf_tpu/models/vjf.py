@@ -613,6 +613,81 @@ def run_epochs(
     )
 
 
+class ChunksResult(NamedTuple):
+    state: TrainState
+    q_means: Array        # (K, L, B, xdim) per-chunk posterior means
+    q_logvars: Array      # (K, L, B, xdim)
+    metrics: Metrics      # per-step arrays, each (K, L)
+    q_last: Gaussian      # posterior after the final chunk (stream carry)
+    hot_frac: Array       # scalar: hot fraction over ALL post-prefix steps
+
+
+def run_chunks(
+    cfg: VJFConfig,
+    flags: StepFlags,
+    state: TrainState,
+    ys: Array,
+    us: Array,
+    keys: jax.Array,
+    lr: Array,
+    q0: Optional[Gaussian] = None,
+    masks: Optional[Array] = None,
+    channel_masks: Optional[Array] = None,
+) -> ChunksResult:
+    """Run ``K`` consecutive stream chunks in ONE compiled computation —
+    the STREAMING analog of :func:`run_epochs` (``VJF.filter_stream``'s
+    ``chunks_per_dispatch`` mode): the posterior ``q`` carries ACROSS
+    chunk boundaries inside the device-side scan (one continuous filter,
+    unlike ``run_epochs`` where every epoch restarts from ``q0``), so K
+    chunks cost one dispatch round-trip instead of K. Observations may
+    arrive in the integer wire dtype (e.g. uint8 spike counts — 1/4 the
+    host->device bytes); :func:`run_epoch` upcasts on device.
+
+    Unlike the one-chunk-per-dispatch path, only the block-FINAL state is
+    materialized (intermediate per-chunk states ride the scan carry) —
+    the per-chunk posteriors/metrics are all stacked and returned.
+
+    :param ys: (K, L, B, ydim) — K stacked chunks
+    :param keys: (K,) PRNG keys (one per chunk)
+    :param masks: optional (K, L, B); ``channel_masks`` (K, L, B, ydim)
+    """
+    k_chunks, t_len, n_batch, _ = ys.shape
+    if q0 is None:
+        q0 = prior(state.params, n_batch)
+    qdt = cfg.jdtype
+    have_m = masks is not None
+    have_cm = channel_masks is not None
+
+    def body(carry, inp):
+        st, q = carry
+        y, u, key, *rest = inp
+        m = rest[0] if have_m else None
+        cmk = rest[-1] if have_cm else None
+        res = run_epoch(cfg, flags, st, y, u, key, lr, q0=q, mask=m,
+                        channel_mask=cmk)
+        q_next = Gaussian(
+            res.q_means[-1].astype(qdt), res.q_logvars[-1].astype(qdt)
+        )
+        _, hot = epoch_tau_stats(cfg, res.metrics, t_len, qdt)
+        return (res.state, q_next), (
+            res.q_means, res.q_logvars, res.metrics, hot
+        )
+
+    elems = [ys, us, keys]
+    if have_m:
+        elems.append(masks)
+    if have_cm:
+        elems.append(channel_masks)
+    (state, q_last), (q_means, q_logvars, metrics, hot) = jax.lax.scan(
+        body, (state, Gaussian(q0.mean.astype(qdt), q0.logvar.astype(qdt))),
+        tuple(elems),
+    )
+    return ChunksResult(
+        state=state, q_means=q_means, q_logvars=q_logvars, metrics=metrics,
+        q_last=q_last, hot_frac=jnp.mean(hot),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Host-side fit loop (epoch-granular control flow lives outside jit)
 # ---------------------------------------------------------------------------
