@@ -742,3 +742,87 @@ def test_fit_over_mesh_blocked_sgp(key, mesh8):
     assert not res.warm_up
     assert np.isfinite(res.loss)
     assert np.all(np.isfinite(np.asarray(res.mu)))
+
+
+def test_sync_every_single_device_identity(key):
+    """Relaxed sync on a 1-device mesh is (numerically) the plain epoch:
+    the merge reduces to re-deriving V from P — exact on the f64
+    precision backend."""
+    from vjf_tpu.parallel import make_mesh, run_epoch_sync_every
+
+    cfg = VJFConfig(ydim=8, xdim=2, udim=0, n_rbf=10, hidden_sizes=(6,),
+                    likelihood="gaussian", dtype="float64",
+                    rls_backend="precision")
+    T, B = 32, 4
+    state = core.init_state(key, cfg)
+    ys = jax.random.normal(key, (T, B, cfg.ydim), jnp.float64)
+    us = jnp.zeros((T, B, 0), jnp.float64)
+    flags = StepFlags(warm_up=False, train_decoder=False)
+    lr = jnp.asarray(1e-3, jnp.float64)
+    mesh1 = make_mesh(1, axis_names=("dp",))
+
+    # reference: plain epoch, but with the segment key schedule the
+    # relaxed path uses (split per segment, fold_in(device=0))
+    seg_keys = jax.random.split(jax.random.PRNGKey(3), 4)
+    st, q = state, None
+    for i in range(4):
+        res = core.run_epoch(cfg, flags, st, ys[i * 8:(i + 1) * 8],
+                             us[i * 8:(i + 1) * 8],
+                             jax.random.fold_in(seg_keys[i], 0), lr, q0=q)
+        st = res.state
+        from vjf_tpu.types import Gaussian
+        q = Gaussian(res.q_means[-1], res.q_logvars[-1])
+
+    out = run_epoch_sync_every(cfg, flags, state, ys, us,
+                               jax.random.PRNGKey(3), lr, mesh1,
+                               sync_every=8)
+    np.testing.assert_allclose(
+        np.asarray(out.state.dynamics.blr.w_mean),
+        np.asarray(st.dynamics.blr.w_mean), rtol=1e-9, atol=1e-11)
+    for a, b in zip(jax.tree_util.tree_leaves(out.state.params),
+                    jax.tree_util.tree_leaves(st.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-10, atol=1e-12)
+
+
+def test_sync_every_validation(key):
+    from vjf_tpu.parallel import make_mesh, run_epoch_sync_every
+
+    cfg = VJFConfig(ydim=6, xdim=2, udim=0, n_rbf=8, hidden_sizes=(5,),
+                    likelihood="gaussian", dtype="float64")
+    state = core.init_state(key, cfg)
+    ys = jnp.zeros((30, 4, 6))
+    us = jnp.zeros((30, 4, 0))
+    mesh1 = make_mesh(1, axis_names=("dp",))
+    with pytest.raises(ValueError, match="divide the epoch"):
+        run_epoch_sync_every(cfg, StepFlags(), state, ys, us,
+                             jax.random.PRNGKey(0), jnp.asarray(1e-3),
+                             mesh1, sync_every=7)
+
+
+def test_sync_every_8dev_trains(key):
+    """Epoch-end sync (sync_every=0) over 8 devices still trains a ring
+    system: loss decreases and the fit plumbing (cfg.sync_every via
+    fit(mesh=...)) runs end-to-end."""
+    from vjf_tpu.parallel import make_mesh
+
+    rng = np.random.default_rng(0)
+    T, B, ydim = 64, 8, 10
+    th = np.cumsum(np.full(T, 0.2)) + rng.normal(scale=0.02, size=T)
+    x = np.stack([np.cos(th), np.sin(th)], -1)
+    C = rng.normal(size=(ydim, 2))
+    y = (x @ C.T)[:, None, :] + 0.1 * rng.normal(size=(T, B, ydim))
+
+    cfg = VJFConfig(ydim=ydim, xdim=2, udim=0, n_rbf=12, hidden_sizes=(8,),
+                    likelihood="gaussian", dtype="float32",
+                    rls_backend="nsv", sync_every=0, warmup_max=2)
+    state = core.init_state(key, cfg)
+    mesh = make_mesh(8, axis_names=("dp",))
+    res = core.fit(cfg, state, y.astype(np.float32), key=jax.random.PRNGKey(1),
+                   max_iter=6, mesh=mesh)
+    assert np.isfinite(res.loss)
+    assert not res.warm_up
+
+    with pytest.raises(ValueError, match="masks"):
+        core.fit(cfg, state, y.astype(np.float32), key=key, max_iter=2,
+                 mesh=mesh, mask=np.ones((T, B)))

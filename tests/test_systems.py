@@ -194,3 +194,52 @@ def test_nsv_bootstrap_survives_f32_warmup_end():
     assert _r2(np.asarray(mu)[:, 0], x1) > 0.9
     xf, yf = model.forecast(np.asarray(mu)[-1, 0], n_step=50)
     assert np.isfinite(np.asarray(yf)).all()
+
+
+def test_multistep_refine_improves_rollout_consistency(key):
+    """Forecast-skill training mode (cfg.multistep_refine, r3): the K-step
+    rollout-consistency refinement reduces K-step rollout error of the
+    velocity field on the epoch's own trajectory, and the fit-integrated
+    mode trains end-to-end with finite results."""
+    from vjf_tpu.utils.evaluation import forecast_rmse
+
+    x = van_der_pol(T=800)
+    x = (x - x.mean(0)) / x.std(0)
+    rng = np.random.default_rng(4)
+    C = rng.normal(size=(2, 16))
+    y = x @ C + 0.1 * rng.normal(size=(x.shape[0], 16))
+
+    cfg = VJFConfig(ydim=16, xdim=2, udim=0, n_rbf=40, hidden_sizes=(16,),
+                    likelihood="gaussian", dtype="float64", lr=3e-3,
+                    rtol=2e-3, warmup_max=10)
+    state = core.init_state(key, cfg)
+    res = core.fit(cfg, state, y, key=key, max_iter=25)
+    assert not res.warm_up
+
+    def rollout_err(st, mu, k=10):
+        from vjf_tpu.models import dynamics as dyn
+        xj = mu[:-k, 0, :]
+        for _ in range(k):
+            feat = dyn.features(st.dynamics, xj)
+            xj = xj + feat @ st.dynamics.blr.w_mean
+        return float(jnp.mean(jnp.sum((xj - mu[k:, 0, :]) ** 2, -1)))
+
+    base = rollout_err(res.state, res.mu)
+    refined = core.multistep_refine(cfg, res.state, res.mu, horizon=10,
+                                    weight=0.5, n_iter=2)
+    ref_err = rollout_err(refined, res.mu)
+    assert ref_err < base, (ref_err, base)
+    assert np.all(np.isfinite(np.asarray(refined.dynamics.blr.w_mean)))
+
+    # fit-integrated mode (per-epoch blend) runs end-to-end
+    cfg2 = cfg.replace(multistep_refine=10, multistep_weight=0.3)
+    res2 = core.fit(cfg2, core.init_state(key, cfg2), y, key=key, max_iter=25)
+    assert np.isfinite(res2.loss)
+    assert not res2.warm_up
+
+    # guards: controls / masks unsupported
+    cfg3 = cfg2.replace(udim=1)
+    st3 = core.init_state(key, cfg3)
+    u = np.zeros((y.shape[0], 1))
+    with pytest.raises(ValueError, match="autonomous"):
+        core.fit(cfg3, st3, y, u, key=key, max_iter=12)

@@ -84,7 +84,33 @@ class VJFConfig:
     # outside any sane noise scale, so parity is unaffected.
     logvar_clamp: float = 30.0
 
+    # --- forecast-skill training (opt-in; no reference counterpart) ---
+    # The one-step filtering objective optimizes next-step prediction;
+    # long-horizon forecasts degrade with extended training (measured —
+    # docs/RESULTS.md "Task quality": the plateau stop acts as an
+    # accidental regularizer). multistep_refine = K > 0 adds a per-epoch
+    # K-step rollout-consistency refinement after each post-warm-up
+    # epoch: roll the current velocity field K steps from every posterior
+    # mean, regress the telescoped K-step displacement on the
+    # path-accumulated features (linear in w given the rolled path), and
+    # blend the ridge solution into w_mean with weight multistep_weight
+    # (P/V untouched — the uncertainty bookkeeping stays one-step
+    # conservative). models/vjf.py:multistep_refine; A/B measured in
+    # docs/RESULTS.md "Forecast-skill training".
+    multistep_refine: int = 0
+    multistep_weight: float = 0.3
+    multistep_iters: int = 2
+
     # --- TPU-native knobs (no reference counterpart) ---
+    # multi-chip sync cadence (fit(mesh=...) only). 1 = the reference's
+    # exact semantics (shared state re-synced EVERY step via one psum of
+    # the sufficient statistics/grads — vjf/module.py:94-96). K > 1 is a
+    # flag-gated DEVIATION: each chip runs K steps fully locally (per-chip
+    # mega kernel, zero collectives) and states merge at segment
+    # boundaries (exact RLS-statistics merge + FedAvg'd SGD params —
+    # parallel/sharded.py:run_epoch_sync_every). 0 = sync at epoch end
+    # only. Quality vs K measured in docs/RESULTS.md "Relaxed-sync".
+    sync_every: int = 1
     rls_backend: str = "auto"             # 'precision' | 'covariance' | 'nsv' | 'auto'
     fused_step: str = "auto"              # whole-step pallas kernel: 'on'|'off'|'auto'
     # epoch compilation strategy for the fused path:

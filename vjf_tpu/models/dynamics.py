@@ -40,6 +40,13 @@ def resolve_backend(cfg: VJFConfig, batch_hint: Optional[int] = None) -> str:
     * otherwise (TPU perf path, f32/bf16) → ``nsv``, the Newton-Schulz
       inverse-tracking form whose hot loop is MXU matmuls only.
     """
+    if cfg.rls_backend == "auto" and cfg.dynamics_update == "kalman":
+        # the weight-diffusion Kalman recursion lives natively in
+        # covariance form (regression.kalman's direct Joseph hot path —
+        # one B x B factorization per step); the nsv/precision backends
+        # would pay a full (nf x nf) inverse or factor-pair rebuild every
+        # step just to convert back
+        return "covariance"
     if cfg.rls_backend != "auto":
         if cfg.rls_backend == "covariance" and cfg.chol_jitter:
             # fail at model construction, not at the first jitted rls trace

@@ -902,7 +902,30 @@ def fit(
         and _fused.fused_enabled(cfg, state, n_batch=n_batch)
     )
     donate = donate and not mega_possible
-    if mesh is not None:
+    if mesh is not None and cfg.sync_every != 1:
+        # relaxed-sync deviation (cfg.sync_every): K fully-local steps per
+        # chip between state merges — parallel/sharded.run_epoch_sync_every
+        if mask is not None or channel_mask is not None:
+            raise ValueError(
+                "sync_every != 1 does not support masks; use the exact "
+                "per-step-sync path (cfg.sync_every=1) for ragged trials"
+            )
+        from ..parallel import shard_data, shard_state
+        from ..parallel.sharded import run_epoch_sync_every
+
+        state = shard_state(cfg, state, mesh)
+        y, us = shard_data(mesh, y, us)
+        _sync_jit = jax.jit(
+            run_epoch_sync_every,
+            static_argnames=("cfg", "flags", "mesh", "sync_every"),
+        )
+
+        def epoch_fn(cfg_run, flags, st, y_, us_, k_, lr_, noise=None,
+                     mask=None, channel_mask=None):
+            assert noise is None and mask is None and channel_mask is None
+            return _sync_jit(cfg_run, flags, st, y_, us_, k_, lr_,
+                             mesh=mesh, sync_every=cfg.sync_every)
+    elif mesh is not None:
         # multi-chip: every epoch through make_sharded_epoch (one builder
         # per (cfg, flags) — warm-up and main phase use different flags)
         from ..parallel import make_sharded_epoch, shard_data, shard_state
@@ -1078,6 +1101,14 @@ def fit(
             if cfg.dynamics == "sgp" and cfg.sgp_adapt_lr > 0:
                 state = _sgp_adapt_step(cfg, state, result.q_means, us,
                                         pair_w=pair_w)
+            if cfg.multistep_refine > 0:
+                if cfg.udim > 0 or mask is not None:
+                    raise ValueError(
+                        "multistep_refine supports autonomous, unmasked "
+                        "fits only (the rollout has no control/validity "
+                        "alignment)"
+                    )
+                state = _multistep_refine_step(cfg, state, result.q_means)
 
         running_loss = (
             beta * running_loss + (1 - beta) * epoch_loss if epoch > 0 else epoch_loss
@@ -1141,6 +1172,92 @@ def _pooled_controls(cfg, us, pair_w):
     if pair_w is not None:
         u_init = jnp.where(pair_w[:, None] > 0, u_init, 0.0)
     return u_init
+
+
+def multistep_refine(
+    cfg: VJFConfig,
+    state: TrainState,
+    mu: Array,
+    horizon: Optional[int] = None,
+    weight: Optional[float] = None,
+    n_iter: Optional[int] = None,
+) -> TrainState:
+    """K-step rollout-consistency refinement of the velocity field (the
+    forecast-skill training mode, ``cfg.multistep_refine`` — opt-in, no
+    reference counterpart).
+
+    The filter's RLS learns one-step displacements; its K-step rollouts
+    compound one-step bias (measured: longer one-step training DEGRADES
+    20-step forecasts, docs/RESULTS.md). This refinement enforces K-step
+    consistency directly: with leak ``l`` and ``lam = 1 - l`` the rollout
+    telescopes to ``x_{i+K} = lam^K x_i + sum_j lam^(K-1-j) phi(x_j) w``,
+    so given the CURRENT rolled path the K-step displacement is LINEAR in
+    ``w`` with path-accumulated features ``Phi_i = sum_j lam^(K-1-j)
+    phi(xhat_j)``. We ridge-solve that regression over every start in the
+    epoch's posterior means (relative-floored eigh — the pooled Gram is
+    bootstrap-scale, CLAUDE.md trap 15) and blend ``w <- (1 - a) w + a
+    w_ms``; iterating re-linearizes around the improved path. P/V are NOT
+    touched: the blend nudges the mean field toward multi-step consistency
+    while the uncertainty bookkeeping stays one-step conservative (no
+    double-counted evidence from reprocessing the same trajectory every
+    epoch).
+
+    ``mu``: (T, B, xdim) posterior means (an epoch's ``q_means``).
+    Controls are not supported (the rollout would need the u sequence
+    aligned to every start) — guarded at the ``fit`` integration.
+    """
+    horizon = cfg.multistep_refine if horizon is None else horizon
+    weight = cfg.multistep_weight if weight is None else weight
+    n_iter = cfg.multistep_iters if n_iter is None else n_iter
+    if horizon <= 1 or mu.shape[0] <= horizon:
+        return state
+    from ..ops.linalg import eigh_floor_inv_pair
+
+    tr = _transition(cfg)
+    dyn = state.dynamics
+    lam = 1.0 - cfg.leak
+    k = int(horizon)
+    xd = cfg.xdim
+    x0 = mu[:-k].reshape(-1, xd)                       # (S*B, xd) starts
+    tgt = (mu[k:] - (lam ** k) * mu[:-k]).reshape(-1, xd)
+    hp = jax.lax.Precision.HIGHEST
+    n_rows = x0.shape[0]
+    v = k * jnp.exp(dyn.logvar)                        # K-step noise scale
+
+    for _ in range(n_iter):
+        xj = x0
+        acc = None
+        for j in range(k):
+            feat = tr.features(dyn, xj)                # (S*B, nf)
+            step = feat @ dyn.blr.w_mean
+            c = lam ** (k - 1 - j)
+            acc = c * feat if acc is None else acc + c * feat
+            xj = lam * xj + step
+        # identity-prior ridge solve in >= f32 via the relative-floored
+        # eigh (the pooled Gram reaches cond ~1e8 — trap 15 territory)
+        sol_dt = jnp.promote_types(acc.dtype, jnp.float32)
+        p = jnp.eye(acc.shape[1], dtype=sol_dt) + jnp.matmul(
+            acc.T.astype(sol_dt), acc.astype(sol_dt), precision=hp
+        ) / v.astype(sol_dt)
+        _, v_sol = eigh_floor_inv_pair(p)
+        w_ms = jnp.matmul(
+            v_sol,
+            jnp.matmul(acc.T.astype(sol_dt), tgt.astype(sol_dt),
+                       precision=hp) / v.astype(sol_dt),
+            precision=hp,
+        ).astype(dyn.blr.w_mean.dtype)
+        w_new = (1.0 - weight) * dyn.blr.w_mean + weight * w_ms
+        dyn = dyn._replace(blr=dyn.blr._replace(w_mean=w_new))
+    return state._replace(dynamics=dyn)
+
+
+_MS_JIT = []  # shared jitted wrapper (same rationale as _ADAPT_JIT below)
+
+
+def _multistep_refine_step(cfg, state, q_means):
+    if not _MS_JIT:
+        _MS_JIT.append(jax.jit(multistep_refine, static_argnames=("cfg",)))
+    return _MS_JIT[0](cfg, state, q_means)
 
 
 _ADAPT_JIT = []  # one shared jitted wrapper: a fresh jax.jit per call would

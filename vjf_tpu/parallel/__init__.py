@@ -5,6 +5,7 @@ from .sharded import (
     data_sharding,
     make_sharded_epoch,
     make_sharded_epochs,
+    run_epoch_sync_every,
     shard_data,
     shard_state,
     state_shardings,
@@ -20,6 +21,7 @@ __all__ = [
     "data_sharding",
     "make_sharded_epoch",
     "make_sharded_epochs",
+    "run_epoch_sync_every",
     "shard_data",
     "shard_state",
     "state_shardings",

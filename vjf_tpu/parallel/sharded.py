@@ -251,6 +251,231 @@ def run_epoch_fused_sharded(
     )
 
 
+def _merge_local_states(cfg: VJFConfig, st0: core.TrainState,
+                        st_loc: core.TrainState, dp: str, n_dev: int,
+                        k_steps: int) -> core.TrainState:
+    """Merge per-device locally-advanced training states at a relaxed-sync
+    segment boundary (``sync_every=K`` — flag-gated deviation, see
+    :func:`run_epoch_sync_every`).
+
+    RLS merge is EXACT in exact arithmetic for the sufficient statistics:
+    over K local steps each device computed ``P_c = lam^K P_0 + Jacc I +
+    dF_c`` and ``g_c = lam^K g_0 + dG_c`` (precision-form recursion,
+    ``models/regression.py:rls``; Jacc is the deterministic accumulated
+    jitter, identical across devices), so the synced-path statistics are
+    recovered by summing and subtracting the (n_dev - 1) over-counted
+    bases. ``g_c`` is reconstructed as ``P_c w_c`` (exact for the
+    precision backend; NSV-tracking-accurate for nsv). The merged inverse
+    is re-derived by Cholesky + Newton-Schulz polish (2 iterations,
+    full-precision pins — CLAUDE.md traps 10/11 territory: the explicit
+    f32 triangular inverse alone carries ~cond-level error; the NS polish
+    squares it away). SGD-trained params merge by averaging (local-SGD /
+    FedAvg semantics); running-variance counters merge additively under
+    their caps. The recognition/decoder drift between syncs is the
+    approximation being bought — quantified in docs/RESULTS.md.
+    """
+    import jax.numpy as _jnp
+
+    from ..models import regression as R
+    from ..ops.linalg import inv_tril_transpose, safe_cholesky
+
+    hp = jax.lax.Precision.HIGHEST
+    lam = cfg.rls_shrink ** k_steps
+    if cfg.rls_shrink == 1.0:
+        jacc = cfg.chol_jitter * k_steps
+    else:
+        jacc = cfg.chol_jitter * (1.0 - lam) / (1.0 - cfg.rls_shrink)
+
+    blr0, blr = st0.dynamics.blr, st_loc.dynamics.blr
+    if not isinstance(blr, (R.NSVBLR, R.PrecisionBLR)):
+        raise NotImplementedError(
+            "sync_every > 1 requires a precision-carrying RLS backend "
+            "('nsv' or 'precision'); the covariance backend cannot merge"
+        )
+    eye = _jnp.eye(blr.precision.shape[0], dtype=blr.precision.dtype)
+    g_loc = _jnp.matmul(blr.precision, blr.w_mean, precision=hp)
+    p_sum = jax.lax.psum(blr.precision, dp)
+    g_sum = jax.lax.psum(g_loc, dp)
+    base_p = lam * blr0.precision + jacc * eye
+    base_g = lam * _jnp.matmul(blr0.precision, blr0.w_mean, precision=hp)
+    p_m = p_sum - (n_dev - 1.0) * base_p
+    g_m = g_sum - (n_dev - 1.0) * base_g
+    p_m = 0.5 * (p_m + p_m.T)
+    # bounded inverse at ANY conditioning: the merged Gram is pooled
+    # (bootstrap-scale) — an f32 triangular inverse here has error ~cond,
+    # and a Newton-Schulz polish from a residual > 1 DIVERGES as r^(2^k)
+    # (observed: V went NaN at the first merge of a B_local=1 VdP run).
+    # Same remedy as one_shot_rls: relative-floored eigh pair (trap 15).
+    from ..ops.linalg import eigh_floor_inv_pair
+
+    sol_dt = _jnp.promote_types(p_m.dtype, _jnp.float32)
+    p_sol, v_sol = eigh_floor_inv_pair(p_m.astype(sol_dt))
+    w_m = _jnp.matmul(v_sol, g_m.astype(sol_dt), precision=hp).astype(
+        blr.w_mean.dtype
+    )
+    p_m = p_sol.astype(blr.precision.dtype)
+    v_m = v_sol.astype(blr.precision.dtype)
+    if isinstance(blr, R.NSVBLR):
+        blr_m = R.NSVBLR(w_m, p_m, v_m)
+    else:
+        chol = safe_cholesky(p_sol).astype(blr.precision.dtype)
+        blr_m = R.PrecisionBLR(w_m, p_m, chol, inv_tril_transpose(chol))
+
+    params_m = jax.tree.map(lambda x: jax.lax.pmean(x, dp), st_loc.params)
+    dyn0, dyn = st0.dynamics, st_loc.dynamics
+    logvar_m = jax.lax.pmean(dyn.logvar, dp)
+    n_m = _jnp.minimum(
+        dyn0.n_sample + jax.lax.psum(dyn.n_sample - dyn0.n_sample, dp),
+        cfg.state_var_cap,
+    ).astype(dyn.n_sample.dtype)
+    lik_n_m = _jnp.minimum(
+        st0.lik_n_sample
+        + jax.lax.psum(st_loc.lik_n_sample - st0.lik_n_sample, dp),
+        cfg.obs_var_cap,
+    ).astype(st_loc.lik_n_sample.dtype)
+    return core.TrainState(
+        params=params_m,
+        dynamics=dyn._replace(blr=blr_m, logvar=logvar_m, n_sample=n_m),
+        lik_n_sample=lik_n_m,
+    )
+
+
+def run_epoch_sync_every(
+    cfg: VJFConfig,
+    flags: StepFlags,
+    state: core.TrainState,
+    ys,
+    us,
+    key,
+    lr,
+    mesh: Mesh,
+    sync_every: int,
+    q0=None,
+) -> core.EpochResult:
+    """Relaxed-sync multi-chip epoch (flag-gated DEVIATION — the reference
+    semantics sync the shared dynamics/parameters every step,
+    ``vjf/module.py:94-96``; :func:`run_epoch_fused_sharded` reproduces
+    that exactly with one psum per step, which costs 2.7x per-chip
+    throughput at flagship scale, docs/ARCHITECTURE.md §4).
+
+    ``sync_every = K``: trials shard over dp; each device runs K
+    consecutive steps COMPLETELY LOCALLY — on TPU that is the per-chip
+    mega kernel, zero collectives — then the training states merge at the
+    segment boundary (:func:`_merge_local_states`: exact RLS
+    sufficient-statistics merge, FedAvg'd SGD params). ``sync_every = 0``
+    syncs once at the epoch end only. The posterior carry stays local to
+    each device's trials throughout (it is per-trial state).
+
+    Per-device RNG: the epoch key is folded with the device index so
+    different shards draw independent sampling noise (the synced path
+    gets this implicitly from the trial axis).
+
+    Cost: one boundary merge = one ~(n_rbf)^2 psum + one Cholesky +
+    triangular inverse + 6 matmuls, amortized over K steps — negligible
+    for K >= 256 or epoch-level sync. Quality vs K is measured in
+    docs/RESULTS.md ("Relaxed-sync"); masks are not supported on this
+    path (use the exact-sync path for ragged trials).
+    """
+    if flags.warm_up:
+        # During warm-up the RLS never runs and the dynamics state is
+        # frozen; only SGD params drift. The merge handles that fine, but
+        # segmenting adds nothing — still honored for schedule parity.
+        pass
+    t_len, n_batch, _ = ys.shape
+    if ys.dtype != cfg.jdtype:
+        ys = ys.astype(cfg.jdtype)
+    if us is not None and us.dtype != cfg.jdtype:
+        us = us.astype(cfg.jdtype)
+    dp = _dp_axis(mesh)
+    n_dev = mesh.shape[dp]
+    if n_batch % n_dev != 0:
+        raise ValueError(f"batch {n_batch} must divide over {n_dev} devices")
+    k_steps = sync_every if sync_every > 0 else t_len
+    if t_len % k_steps != 0:
+        raise ValueError(
+            f"sync_every={k_steps} must divide the epoch length {t_len}"
+        )
+    n_seg = t_len // k_steps
+    seg_keys = jax.random.split(key, n_seg)
+
+    # only the epoch's FIRST segment needs the per-step exact-inverse
+    # prefix (fresh/epoch-start tau); later segments continue a contracted
+    # carry and run pure-mega (ns_prefix=0) — the same argument as the
+    # streaming K-block pipeline. Without this, sync_every <= ns_prefix
+    # runs the whole epoch on the per-step kernel (measured: 24 us/step
+    # vs 7.8 us with the split).
+    cfg_rest = cfg.replace(ns_prefix=0)
+
+    def local_fn(st, ys_l, us_l, keys_l, lr_):
+        dev = jax.lax.axis_index(dp)
+
+        def seg_with(cfg_seg):
+            def seg(carry, inp):
+                st_seg, q = carry
+                y_seg, u_seg, k_seg = inp
+                res = core.run_epoch(
+                    cfg_seg, flags, st_seg, y_seg, u_seg,
+                    jax.random.fold_in(k_seg, dev), lr_, q0=q,
+                )
+                merged = _merge_local_states(cfg, st_seg, res.state, dp,
+                                             n_dev, k_steps)
+                q_next = core.Gaussian(res.q_means[-1], res.q_logvars[-1])
+                mean_metrics = jax.tree.map(
+                    lambda a: jax.lax.pmean(a, dp), res.metrics
+                )
+                return (merged, q_next), (res.q_means, res.q_logvars,
+                                          mean_metrics)
+
+            return seg
+
+        b_local = ys_l.shape[1]
+        q0_l = core.prior(st.params, b_local)
+        ys_seg = ys_l.reshape(n_seg, k_steps, b_local, ys_l.shape[-1])
+        us_seg = us_l.reshape(n_seg, k_steps, b_local, us_l.shape[-1])
+        carry, (qm0, qlv0, mm0) = seg_with(cfg)(
+            (st, q0_l), (ys_seg[0], us_seg[0], keys_l[0])
+        )
+        if n_seg > 1:
+            (st_f, _), (qm1, qlv1, mm1) = jax.lax.scan(
+                seg_with(cfg_rest), carry,
+                (ys_seg[1:], us_seg[1:], keys_l[1:])
+            )
+            qm = jnp.concatenate([qm0[None], qm1], axis=0)
+            qlv = jnp.concatenate([qlv0[None], qlv1], axis=0)
+            mm = jax.tree.map(
+                lambda a, b: jnp.concatenate([a[None], b], axis=0), mm0, mm1
+            )
+        else:
+            st_f, qm, qlv = carry[0], qm0[None], qlv0[None]
+            mm = jax.tree.map(lambda a: a[None], mm0)
+        qm = qm.reshape(t_len, b_local, -1)
+        qlv = qlv.reshape(t_len, b_local, -1)
+        mm = jax.tree.map(lambda a: a.reshape(t_len, *a.shape[2:]), mm)
+        return st_f, qm, qlv, mm
+
+    from jax import shard_map
+
+    state_spec = jax.tree.map(lambda _: P(), state)
+    metrics_struct = jax.eval_shape(
+        lambda: core.run_epoch(
+            cfg, flags, state, ys[:k_steps, : n_batch // n_dev],
+            us[:k_steps, : n_batch // n_dev], key, lr,
+        ).metrics
+    )
+    m_spec = jax.tree.map(lambda _: P(), metrics_struct)
+    fn = shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(state_spec, P(None, dp), P(None, dp), P(), P()),
+        out_specs=(state_spec, P(None, dp), P(None, dp), m_spec),
+        check_vma=False,
+    )
+    st_f, qm, qlv, mm = fn(state, ys, us, seg_keys,
+                           jnp.asarray(lr, cfg.jdtype))
+    return core.EpochResult(state=st_f, q_means=qm, q_logvars=qlv,
+                            metrics=mm)
+
+
 def run_epochs_fused_sharded(
     cfg: VJFConfig,
     flags: StepFlags,
