@@ -195,3 +195,43 @@ def test_fit_ensemble_sgp_dynamics(key):
     res = fit_ensemble(cfg, states, y, key=jax.random.PRNGKey(4), max_iter=4)
     assert np.all(np.isfinite(res.loss))
     assert not res.warm_up.any()            # warmup_max forced the exit
+
+
+def test_fit_ensemble_shared_controls(key):
+    """Shared (T, udim) controls broadcast to the trial batch exactly like
+    solo fit's _promote_u (r3 review fix: the old promotion left them at
+    (T, 1, udim) and shape-errored at B > 1)."""
+    cfg = _cfg(udim=1)
+    N, T, B = 2, 40, 3
+    y = _ring_data(12, T=T, B=B)
+    u = np.sin(0.1 * np.arange(T))[:, None]            # (T, 1) shared
+    states = init_ensemble(key, cfg, N)
+    res = fit_ensemble(cfg, states, y, u, key=jax.random.PRNGKey(6),
+                       max_iter=4)
+    assert np.all(np.isfinite(res.loss))
+
+
+def test_fit_ensemble_multistep_refine_matches_solo(key):
+    """cfg.multistep_refine applies per member (r3 review fix: it was
+    silently ignored, breaking the member==solo contract)."""
+    cfg = _cfg(multistep_refine=5, multistep_weight=0.3, warmup_max=2)
+    N = 2
+    ys = np.stack([_ring_data(21), _ring_data(22)])
+    states = init_ensemble(key, cfg, N)
+    keys = jax.random.split(jax.random.PRNGKey(8), N)
+    res = fit_ensemble(cfg, states, ys, keys=keys, max_iter=6)
+    for i in range(N):
+        solo = core.fit(cfg, jax.tree.map(lambda x: x[i], states), ys[i],
+                        key=keys[i], max_iter=6)
+        np.testing.assert_allclose(
+            np.asarray(jax.tree.map(lambda x: x[i], res.states)
+                       .dynamics.blr.w_mean),
+            np.asarray(solo.state.dynamics.blr.w_mean),
+            rtol=1e-7, atol=1e-9)
+
+    # up-front guard parity with solo fit
+    cfg_bad = cfg.replace(udim=1)
+    st_bad = init_ensemble(key, cfg_bad, N)
+    with pytest.raises(ValueError, match="autonomous"):
+        fit_ensemble(cfg_bad, st_bad, ys,
+                     np.zeros((ys.shape[1], 1)), keys=keys, max_iter=2)

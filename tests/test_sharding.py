@@ -826,3 +826,30 @@ def test_sync_every_8dev_trains(key):
     with pytest.raises(ValueError, match="masks"):
         core.fit(cfg, state, y.astype(np.float32), key=key, max_iter=2,
                  mesh=mesh, mask=np.ones((T, B)))
+
+
+def test_sync_every_warmup_merge_is_identity(key):
+    """r3 review fix: with the RLS frozen (warm-up) every device ends a
+    segment at exactly P0, so the merge must subtract the UNDECAYED base —
+    the shrink/jitter-advanced base drained (n_dev-1)*jacc*I per boundary
+    and pushed P indefinite within one epoch."""
+    from vjf_tpu.parallel import make_mesh, run_epoch_sync_every
+
+    cfg = VJFConfig(ydim=8, xdim=2, udim=0, n_rbf=10, hidden_sizes=(6,),
+                    likelihood="gaussian", dtype="float64",
+                    rls_backend="precision", rls_shrink=0.999,
+                    chol_jitter=1e-3)
+    T, B = 64, 8
+    state = core.init_state(key, cfg)
+    ys = jax.random.normal(key, (T, B, cfg.ydim), jnp.float64)
+    us = jnp.zeros((T, B, 0), jnp.float64)
+    mesh = make_mesh(8, axis_names=("dp",))
+    flags = StepFlags(sgd=True, update=True, warm_up=True,
+                      train_decoder=True)
+    out = run_epoch_sync_every(cfg, flags, state, ys, us,
+                               jax.random.PRNGKey(2),
+                               jnp.asarray(1e-3, jnp.float64), mesh,
+                               sync_every=8)
+    np.testing.assert_allclose(
+        np.asarray(out.state.dynamics.blr.precision),
+        np.asarray(state.dynamics.blr.precision), rtol=1e-9, atol=1e-11)

@@ -384,60 +384,18 @@ class VJF:
             # cfg.jdtype on device, inside the jitted graph
             chunk = core.wire_put(chunk, cfg.jdtype)
             t_len, n_batch = chunk.shape[0], chunk.shape[1]
-            uc = next(u_it, _EXHAUSTED) if controls is not None else None
-            m = next(m_it, _EXHAUSTED) if masks is not None else None
-            cm = next(cm_it, _EXHAUSTED) if channel_masks is not None else None
-            if uc is _EXHAUSTED or m is _EXHAUSTED or cm is _EXHAUSTED:
-                # a short side stream would otherwise SILENTLY train the
-                # remaining chunks without it (and recompile the chunk trace)
-                which = (
-                    "controls" if uc is _EXHAUSTED
-                    else "masks" if m is _EXHAUSTED else "channel_masks"
-                )
-                raise ValueError(
-                    f"filter_stream: the `{which}` iterable ran out before "
-                    "the chunk stream — provide one item per chunk"
-                )
-            uc = (
-                core._promote_u(uc, t_len, n_batch, cfg.jdtype)
-                if uc is not None else None
+            uc, m, cm = self._stream_side_next(
+                chunk, u_it, m_it, cm_it, controls, masks, channel_masks
             )
-            if m is not None:
-                m = jnp.asarray(m)  # promoted/cast on device in run_epoch
-            if cm is not None:
-                cm = core._promote_channel_mask(cm, chunk.shape, cfg.jdtype)
             n_valid = (
                 n_valid_item if n_valid_item is not None
                 else valid_fn() if valid_fn is not None else t_len
             )
             if n_valid < t_len:
-                # tail chunk: step only the valid prefix (never train on
-                # padding) and still yield its results — one EpochResult per
-                # chunk, truncated to n_valid (r1 advisor finding: the tail's
-                # posteriors/metrics were silently dropped).
-                if n_valid == 0:
-                    _final_hot_check(pending_hot)
-                    return
-                q_means, q_logvars, per_step = [], [], []
-                for t in range(n_valid):
-                    q, loss, recon, dyn, ent = self.filter(
-                        chunk[t], u=uc[t] if uc is not None else None,
-                        qs=q, warm_up=warm_up, verbose=True,
-                        mask=m[t] if m is not None else None,
-                        channel_mask=cm[t] if cm is not None else None,
-                    )
-                    q_means.append(q.mean)
-                    q_logvars.append(q.logvar)
-                    per_step.append((loss, recon, dyn, ent))
-                metrics = core.Metrics(
-                    *(jnp.stack([m_[i] for m_ in per_step]) for i in range(4))
-                )
-                yield core.EpochResult(
-                    state=self.state,
-                    q_means=jnp.stack(q_means),
-                    q_logvars=jnp.stack(q_logvars),
-                    metrics=metrics,
-                )
+                q, tail_res = self._stream_tail(chunk, uc, m, cm, n_valid,
+                                                warm_up, q)
+                if tail_res is not None:
+                    yield tail_res
                 _final_hot_check(pending_hot)
                 return
             us = (
@@ -496,6 +454,69 @@ class VJF:
             q = Gaussian(result.q_means[-1], result.q_logvars[-1])
             yield result
         _final_hot_check(pending_hot)
+
+    def _stream_side_next(self, chunk, u_it, m_it, cm_it,
+                          controls, masks, channel_masks):
+        """Advance the per-chunk side iterables (controls / masks /
+        channel_masks) in lockstep with the chunk stream and promote them —
+        shared by the one-chunk and K-block streaming paths. Raises if a
+        side stream runs out early (silently training the remaining chunks
+        without it would also recompile the chunk trace)."""
+        from .models import vjf as core
+
+        cfg = self.cfg
+        t_len, n_batch = chunk.shape[0], chunk.shape[1]
+        uc = next(u_it, _EXHAUSTED) if controls is not None else None
+        m = next(m_it, _EXHAUSTED) if masks is not None else None
+        cm = next(cm_it, _EXHAUSTED) if channel_masks is not None else None
+        if uc is _EXHAUSTED or m is _EXHAUSTED or cm is _EXHAUSTED:
+            which = (
+                "controls" if uc is _EXHAUSTED
+                else "masks" if m is _EXHAUSTED else "channel_masks"
+            )
+            raise ValueError(
+                f"filter_stream: the `{which}` iterable ran out before "
+                "the chunk stream — provide one item per chunk"
+            )
+        uc = (
+            core._promote_u(uc, t_len, n_batch, cfg.jdtype)
+            if uc is not None else None
+        )
+        if m is not None:
+            m = core._promote_mask(m, t_len, n_batch, cfg.jdtype)
+        if cm is not None:
+            cm = core._promote_channel_mask(cm, chunk.shape, cfg.jdtype)
+        return uc, m, cm
+
+    def _stream_tail(self, chunk, uc, m, cm, n_valid, warm_up, q):
+        """Per-step flush of a partial tail chunk (train on the valid
+        prefix only, still yield its truncated results — the r1 advisor
+        finding) — shared by both streaming paths. Returns ``(q, result
+        | None)``."""
+        from .models import vjf as core
+
+        if n_valid == 0:
+            return q, None
+        q_means, q_logvars, per_step = [], [], []
+        for t in range(n_valid):
+            q, loss, recon, dyn, ent = self.filter(
+                chunk[t], u=uc[t] if uc is not None else None,
+                qs=q, warm_up=warm_up, verbose=True,
+                mask=m[t] if m is not None else None,
+                channel_mask=cm[t] if cm is not None else None,
+            )
+            q_means.append(q.mean)
+            q_logvars.append(q.logvar)
+            per_step.append((loss, recon, dyn, ent))
+        metrics = core.Metrics(
+            *(jnp.stack([m_[i] for m_ in per_step]) for i in range(4))
+        )
+        return q, core.EpochResult(
+            state=self.state,
+            q_means=jnp.stack(q_means),
+            q_logvars=jnp.stack(q_logvars),
+            metrics=metrics,
+        )
 
     def _filter_stream_blocked(
         self,
@@ -618,26 +639,9 @@ class VJF:
             # serialize against it); already-device chunks (e.g. from
             # device_prefetch) pass through and stack on device.
             t_len, n_batch = chunk.shape[0], chunk.shape[1]
-            uc = next(u_it, _EXHAUSTED) if controls is not None else None
-            m = next(m_it, _EXHAUSTED) if masks is not None else None
-            cm = next(cm_it, _EXHAUSTED) if channel_masks is not None else None
-            if uc is _EXHAUSTED or m is _EXHAUSTED or cm is _EXHAUSTED:
-                which = (
-                    "controls" if uc is _EXHAUSTED
-                    else "masks" if m is _EXHAUSTED else "channel_masks"
-                )
-                raise ValueError(
-                    f"filter_stream: the `{which}` iterable ran out before "
-                    "the chunk stream — provide one item per chunk"
-                )
-            uc = (
-                core._promote_u(uc, t_len, n_batch, cfg.jdtype)
-                if uc is not None else None
+            uc, m, cm = self._stream_side_next(
+                chunk, u_it, m_it, cm_it, controls, masks, channel_masks
             )
-            if m is not None:
-                m = core._promote_mask(m, t_len, n_batch, cfg.jdtype)
-            if cm is not None:
-                cm = core._promote_channel_mask(cm, chunk.shape, cfg.jdtype)
             n_valid = (
                 n_valid_item if n_valid_item is not None
                 else valid_fn() if valid_fn is not None else t_len
@@ -702,27 +706,10 @@ class VJF:
         # tail chunk: per-step valid prefix (never train on padding)
         if tail is not None:
             chunk, uc, m, cm, n_valid = tail
-            if n_valid > 0:
-                q_means, q_logvars, per_step = [], [], []
-                for t in range(n_valid):
-                    q, loss, recon, dyn, ent = self.filter(
-                        chunk[t], u=uc[t] if uc is not None else None,
-                        qs=q, warm_up=warm_up, verbose=True,
-                        mask=m[t] if m is not None else None,
-                        channel_mask=cm[t] if cm is not None else None,
-                    )
-                    q_means.append(q.mean)
-                    q_logvars.append(q.logvar)
-                    per_step.append((loss, recon, dyn, ent))
-                metrics = core.Metrics(
-                    *(jnp.stack([m_[i] for m_ in per_step]) for i in range(4))
-                )
-                yield core.EpochResult(
-                    state=self.state,
-                    q_means=jnp.stack(q_means),
-                    q_logvars=jnp.stack(q_logvars),
-                    metrics=metrics,
-                )
+            q, tail_res = self._stream_tail(chunk, uc, m, cm, n_valid,
+                                            warm_up, q)
+            if tail_res is not None:
+                yield tail_res
 
         if pending_hot is not None:
             hot_frac = float(pending_hot)

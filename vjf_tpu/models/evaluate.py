@@ -242,14 +242,23 @@ def heldout_eval(
         )
         mu0 = _chan_mean(y_h)
         var0_mle = _chan_mean((y_h - mu0) ** 2)
-        # floor at 1% of the pooled held-out variance: a channel with <2
-        # observed entries (possible under channel_mask dropout) has MLE
-        # variance ~0, and an unfloored null would gain ~+13 nats per such
-        # entry, spuriously reporting the model as losing to the null
+        # a channel with <2 observed entries (possible under channel_mask
+        # dropout) has MLE variance ~0 and an unfloored null would gain
+        # ~+13 nats per such entry, spuriously reporting the model as
+        # losing to the null. Replace ONLY those degenerate channels'
+        # null variance with the pooled held-out variance (a neutral
+        # stand-in); well-observed channels keep their exact MLE null —
+        # a blanket pooled-fraction floor would distort low-variance
+        # channels on heterogeneous-scale populations (r3 review)
         w_all = obs_w.reshape(-1, idx.size)
+        cnt = jnp.sum(w_all, axis=0)
         pooled = (jnp.sum(w_all * (y_h.reshape(-1, idx.size) - mu0) ** 2)
                   / jnp.clip(jnp.sum(w_all), 1.0))
-        var0 = jnp.clip(var0_mle, jnp.maximum(1e-2 * pooled, 1e-12))
+        var0 = jnp.where(
+            cnt >= 2.0,
+            jnp.clip(var0_mle, 1e-12),
+            jnp.maximum(pooled, 1e-12),
+        )
         loglik_null = -0.5 * jnp.sum(
             obs_w * (jnp.log(2.0 * jnp.pi * var0) + (y_h - mu0) ** 2 / var0)
         )

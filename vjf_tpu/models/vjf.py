@@ -864,6 +864,13 @@ def fit(
     rtol = cfg.rtol if rtol is None else rtol
     if mesh is not None and noise_hook is not None:
         raise ValueError("mesh and noise_hook are mutually exclusive")
+    if cfg.multistep_refine > 0 and (cfg.udim > 0 or mask is not None):
+        # validate UP-FRONT (both dispatch modes): failing on the first
+        # post-warm-up epoch would discard the whole warm-up phase's work
+        raise ValueError(
+            "multistep_refine supports autonomous, unmasked fits only "
+            "(the rollout has no control/validity alignment)"
+        )
     if epochs_per_dispatch > 1:
         if noise_hook is not None:
             raise ValueError(
@@ -896,10 +903,16 @@ def fit(
     # keeping the input buffers alive. Runs that can never take the mega
     # path (f64 parity, fused_step='off', small-batch SGP routing, CPU)
     # keep donating.
+    # The relaxed-sync path (cfg.sync_every != 1) runs the mega kernel
+    # PER CHIP, so it needs the same hot-tau demotion watch as the
+    # single-device mega path — gated on the LOCAL per-chip batch (the
+    # quantity that sets the NSV update size; B_local=1 regimes are hot
+    # forever, CLAUDE.md traps 12/14).
+    local_batch = n_batch if mesh is None else max(1, n_batch // mesh.size)
     mega_possible = (
-        mesh is None
+        (mesh is None or cfg.sync_every != 1)
         and cfg.fused_epoch == "mega"
-        and _fused.fused_enabled(cfg, state, n_batch=n_batch)
+        and _fused.fused_enabled(cfg, state, n_batch=local_batch)
     )
     donate = donate and not mega_possible
     if mesh is not None and cfg.sync_every != 1:
@@ -1048,7 +1061,8 @@ def fit(
                 # fallback choleskys P directly, so the re-run must not
                 # resume from an unrepaired non-PD backup (PD-gated — a
                 # healthy backup passes through untouched)
-                backup = _fused.maybe_epoch_repair(cfg, flags, backup, n_batch)
+                backup = _fused.maybe_epoch_repair(cfg, flags, backup,
+                                                   local_batch)
                 result = epoch_fn(
                     cfg_run, flags, backup, y, us, k_epoch,
                     jnp.asarray(lr, cfg.jdtype), noise=noise,
@@ -1102,12 +1116,6 @@ def fit(
                 state = _sgp_adapt_step(cfg, state, result.q_means, us,
                                         pair_w=pair_w)
             if cfg.multistep_refine > 0:
-                if cfg.udim > 0 or mask is not None:
-                    raise ValueError(
-                        "multistep_refine supports autonomous, unmasked "
-                        "fits only (the rollout has no control/validity "
-                        "alignment)"
-                    )
                 state = _multistep_refine_step(cfg, state, result.q_means)
 
         running_loss = (
@@ -1506,6 +1514,10 @@ def _fit_blocked(
             if cfg.dynamics == "sgp" and cfg.sgp_adapt_lr > 0:
                 state = _sgp_adapt_step(cfg, state, res.q_means, us,
                                         pair_w=pair_w)
+            if cfg.multistep_refine > 0:
+                # block-granular (like every other phase action here):
+                # one rollout-consistency blend per K-epoch block
+                state = _multistep_refine_step(cfg, state, res.q_means)
 
     assert res is not None
     return FitResult(

@@ -135,6 +135,13 @@ def _ensemble_adapt(cfg, u_ax, sts, q_means, us, pair_w):
     return jax.vmap(one, in_axes=(0, 0, u_ax))(sts, q_means, us)
 
 
+@partial(jax.jit, static_argnames=("cfg",))
+def _ensemble_msrefine(cfg, sts, q_means):
+    return jax.vmap(
+        lambda st, qm: core.multistep_refine(cfg, st, qm)
+    )(sts, q_means)
+
+
 @partial(jax.jit, static_argnames=("cfg", "flags", "n_batch"))
 def _ensemble_repair(cfg, flags, n_batch, sts):
     return jax.vmap(
@@ -218,9 +225,12 @@ def fit_ensemble(
         u_ax = y_ax
     else:
         us = jnp.asarray(u, cfg.jdtype)
-        if us.ndim == 2:
-            us = us[:, None, :]
-        u_ax = 0 if us.ndim == 4 else None
+        if us.ndim == 4:
+            u_ax = 0
+        else:
+            # shared controls: same promotion/broadcast as solo fit
+            us = core._promote_u(us, t_len, n_batch, cfg.jdtype)
+            u_ax = None
     mask = core._promote_mask(mask, t_len, n_batch, cfg.jdtype)
     channel_mask = core._promote_channel_mask(
         channel_mask,
@@ -229,6 +239,13 @@ def fit_ensemble(
     )
     pair_w = (mask[1:] * mask[:-1]).reshape(-1) if mask is not None else None
     cfg = core._demote_masked_small_sgp(cfg, mask)
+    if cfg.multistep_refine > 0 and (cfg.udim > 0 or mask is not None):
+        # same constraint as solo fit, validated up-front (not after an
+        # entire warm-up phase)
+        raise ValueError(
+            "multistep_refine supports autonomous, unmasked fits only "
+            "(the rollout has no control/validity alignment)"
+        )
 
     if mesh is not None:
         from .replicated import shard_ensemble
@@ -290,7 +307,6 @@ def fit_ensemble(
             demote_epoch = None
             cfg_run = cfg_base
             mega_guard = True
-            _epoch_cache.clear()
             logger.info(
                 "ensemble: re-probing the mega layout at epoch %d "
                 "(%d probes left).", epoch, repromotes_left,
@@ -310,21 +326,32 @@ def fit_ensemble(
                               train_decoder=False)
             result = epoch_fn(flags, states, k_epoch, lr_shared,
                               warms=jnp.asarray(warm, cfg.jdtype))
-        losses = np.asarray(jnp.mean(result.metrics.loss, axis=-1))
-
         # per-member hot-tau watch on the mega layout (uniform non-warm
-        # epochs only — that's the only phase that reaches the mega kernel)
+        # epochs only — that's the only phase that reaches the mega kernel).
+        # Losses and hot fractions reduce ON DEVICE and come back in one
+        # (2, N) fetch — a raw (N, T) tau transfer through the tunnel per
+        # epoch is the scalar-fetch trap at scale (CLAUDE.md trap 3).
         tau = result.metrics.tau
-        if (
+        watch_hot = (
             mega_guard
             and uniform_phase and not all_warm
             and tau is not None
             and tau.ndim == 2
             and tau.shape[1] > cfg.ns_prefix
-        ):
-            tau_seg = np.asarray(tau[:, cfg.ns_prefix:])
-            hot_frac = np.mean(~np.isfinite(tau_seg) | (tau_seg >= _fused.NS_TAU_MAX),
-                               axis=1)
+        )
+        if watch_hot:
+            tau_seg = tau[:, cfg.ns_prefix:]
+            hot_dev = jnp.mean(
+                (~jnp.isfinite(tau_seg) | (tau_seg >= _fused.NS_TAU_MAX))
+                .astype(cfg.jdtype), axis=1,
+            )
+            both = np.asarray(jnp.stack(
+                [jnp.mean(result.metrics.loss, axis=-1), hot_dev]
+            ))
+            losses, hot_frac = both[0], both[1]
+        else:
+            losses = np.asarray(jnp.mean(result.metrics.loss, axis=-1))
+        if watch_hot:
             if hot_frac.max() > cfg.demote_hot_frac:
                 worst = int(np.argmax(hot_frac))
                 logger.warning(
@@ -336,7 +363,6 @@ def fit_ensemble(
                 cfg_run = cfg_base.replace(fused_step="off")
                 mega_guard = False
                 demote_epoch = epoch
-                _epoch_cache.clear()
                 backup = _ensemble_repair(cfg_base, flags, n_batch, backup)
                 result = epoch_fn(flags, backup, k_epoch, lr_shared)
                 losses = np.asarray(jnp.mean(result.metrics.loss, axis=-1))
@@ -406,6 +432,12 @@ def fit_ensemble(
             adapted = _ensemble_adapt(cfg, u_ax, states, result.q_means, us,
                                       pair_w)
             states = _select_jit(jnp.asarray(adapt_mask), adapted, states)
+
+        if cfg.multistep_refine > 0 and adapt_mask.any():
+            # the solo fit's per-epoch rollout-consistency blend, applied
+            # to the same member set (member k == solo fit of member k)
+            refined = _ensemble_msrefine(cfg, states, result.q_means)
+            states = _select_jit(jnp.asarray(adapt_mask), refined, states)
 
         still = active & ~newly_done
         if epoch > 0:

@@ -253,7 +253,8 @@ def run_epoch_fused_sharded(
 
 def _merge_local_states(cfg: VJFConfig, st0: core.TrainState,
                         st_loc: core.TrainState, dp: str, n_dev: int,
-                        k_steps: int) -> core.TrainState:
+                        k_steps: int, rls_active: bool = True
+                        ) -> core.TrainState:
     """Merge per-device locally-advanced training states at a relaxed-sync
     segment boundary (``sync_every=K`` — flag-gated deviation, see
     :func:`run_epoch_sync_every`).
@@ -280,11 +281,21 @@ def _merge_local_states(cfg: VJFConfig, st0: core.TrainState,
     from ..ops.linalg import inv_tril_transpose, safe_cholesky
 
     hp = jax.lax.Precision.HIGHEST
-    lam = cfg.rls_shrink ** k_steps
-    if cfg.rls_shrink == 1.0:
-        jacc = cfg.chol_jitter * k_steps
+    if rls_active:
+        lam = cfg.rls_shrink ** k_steps
+        if cfg.rls_shrink == 1.0:
+            jacc = cfg.chol_jitter * k_steps
+        else:
+            jacc = cfg.chol_jitter * (1.0 - lam) / (1.0 - cfg.rls_shrink)
     else:
-        jacc = cfg.chol_jitter * (1.0 - lam) / (1.0 - cfg.rls_shrink)
+        # the RLS never ran this segment (warm-up / update flags off):
+        # every device still holds exactly P_0 — the over-counted base is
+        # the UNDECAYED P_0, no accumulated jitter. Subtracting the
+        # advanced base here would drain (n_dev-1)*jacc*I from P at every
+        # boundary and push it indefinite within one warm-up epoch
+        # (review finding, r3).
+        lam = 1.0
+        jacc = 0.0
 
     blr0, blr = st0.dynamics.blr, st_loc.dynamics.blr
     if not isinstance(blr, (R.NSVBLR, R.PrecisionBLR)):
@@ -350,7 +361,6 @@ def run_epoch_sync_every(
     lr,
     mesh: Mesh,
     sync_every: int,
-    q0=None,
 ) -> core.EpochResult:
     """Relaxed-sync multi-chip epoch (flag-gated DEVIATION — the reference
     semantics sync the shared dynamics/parameters every step,
@@ -376,11 +386,9 @@ def run_epoch_sync_every(
     docs/RESULTS.md ("Relaxed-sync"); masks are not supported on this
     path (use the exact-sync path for ragged trials).
     """
-    if flags.warm_up:
-        # During warm-up the RLS never runs and the dynamics state is
-        # frozen; only SGD params drift. The merge handles that fine, but
-        # segmenting adds nothing — still honored for schedule parity.
-        pass
+    rls_active = (
+        flags.update and flags.update_transition and not flags.warm_up
+    )
     t_len, n_batch, _ = ys.shape
     if ys.dtype != cfg.jdtype:
         ys = ys.astype(cfg.jdtype)
@@ -418,7 +426,8 @@ def run_epoch_sync_every(
                     jax.random.fold_in(k_seg, dev), lr_, q0=q,
                 )
                 merged = _merge_local_states(cfg, st_seg, res.state, dp,
-                                             n_dev, k_steps)
+                                             n_dev, k_steps,
+                                             rls_active=rls_active)
                 q_next = core.Gaussian(res.q_means[-1], res.q_logvars[-1])
                 mean_metrics = jax.tree.map(
                     lambda a: jax.lax.pmean(a, dp), res.metrics
