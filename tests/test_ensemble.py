@@ -197,6 +197,36 @@ def test_fit_ensemble_sgp_dynamics(key):
     assert not res.warm_up.any()            # warmup_max forced the exit
 
 
+def test_blocked_ensemble_member_matches_solo_blocked(key):
+    """fit_ensemble(epochs_per_dispatch=K) == per-member solo
+    fit(epochs_per_dispatch=K): K epochs per dispatch, block-granular
+    phase transitions, same keys — the blocked production mode's
+    member==solo contract."""
+    cfg = _cfg()
+    N, max_iter, K = 2, 16, 4
+    ys = np.stack([_ring_data(31, scale=1.0), _ring_data(32, scale=3.0)])
+    states = init_ensemble(key, cfg, N)
+    keys = jax.random.split(jax.random.PRNGKey(9), N)
+
+    res = fit_ensemble(cfg, states, ys, keys=keys, max_iter=max_iter,
+                       epochs_per_dispatch=K)
+    for i in range(N):
+        solo = core.fit(cfg, jax.tree.map(lambda x: x[i], states), ys[i],
+                        key=keys[i], max_iter=max_iter,
+                        epochs_per_dispatch=K)
+        assert bool(res.warm_up[i]) == solo.warm_up
+        assert int(res.epochs_run[i]) == solo.epochs_run
+        np.testing.assert_allclose(float(res.lr[i]), solo.lr, rtol=1e-12)
+        np.testing.assert_allclose(float(res.loss[i]), solo.loss, rtol=1e-8)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(jax.tree.map(lambda x: x[i],
+                                                   res.states)),
+            jax.tree_util.tree_leaves(solo.state),
+        ):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-8, atol=1e-10)
+
+
 def test_fit_ensemble_shared_controls(key):
     """Shared (T, udim) controls broadcast to the trial batch exactly like
     solo fit's _promote_u (r3 review fix: the old promotion left them at

@@ -859,11 +859,18 @@ class VJF:
         channel_mask: Optional[Array] = None,
         mesh=None,
         seed: Optional[int] = None,
+        epochs_per_dispatch: int = 1,
     ):
         """Train ``n_models`` INDEPENDENT models (fresh seeds, this model's
         config) in one dispatch stream — the productized multi-chip regime
         (seed ensembles / per-subject sweeps; docs/ARCHITECTURE.md §4).
         This instance is the config template; its own state is untouched.
+
+        ``epochs_per_dispatch = K > 1``: the blocked production mode — K
+        epochs per member per device round-trip, phase transitions at
+        block boundaries (the ensemble analog of
+        ``fit(epochs_per_dispatch=K)``; dominant win for small-batch
+        sweeps, which are dispatch-latency-bound).
 
         Each member runs the full per-member ``fit`` state machine
         (warm-up plateau, decoder freeze, bootstrap, convergence patience,
@@ -890,6 +897,7 @@ class VJF:
             self.cfg, states, y, u, key=k_fit, max_iter=max_iter,
             beta=beta, rtol=rtol, callback=callback, mask=mask,
             channel_mask=channel_mask, mesh=mesh, lr0=self._lr,
+            epochs_per_dispatch=epochs_per_dispatch,
         )
         members = []
         for i in range(n_models):

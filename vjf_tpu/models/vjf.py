@@ -564,8 +564,13 @@ def run_epochs(
     q0: Optional[Gaussian] = None,
     mask: Optional[Array] = None,
     channel_mask: Optional[Array] = None,
+    warm_gate: Optional[Array] = None,
 ) -> EpochsResult:
     """Run ``len(keys)`` consecutive epochs in ONE compiled computation.
+
+    ``warm_gate``: optional traced scalar phase gate held constant across
+    the block (see :func:`filter_step`) — the blocked-ensemble driver's
+    mechanism for members in different phases sharing one dispatch.
 
     The reference's ``fit`` syncs to host every epoch only to drive the
     plateau logic (``vjf/model.py:276-295``); between those decisions the
@@ -592,7 +597,7 @@ def run_epochs(
         st, _, _ = carry
         key, lr = inp
         res = run_epoch(cfg, flags, st, ys, us, key, lr, q0=q0, mask=mask,
-                        channel_mask=channel_mask)
+                        channel_mask=channel_mask, warm_gate=warm_gate)
         mean_m = jax.tree.map(jnp.mean, res.metrics)
         max_tau, hot = epoch_tau_stats(cfg, res.metrics, t_len, qdt)
         return (res.state, res.q_means, res.q_logvars), (mean_m, max_tau, hot)

@@ -102,6 +102,25 @@ def _ensemble_epoch(cfg, flags, y_ax, u_ax, sts, y, us, ks, lr,
     return jax.vmap(one, in_axes=axes)(*args)
 
 
+@partial(jax.jit, static_argnames=("cfg", "flags", "y_ax", "u_ax"))
+def _ensemble_epochs(cfg, flags, y_ax, u_ax, sts, y, us, eks, lrs,
+                     warms, mask, channel_mask):
+    """Vmapped :func:`core.run_epochs` — K epochs per member per dispatch
+    (the blocked-ensemble mode). ``lrs`` (K,) is shared across members
+    (same schedule position — see the lr note in :func:`fit_ensemble`);
+    ``eks`` is (N, K) per-member per-epoch keys; ``warms`` an optional
+    (N,) phase gate held constant across the block."""
+    def one(st, yy, uu, ks, *w):
+        return core.run_epochs(
+            cfg, flags, st, yy, uu, ks, lrs, mask=mask,
+            channel_mask=channel_mask, warm_gate=w[0] if w else None,
+        )
+
+    axes = (0, y_ax, u_ax, 0) + ((0,) if warms is not None else ())
+    args = (sts, y, us, eks) + ((warms,) if warms is not None else ())
+    return jax.vmap(one, in_axes=axes)(*args)
+
+
 @partial(jax.jit, static_argnames=("cfg", "u_ax"))
 def _ensemble_boot(cfg, u_ax, sts, q_means, us, ks, pair_w):
     init_fn = _transition(cfg).dynamics_initialize
@@ -175,6 +194,7 @@ def fit_ensemble(
     channel_mask=None,
     lr0: Optional[float] = None,
     mesh=None,
+    epochs_per_dispatch: int = 1,
 ) -> EnsembleFitResult:
     """Train every member of a stacked ensemble with the FULL per-member
     ``fit`` state machine in one dispatch stream (module docstring above;
@@ -191,6 +211,16 @@ def fit_ensemble(
         members; ``channel_mask`` (T[, B], ydim) likewise
     :param mesh: optional Mesh — shards the member axis (zero-collective
         multi-chip; N should be a multiple of the mesh size)
+    :param epochs_per_dispatch: K > 1 = the BLOCKED production mode (the
+        ensemble analog of ``fit(epochs_per_dispatch=K)``): every member
+        runs K epochs per device round-trip through vmapped
+        ``run_epochs``, the per-member plateau state machine replayed
+        host-side per block with phase transitions at block boundaries
+        (same block-granular semantics as ``models/vjf._fit_blocked`` —
+        an in-block plateau extends the current phase, strictly more
+        training). Member k == a solo ``fit(epochs_per_dispatch=K)`` of
+        member k. The dominant win for small-batch multi-subject sweeps,
+        which are dispatch-latency-bound (measured: docs/RESULTS.md).
     """
     beta = cfg.beta if beta is None else beta
     rtol = cfg.rtol if rtol is None else rtol
@@ -256,6 +286,14 @@ def fit_ensemble(
         keys = jax.device_put(keys, ns)
         if per_member_data:
             y = jax.device_put(y, ns)
+
+    if epochs_per_dispatch > 1:
+        return _fit_ensemble_blocked(
+            cfg, states, y, us, y_ax, u_ax, keys, mask, channel_mask,
+            pair_w, n_models, n_batch, k_block=int(epochs_per_dispatch),
+            max_iter=max_iter, beta=beta, rtol=rtol, callback=callback,
+            lr0=lr0,
+        )
 
     # --- dispatches (module-level jitted; compiled once per variant) ---
     # lr is UNBATCHED: every active member shares the same schedule
@@ -446,6 +484,217 @@ def fit_ensemble(
         else:
             running = np.where(still, losses, running)
         lr = np.where(still, lr * cfg.lr_decay, lr)
+
+    return EnsembleFitResult(
+        mu=mu_store, logvar=lv_store, loss=losses_final, states=states,
+        warm_up=warm, lr=lr, epochs_run=epochs_run,
+    )
+
+
+def _fit_ensemble_blocked(
+    cfg: VJFConfig,
+    states,
+    y,
+    us,
+    y_ax,
+    u_ax,
+    keys,
+    mask,
+    channel_mask,
+    pair_w,
+    n_models: int,
+    n_batch: int,
+    *,
+    k_block: int,
+    max_iter: int,
+    beta: float,
+    rtol: float,
+    callback,
+    lr0: Optional[float],
+) -> EnsembleFitResult:
+    """Blocked ensemble driver: K epochs per member per dispatch through
+    vmapped :func:`core.run_epochs`; the per-member plateau machine
+    replays host-side over each block's (N, K) loss table with phase
+    transitions at block boundaries — member-wise mirror of
+    ``models/vjf._fit_blocked`` (see :func:`fit_ensemble` docstring)."""
+    use_adapt = cfg.dynamics == "sgp" and cfg.sgp_adapt_lr > 0
+
+    warm = np.ones(n_models, dtype=bool)
+    done = np.zeros(n_models, dtype=bool)
+    running = np.full(n_models, np.nan)
+    losses_final = np.full(n_models, np.nan)
+    plateau_hits = np.zeros(n_models, dtype=np.int64)
+    lr = np.full(n_models, cfg.lr if lr0 is None else float(lr0))
+    epochs_run = np.zeros(n_models, dtype=np.int64)
+    mu_store = None
+    lv_store = None
+
+    cfg_base = cfg
+    cfg_run = cfg
+    mega_possible = (
+        cfg.fused_epoch == "mega"
+        and _fused.fused_enabled(
+            cfg, jax.tree.map(lambda x: x[0], states), n_batch=n_batch
+        )
+    )
+    mega_guard = mega_possible
+    demote_epoch: Optional[int] = None
+    repromotes_left = cfg.repromote_max if cfg.repromote_after > 0 else 0
+    epoch = 0
+
+    while epoch < max_iter and not done.all():
+        if (
+            demote_epoch is not None
+            and repromotes_left > 0
+            and not warm.any()
+            and epoch - demote_epoch >= cfg.repromote_after
+        ):
+            repromotes_left -= 1
+            demote_epoch = None
+            cfg_run = cfg_base
+            mega_guard = True
+            logger.info(
+                "ensemble: re-probing the mega layout at epoch %d "
+                "(%d probes left).", epoch, repromotes_left,
+            )
+        k = min(k_block, max_iter - epoch)
+        keys, k_sub = _split_members(keys)
+        eks = jax.vmap(lambda kk: jax.random.split(kk, k))(k_sub)  # (N, K)
+        lr_shared = float(lr[~done][0])
+        lrs = jnp.asarray(
+            lr_shared * cfg.lr_decay ** np.arange(k), cfg.jdtype
+        )
+        uniform_phase = warm.all() or not warm.any()
+        all_warm = bool(warm.all())
+        backup = states if (mega_guard and not all_warm) else None
+        if uniform_phase:
+            flags = StepFlags(sgd=True, update=True, warm_up=all_warm,
+                              train_decoder=all_warm)
+            res = _ensemble_epochs(cfg_run, flags, y_ax, u_ax, states, y,
+                                   us, eks, lrs, None, mask, channel_mask)
+        else:
+            flags = StepFlags(sgd=True, update=True, warm_up=False,
+                              train_decoder=False)
+            res = _ensemble_epochs(cfg_run, flags, y_ax, u_ax, states, y,
+                                   us, eks, lrs,
+                                   jnp.asarray(warm, cfg.jdtype),
+                                   mask, channel_mask)
+        # one (3N*K,) control-signal fetch per block (trap 3)
+        vals = np.asarray(jnp.concatenate([
+            res.epoch_loss.reshape(-1), res.max_tau.reshape(-1),
+            res.hot_frac.reshape(-1),
+        ]))
+        nk = n_models * k
+        losses_blk = vals[:nk].reshape(n_models, k)
+        hot_blk = vals[2 * nk:].reshape(n_models, k)
+
+        if (
+            mega_guard
+            and uniform_phase and not all_warm
+            and float(hot_blk.max()) > cfg.demote_hot_frac
+        ):
+            i, j = np.unravel_index(int(hot_blk.argmax()), hot_blk.shape)
+            logger.warning(
+                "ensemble: member %d skipped %.1f%% of RLS updates on the "
+                "mega layout (epoch %d) — demoting the ensemble to the XLA "
+                "epoch and re-running the block from backup.",
+                int(i), 100 * float(hot_blk.max()), epoch + int(j),
+            )
+            cfg_run = cfg_base.replace(fused_step="off")
+            mega_guard = False
+            demote_epoch = epoch + int(j)
+            backup = _ensemble_repair(cfg_base, flags, n_batch, backup)
+            res = _ensemble_epochs(cfg_run, flags, y_ax, u_ax, backup, y,
+                                   us, eks, lrs, None, mask, channel_mask)
+            losses_blk = np.asarray(res.epoch_loss)
+
+        active = ~done
+        act_t = jnp.asarray(active)
+        states = _select_jit(act_t, res.state, states)
+        if mu_store is None:
+            mu_store = res.q_means
+            lv_store = res.q_logvars
+        else:
+            mu_store = jnp.where(
+                act_t.reshape((-1,) + (1,) * (mu_store.ndim - 1)),
+                res.q_means, mu_store,
+            )
+            lv_store = jnp.where(
+                act_t.reshape((-1,) + (1,) * (lv_store.ndim - 1)),
+                res.q_logvars, lv_store,
+            )
+        losses_final = np.where(active, losses_blk[:, -1], losses_final)
+        epochs_run = np.where(active, epoch + k, epochs_run)
+
+        if callback is not None:
+            callback(epoch, losses_blk, res)
+
+        # --- per-member replay of the block's K epochs (solo _fit_blocked
+        # semantics: transitions latch in-block, apply at the boundary) ---
+        warmup_plateau = np.zeros(n_models, dtype=bool)
+        converged = np.zeros(n_models, dtype=bool)
+        for j in range(k):
+            for i in np.flatnonzero(active):
+                el = float(losses_blk[i, j])
+                if _isclose(el, running[i], rtol):
+                    if warm[i]:
+                        warmup_plateau[i] = True
+                    else:
+                        plateau_hits[i] += 1
+                        if plateau_hits[i] >= cfg.stop_patience:
+                            converged[i] = True
+                elif not warm[i]:
+                    plateau_hits[i] = 0
+                running[i] = (
+                    beta * running[i] + (1 - beta) * el
+                    if epoch + j > 0 else el
+                )
+        epoch += k
+        lr = np.where(active, lr * cfg.lr_decay ** k, lr)
+        if cfg.warmup_max > 0 and epoch >= cfg.warmup_max:
+            forced = active & warm & ~warmup_plateau
+            if forced.any():
+                logger.warning(
+                    "ensemble: warm-up plateau never fired within "
+                    "warmup_max=%d for members %s; forcing the phase "
+                    "transition at the block boundary.", cfg.warmup_max,
+                    np.flatnonzero(forced).tolist(),
+                )
+                warmup_plateau |= forced
+
+        trans = active & warm & warmup_plateau
+        if trans.any():
+            keys2, k_init = _split_members(keys)
+            tr_t = jnp.asarray(trans)
+            keys = jnp.where(
+                tr_t.reshape((-1,) + (1,) * (keys.ndim - 1)), keys2, keys
+            )
+            boot_states = _ensemble_boot(cfg, u_ax, states, res.q_means,
+                                         us, k_init, pair_w)
+            states = _select_jit(tr_t, boot_states, states)
+            warm[trans] = False
+            running[trans] = losses_blk[trans, -1]
+            for i in np.flatnonzero(trans):
+                logger.info(
+                    "ensemble: member %d left warm-up at the epoch-%d "
+                    "block boundary.", i, epoch,
+                )
+
+        newly_done = active & ~warm & converged & ~trans
+        if newly_done.any():
+            done |= newly_done
+            for i in np.flatnonzero(newly_done):
+                logger.info("ensemble: member %d converged by epoch %d.",
+                            i, epoch)
+
+        post_mask = active & ~warm & ~newly_done & ~trans
+        if use_adapt and post_mask.any():
+            adapted = _ensemble_adapt(cfg, u_ax, states, res.q_means, us,
+                                      pair_w)
+            states = _select_jit(jnp.asarray(post_mask), adapted, states)
+        if cfg.multistep_refine > 0 and post_mask.any():
+            refined = _ensemble_msrefine(cfg, states, res.q_means)
+            states = _select_jit(jnp.asarray(post_mask), refined, states)
 
     return EnsembleFitResult(
         mu=mu_store, logvar=lv_store, loss=losses_final, states=states,
