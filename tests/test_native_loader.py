@@ -696,3 +696,33 @@ def test_device_prefetch_abandoned_consumer_stops_worker():
     while threading.active_count() > before and time.time() < deadline:
         time.sleep(0.05)
     assert threading.active_count() <= before, "prefetch worker leaked"
+
+
+def test_streaming_blocked_with_controls(tmp_path):
+    """Blocked mode stacks per-chunk controls into the block dispatch
+    (udim > 0) — and the controls iterable stays in lockstep."""
+    from vjf_tpu import VJF
+
+    rng = np.random.default_rng(6)
+    chunk, B, ydim, udim = 16, 2, 6, 2
+    n_chunks = 5
+    T = n_chunks * chunk
+    data = rng.normal(size=(T, B, ydim)).astype(np.float64)
+    u = rng.normal(size=(T, B, udim)).astype(np.float64)
+
+    model = VJF.make_model(ydim, 2, udim, n_rbf=8, hidden_sizes=[5],
+                           likelihood="gaussian", dtype="float64")
+    chunks = [data[i*chunk:(i+1)*chunk] for i in range(n_chunks)]
+    ucs = [u[i*chunk:(i+1)*chunk] for i in range(n_chunks)]
+    results = list(model.filter_stream(
+        iter(chunks), controls=iter(ucs), chunks_per_dispatch=2))
+    assert len(results) == n_chunks
+    losses = np.concatenate([np.asarray(r.metrics.loss) for r in results])
+    assert losses.shape == (T,)
+    assert np.all(np.isfinite(losses))
+
+    # missing controls raise (same contract as the one-chunk path)
+    m2 = VJF.make_model(ydim, 2, udim, n_rbf=8, hidden_sizes=[5],
+                        likelihood="gaussian", dtype="float64")
+    with pytest.raises(ValueError, match="controls"):
+        list(m2.filter_stream(iter(chunks), chunks_per_dispatch=2))
