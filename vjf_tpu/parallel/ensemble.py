@@ -21,7 +21,12 @@ per member:
   test_sharding.py::test_ensemble_vmap_fused_path``). Phase-MIXED epochs
   run one vmapped XLA epoch with a traced per-member ``warm_gate`` (see
   :func:`vjf_tpu.models.vjf.filter_step`) — numerically identical to the
-  member-wise static traces, still a single dispatch.
+  member-wise static traces, still a single dispatch. Mixed-phase epochs
+  therefore run at XLA-path (not mega-kernel) speed; that window is
+  short (plateaus cluster), and the alternative — per-phase static
+  sub-dispatches — would recompile the mega kernel for every distinct
+  phase-split size (20-40 s each through a remote runtime), costing more
+  than it saves.
 * **per-member hot-tau safety** (round-2 weak #3 closed): on the mega
   layout the per-member skipped-update fraction is read from the vmapped
   tau stream; if ANY member is pervasively hot the epoch is re-run from
