@@ -265,3 +265,27 @@ def test_fit_ensemble_multistep_refine_matches_solo(key):
     with pytest.raises(ValueError, match="autonomous"):
         fit_ensemble(cfg_bad, st_bad, ys,
                      np.zeros((ys.shape[1], 1)), keys=keys, max_iter=2)
+
+
+def test_forecast_ensemble_matches_member_loop(key):
+    """forecast_ensemble == per-member core.forecast with the same split
+    keys, in one dispatch."""
+    from vjf_tpu.parallel import forecast_ensemble
+
+    cfg = _cfg()
+    N = 3
+    states = init_ensemble(key, cfg, N)
+    x0 = jax.random.normal(jax.random.PRNGKey(1), (N, 2, cfg.xdim),
+                           cfg.jdtype)
+    k = jax.random.PRNGKey(4)
+    xs, ys = forecast_ensemble(cfg, states, x0, k, n_step=7)
+    assert xs.shape == (N, 8, 2, cfg.xdim)
+    assert ys.shape == (N, 8, 2, cfg.ydim)
+    ks = jax.random.split(k, N)
+    for i in range(N):
+        xi, yi = core.forecast(cfg, jax.tree.map(lambda a: a[i], states),
+                               x0[i], ks[i], n_step=7)
+        np.testing.assert_allclose(np.asarray(xs[i]), np.asarray(xi),
+                                   rtol=1e-12, atol=1e-14)
+        np.testing.assert_allclose(np.asarray(ys[i]), np.asarray(yi),
+                                   rtol=1e-12, atol=1e-14)

@@ -1,4 +1,4 @@
-from .ensemble import EnsembleFitResult, fit_ensemble
+from .ensemble import EnsembleFitResult, fit_ensemble, forecast_ensemble
 from .mesh import make_mesh
 from .replicated import init_ensemble, run_epoch_ensemble, shard_ensemble
 from .sharded import (
@@ -14,6 +14,7 @@ from .sharded import (
 __all__ = [
     "EnsembleFitResult",
     "fit_ensemble",
+    "forecast_ensemble",
     "make_mesh",
     "init_ensemble",
     "run_epoch_ensemble",

@@ -176,6 +176,23 @@ def _ensemble_repair(cfg, flags, n_batch, sts):
 _select_jit = jax.jit(_member_select)
 
 
+@partial(jax.jit, static_argnames=("cfg", "n_step", "noise"))
+def forecast_ensemble(cfg, states, x0, key, n_step, u=None, noise=False):
+    """Vmapped :func:`core.forecast` over the member axis — every member
+    rolls out in ONE dispatch (the example's member loop costs N
+    round-trips; on a tunneled runtime that is N x ~30 ms of pure
+    latency). ``x0``: (N, B, xdim) per-member starts (or (N, xdim));
+    ``u``: optional (n_step, ...) controls shared across members.
+    Returns ``(xs, ys)`` with a leading member axis; distinct per-member
+    weight-sampling streams are split from ``key``."""
+    n_models = jax.tree_util.tree_leaves(states)[0].shape[0]
+    keys = jax.random.split(key, n_models)
+    return jax.vmap(
+        lambda st, x, k: core.forecast(cfg, st, x, k, n_step, u=u,
+                                       noise=noise)
+    )(states, x0, keys)
+
+
 def _split_members(keys):
     """Advance N member key chains one split (mirrors the solo fit's
     ``key, k = jax.random.split(key)`` per member)."""
