@@ -199,3 +199,75 @@ def test_one_shot_rls_bounded_in_low_precision():
         w = np.asarray(out.w_mean, np.float64)
         assert np.all(np.isfinite(w)), dt
         assert np.max(np.abs(w)) < 1e3, (dt, np.max(np.abs(w)))
+
+
+# ---------------------------------------------------------------------------
+# Ensemble checkpoint / resume (round 4)
+# ---------------------------------------------------------------------------
+
+
+def _ens_setup(select="forecast"):
+    from vjf_tpu.parallel import init_ensemble
+
+    rng = np.random.default_rng(3)
+    th = np.cumsum(0.15 + 0.01 * rng.normal(size=60))
+    x = np.stack([np.cos(th), np.sin(th)], axis=-1)
+    C = rng.normal(size=(8, 2))
+    y = (x @ C.T)[:, None, :] + 0.1 * rng.normal(size=(60, 2, 8))
+    cfg = VJFConfig(ydim=8, xdim=2, udim=0, n_rbf=10, hidden_sizes=(6,),
+                    likelihood="gaussian", dtype="float64", rtol=1e-9,
+                    warmup_max=3, select=select, select_horizon=8,
+                    select_starts=4)
+    states = init_ensemble(jax.random.PRNGKey(1), cfg, 3)
+    keys = jax.random.split(jax.random.PRNGKey(2), 3)
+    return cfg, states, y, keys
+
+
+def _assert_ens_equal(a, b):
+    for la, lb in zip(jax.tree_util.tree_leaves(a.states),
+                      jax.tree_util.tree_leaves(b.states)):
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+    np.testing.assert_array_equal(np.asarray(a.mu), np.asarray(b.mu))
+    np.testing.assert_array_equal(np.asarray(a.logvar), np.asarray(b.logvar))
+    np.testing.assert_array_equal(a.loss, b.loss)
+    np.testing.assert_array_equal(a.warm_up, b.warm_up)
+    np.testing.assert_array_equal(a.lr, b.lr)
+    np.testing.assert_array_equal(a.epochs_run, b.epochs_run)
+    if a.selected_epoch is not None or b.selected_epoch is not None:
+        np.testing.assert_array_equal(a.selected_epoch, b.selected_epoch)
+        np.testing.assert_array_equal(a.selected_metric, b.selected_metric)
+
+
+def test_ensemble_resume_bit_exact(tmp_path):
+    """A fit interrupted at epoch 4 and resumed equals the uninterrupted
+    fit BIT-exactly, per member — every loop variable (phases, plateau
+    counters, lr schedule, member key chains, selection tracker) rides
+    the snapshot."""
+    from vjf_tpu.parallel import fit_ensemble
+
+    cfg, states, y, keys = _ens_setup()
+    full = fit_ensemble(cfg, states, y, keys=keys, max_iter=8)
+    p = str(tmp_path / "ens")
+    fit_ensemble(cfg, states, y, keys=keys, max_iter=4,
+                 checkpoint_path=p, checkpoint_every=4)
+    resumed = fit_ensemble(cfg, states, y, keys=keys, max_iter=8,
+                           resume_from=p)
+    assert full.selected_epoch is not None  # the tracker round-tripped
+    _assert_ens_equal(full, resumed)
+
+
+def test_ensemble_resume_blocked_bit_exact(tmp_path):
+    """Blocked-mode resume: snapshots land on block boundaries; resuming
+    with the same epochs_per_dispatch replays bit-exactly."""
+    from vjf_tpu.parallel import fit_ensemble
+
+    cfg, states, y, keys = _ens_setup(select="loss")
+    full = fit_ensemble(cfg, states, y, keys=keys, max_iter=8,
+                        epochs_per_dispatch=2)
+    p = str(tmp_path / "ensb")
+    fit_ensemble(cfg, states, y, keys=keys, max_iter=4,
+                 epochs_per_dispatch=2, checkpoint_path=p,
+                 checkpoint_every=4)
+    resumed = fit_ensemble(cfg, states, y, keys=keys, max_iter=8,
+                           epochs_per_dispatch=2, resume_from=p)
+    _assert_ens_equal(full, resumed)

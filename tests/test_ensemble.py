@@ -289,3 +289,140 @@ def test_forecast_ensemble_matches_member_loop(key):
                                    rtol=1e-12, atol=1e-14)
         np.testing.assert_allclose(np.asarray(ys[i]), np.asarray(yi),
                                    rtol=1e-12, atol=1e-14)
+
+
+# ---------------------------------------------------------------------------
+# Hot-tau demotion ladder (per-member + whole-ensemble degenerate case)
+# ---------------------------------------------------------------------------
+
+_HOT_BASE = dict(ydim=10, xdim=2, udim=0, dynamics="sgp", n_inducing=16,
+                 sgp_scale=1.0, sgp_lengthscale=1.0, likelihood="gaussian",
+                 dtype="float32", rls_backend="nsv", fused_step="on",
+                 matmul_dtype="float32", ns_prefix=8, lr=1e-3,
+                 rtol=1e-6, warmup_max=2)
+
+
+def _hot_members_data(T=80):
+    """(3, T, 1, 10) per-member data: members 0/2 gentle ring (marginally
+    hot B=1 SGP, ~1.4% at the first post-bootstrap epoch on CPU), member 1
+    a heavy-tailed jump process (~2.8% hot) — a threshold of 0.02 trips
+    ONLY member 1."""
+    from vjf_tpu.datasets import linear_gaussian_observations, ring_attractor
+
+    x = ring_attractor(T=T)
+    y0, _, _ = linear_gaussian_observations(x, 10, obs_noise=0.1,
+                                            intercept=False, seed=7)
+    y0 = y0.astype(np.float32)[:, None, :]
+    rng = np.random.default_rng(0)
+    jumps = rng.standard_t(df=1.5, size=(T, 1, 10)).astype(np.float32)
+    y_path = np.cumsum(jumps, axis=0) * 2.0
+    return np.stack([y0, y_path, y0])
+
+
+def test_per_member_demotion_isolates_hot_member(caplog):
+    """One pathological per-subject member must NOT drag the healthy
+    members off the mega kernel (reference semantics: members are
+    independent fits, vjf/model.py:223-307): only the hot member's epoch
+    re-runs on the XLA path, and the healthy members' final states are
+    BIT-identical to an all-mega run (demotion disabled)."""
+    import logging
+
+    y = _hot_members_data()
+    keys = jax.random.split(jax.random.PRNGKey(9), 3)
+    states = init_ensemble(jax.random.PRNGKey(5), VJFConfig(**_HOT_BASE), 3)
+
+    cfg_off = VJFConfig(**_HOT_BASE, demote_hot_frac=1.1)  # disabled
+    cfg_on = VJFConfig(**_HOT_BASE, demote_hot_frac=0.02)  # member 1 only
+    r_off = fit_ensemble(cfg_off, states, y, keys=keys, max_iter=6)
+    with caplog.at_level(logging.WARNING, logger="vjf_tpu"):
+        r_on = fit_ensemble(cfg_on, states, y, keys=keys, max_iter=6)
+
+    per_member = [r for r in caplog.records
+                  if "re-running only those members" in r.message]
+    assert per_member and "[1]" in per_member[0].message
+    assert not any("demoting the ensemble" in r.message
+                   for r in caplog.records)
+    for i in (0, 2):
+        for a, b in zip(
+            jax.tree_util.tree_leaves(jax.tree.map(lambda x: x[i], r_off.states)),
+            jax.tree_util.tree_leaves(jax.tree.map(lambda x: x[i], r_on.states)),
+        ):
+            assert np.array_equal(np.asarray(a), np.asarray(b)), (
+                f"healthy member {i} diverged from the all-mega run"
+            )
+    assert not all(
+        np.array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(
+            jax.tree_util.tree_leaves(jax.tree.map(lambda x: x[1], r_off.states)),
+            jax.tree_util.tree_leaves(jax.tree.map(lambda x: x[1], r_on.states)),
+        )
+    ), "the hot member's XLA re-run must change its trajectory"
+    assert np.all(np.isfinite(r_on.loss))
+
+
+def test_blocked_per_member_demotion(caplog):
+    """The blocked driver carries the same per-member demotion: hot
+    members' BLOCKS re-run on the XLA path; healthy members bit-identical
+    to the all-mega blocked run. (Blocked-key hot fractions at the first
+    post-bootstrap epoch, measured on CPU: members 0/1 at 5.6%, member 2
+    at 2.8% — a 0.04 threshold trips members 0/1 only.)"""
+    import logging
+
+    y = _hot_members_data()
+    keys = jax.random.split(jax.random.PRNGKey(9), 3)
+    states = init_ensemble(jax.random.PRNGKey(5), VJFConfig(**_HOT_BASE), 3)
+
+    cfg_off = VJFConfig(**_HOT_BASE, demote_hot_frac=1.1)
+    cfg_on = VJFConfig(**_HOT_BASE, demote_hot_frac=0.04)
+    r_off = fit_ensemble(cfg_off, states, y, keys=keys, max_iter=6,
+                         epochs_per_dispatch=3)
+    with caplog.at_level(logging.WARNING, logger="vjf_tpu"):
+        r_on = fit_ensemble(cfg_on, states, y, keys=keys, max_iter=6,
+                            epochs_per_dispatch=3)
+    assert any("re-running only those members' block" in r.message
+               for r in caplog.records)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(jax.tree.map(lambda x: x[2], r_off.states)),
+        jax.tree_util.tree_leaves(jax.tree.map(lambda x: x[2], r_on.states)),
+    ):
+        assert np.array_equal(np.asarray(a), np.asarray(b)), (
+            "healthy member 2 diverged from the all-mega blocked run"
+        )
+    assert np.all(np.isfinite(r_on.loss))
+
+
+def test_ensemble_all_hot_demotes_and_reprobes(caplog):
+    """The degenerate all-hot case (shared workload physics) keeps the
+    whole-ensemble demotion + PD-gated repair + repromote-probe ladder —
+    the round-3 path that shipped with an undefined-name crash, now driven
+    end-to-end on CPU."""
+    import logging
+
+    from vjf_tpu.datasets import linear_gaussian_observations, ring_attractor
+
+    x = ring_attractor(T=80)
+    y0, _, _ = linear_gaussian_observations(x, 10, obs_noise=0.1,
+                                            intercept=False, seed=7)
+    y = y0.astype(np.float32)[:, None, :]   # shared (T, 1, ydim)
+    cfg = VJFConfig(**_HOT_BASE, demote_hot_frac=0.01,
+                    repromote_after=1, repromote_max=1)
+    # hot fractions are noise-draw-dependent, so all-hot needs IDENTICAL
+    # members: same init, same data, same member key chains (keys= allows
+    # duplicates by contract). The (init, fit) = PRNGKey(0) combo is the
+    # one test_fit_reprobes_mega_after_demotion pins as marginally hot
+    # (~1.4% at the first post-bootstrap epoch on CPU).
+    st0 = core.init_state(jax.random.PRNGKey(0), cfg)
+    states = jax.tree.map(lambda a: jnp.stack([a] * 3), st0)
+    keys = jnp.stack([jax.random.PRNGKey(0)] * 3)
+    with caplog.at_level(logging.INFO, logger="vjf_tpu"):
+        res = fit_ensemble(cfg, states, y, keys=keys, max_iter=6)
+    demotions = [r for r in caplog.records
+                 if "demoting the ensemble" in r.message]
+    probes = [r for r in caplog.records if "re-probing" in r.message]
+    assert demotions, "identical members at ~1.4% hot must trip together"
+    assert len(probes) == 1, "repromote_max=1 must yield exactly one probe"
+    assert not any("re-running only those members" in r.message
+                   for r in caplog.records)
+    assert np.all(np.isfinite(res.loss))
+    assert np.all(np.isfinite(np.asarray(
+        jax.tree_util.tree_leaves(res.states)[0])))

@@ -835,6 +835,10 @@ class VJF:
         # max_iter) — the honest divisor for any steps/s computed around
         # this call (CLAUDE.md: steps/s divides by epochs_run)
         self.epochs_run = int(result.epochs_run)
+        # cfg.select='forecast': which epoch's snapshot was adopted (None
+        # under select='loss' or if warm-up never ended) and its metric
+        self.selected_epoch = result.selected_epoch
+        self.selected_metric = result.selected_metric
         if lengths is not None:
             from .utils.ragged import split_trials
 
@@ -860,6 +864,9 @@ class VJF:
         mesh=None,
         seed: Optional[int] = None,
         epochs_per_dispatch: int = 1,
+        checkpoint_path: Optional[str] = None,
+        checkpoint_every: int = 0,
+        resume_from: Optional[str] = None,
     ):
         """Train ``n_models`` INDEPENDENT models (fresh seeds, this model's
         config) in one dispatch stream — the productized multi-chip regime
@@ -898,6 +905,8 @@ class VJF:
             beta=beta, rtol=rtol, callback=callback, mask=mask,
             channel_mask=channel_mask, mesh=mesh, lr0=self._lr,
             epochs_per_dispatch=epochs_per_dispatch,
+            checkpoint_path=checkpoint_path,
+            checkpoint_every=checkpoint_every, resume_from=resume_from,
         )
         members = []
         for i in range(n_models):

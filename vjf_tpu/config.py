@@ -101,6 +101,29 @@ class VJFConfig:
     multistep_weight: float = 0.3
     multistep_iters: int = 2
 
+    # --- forecast-gated model selection (opt-in; no reference counterpart) ---
+    # The filtering objective is one-step; long-horizon forecast skill
+    # peaks BEFORE the loss plateau and degrades with further training
+    # (measured three independent ways — docs/RESULTS.md "Task quality",
+    # CLAUDE traps 17/23: latent R² stays ~0.99 while the velocity field
+    # off the data manifold deteriorates). The paper the reference
+    # implements evaluates by forecast error (rollout surface
+    # vjf/model.py:342-361), yet fit() selects its returned state by loss
+    # plateau alone. select='forecast' computes a device-side
+    # select_horizon-step rollout RMSE from select_starts posterior means
+    # against the actually-observed future after every post-warm-up epoch
+    # (one extra scalar fetch alongside the loss; the selection PRNG chain
+    # is folded out of the fit key so the TRAINING trajectory is
+    # bit-identical to select='loss') and returns the best-forecast
+    # snapshot (state + posteriors) instead of the final one.
+    # FitResult.selected_epoch/.selected_metric report the choice. Blocked
+    # dispatch modes evaluate at block granularity; fit_ensemble selects
+    # per member. Not supported with masks (rollout windows have no
+    # validity alignment) or the relaxed-sync mesh path.
+    select: str = "loss"                  # 'loss' | 'forecast'
+    select_horizon: int = 20
+    select_starts: int = 32
+
     # --- TPU-native knobs (no reference counterpart) ---
     # multi-chip sync cadence (fit(mesh=...) only). 1 = the reference's
     # exact semantics (shared state re-synced EVERY step via one psum of

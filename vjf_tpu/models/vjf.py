@@ -725,6 +725,13 @@ class FitResult:
                                  # exact resume (vjf/model.py:78)
     epochs_run: int = 0          # epochs actually executed (early convergence
                                  # breaks out before max_iter)
+    # cfg.select='forecast' only: the epoch whose snapshot was returned and
+    # its rollout-RMSE selection metric (mu/logvar/loss/state above are that
+    # epoch's). lr stays the FULL run's schedule position (a resumed fit
+    # continues the schedule, not the snapshot). None/nan under
+    # select='loss' or if warm-up never ended.
+    selected_epoch: Optional[int] = None
+    selected_metric: float = float("nan")
 
 
 def wire_put(y, jdtype) -> Array:
@@ -876,6 +883,7 @@ def fit(
             "multistep_refine supports autonomous, unmasked fits only "
             "(the rollout has no control/validity alignment)"
         )
+    select_on = _validate_select(cfg, mask, channel_mask, mesh)
     if epochs_per_dispatch > 1:
         if noise_hook is not None:
             raise ValueError(
@@ -898,6 +906,11 @@ def fit(
     else:
         pair_w = None
     cfg = _demote_masked_small_sgp(cfg, mask)
+    if select_on:
+        _validate_select(cfg, None, None, mesh, t_len=t_len)
+        sel_base = jax.random.fold_in(key, _SELECT_SALT)
+    best_sel = float("inf")
+    best_snap = None  # (state, mu, logvar, loss, epoch) at the best metric
 
     # Donation is skipped while hot-tau demotion is possible (mega layout
     # AND the fused path actually eligible for this cfg/state/batch): the
@@ -1092,6 +1105,7 @@ def fit(
         if callback is not None:
             callback(epoch, epoch_loss, result)
 
+        converged_now = False
         if warm_up:
             plateau = _isclose(epoch_loss, running_loss, rtol)
             forced = cfg.warmup_max > 0 and epoch + 1 >= cfg.warmup_max
@@ -1112,16 +1126,31 @@ def fit(
         else:
             if _isclose(epoch_loss, running_loss, rtol):
                 plateau_hits += 1
-                if plateau_hits >= cfg.stop_patience:
-                    logger.info("Converged at epoch %d.", epoch)
-                    break
+                converged_now = plateau_hits >= cfg.stop_patience
             else:
                 plateau_hits = 0
-            if cfg.dynamics == "sgp" and cfg.sgp_adapt_lr > 0:
-                state = _sgp_adapt_step(cfg, state, result.q_means, us,
-                                        pair_w=pair_w)
-            if cfg.multistep_refine > 0:
-                state = _multistep_refine_step(cfg, state, result.q_means)
+            if not converged_now:
+                if cfg.dynamics == "sgp" and cfg.sgp_adapt_lr > 0:
+                    state = _sgp_adapt_step(cfg, state, result.q_means, us,
+                                            pair_w=pair_w)
+                if cfg.multistep_refine > 0:
+                    state = _multistep_refine_step(cfg, state, result.q_means)
+
+        if select_on and not warm_up:
+            # the selection metric on the state the loop would carry forward
+            # (post-bootstrap / post-adapt); its PRNG stream is folded out of
+            # the fit key, so training is bit-identical to select='loss'
+            sel = float(_rollout_rmse_jit(
+                cfg, state, result.q_means, y, us,
+                jax.random.fold_in(sel_base, epoch),
+            ))
+            if sel < best_sel:                  # NaN metric never selects
+                best_sel = sel
+                best_snap = (state, result.q_means, result.q_logvars,
+                             epoch_loss, epoch)
+        if converged_now:
+            logger.info("Converged at epoch %d.", epoch)
+            break
 
         running_loss = (
             beta * running_loss + (1 - beta) * epoch_loss if epoch > 0 else epoch_loss
@@ -1129,6 +1158,13 @@ def fit(
         lr *= cfg.lr_decay                                  # ExponentialLR, model.py:78
 
     assert result is not None
+    if select_on and best_snap is not None:
+        b_state, b_mu, b_lv, b_loss, b_epoch = best_snap
+        return FitResult(
+            mu=b_mu, logvar=b_lv, loss=b_loss, state=b_state,
+            warm_up=warm_up, lr=lr, epochs_run=epoch + 1,
+            selected_epoch=b_epoch, selected_metric=best_sel,
+        )
     return FitResult(
         mu=result.q_means, logvar=result.q_logvars, loss=epoch_loss, state=state,
         warm_up=warm_up, lr=lr, epochs_run=epoch + 1,
@@ -1341,6 +1377,7 @@ def _fit_blocked(
       remainder-shaped graph — choose ``max_iter`` divisible by
       ``epochs_per_dispatch`` to avoid paying a compile for a few epochs.
     """
+    select_on = _validate_select(cfg, mask, channel_mask, mesh)
     y = _promote_y(wire_ingest(y, cfg.jdtype))  # two-step ingest (see fit())
     t_len, n_batch, _ = y.shape
     us = _promote_u(u, t_len, n_batch, cfg.jdtype)
@@ -1348,6 +1385,11 @@ def _fit_blocked(
     channel_mask = _promote_channel_mask(channel_mask, y.shape, cfg.jdtype)
     pair_w = (mask[1:] * mask[:-1]).reshape(-1) if mask is not None else None
     cfg = _demote_masked_small_sgp(cfg, mask)
+    if select_on:
+        _validate_select(cfg, None, None, mesh, t_len=t_len)
+        sel_base = jax.random.fold_in(key, _SELECT_SALT)
+    best_sel = float("inf")
+    best_snap = None  # block-granular selection (see fit() docstring)
 
     if mesh is not None:
         from ..parallel import make_sharded_epochs, shard_data, shard_state
@@ -1513,9 +1555,7 @@ def _fit_blocked(
             key, k_init = jax.random.split(key)
             state = _bootstrap_dynamics(cfg, state, init_fn, res.q_means,
                                         us, k_init, pair_w=pair_w)
-        elif not warm_up:
-            if converged:
-                break
+        elif not warm_up and not converged:
             if cfg.dynamics == "sgp" and cfg.sgp_adapt_lr > 0:
                 state = _sgp_adapt_step(cfg, state, res.q_means, us,
                                         pair_w=pair_w)
@@ -1523,8 +1563,28 @@ def _fit_blocked(
                 # block-granular (like every other phase action here):
                 # one rollout-consistency blend per K-epoch block
                 state = _multistep_refine_step(cfg, state, res.q_means)
+        if select_on and not warm_up:
+            # block-granular selection: evaluate the block's final state
+            # (the posteriors are the block's last epoch by construction)
+            sel = float(_rollout_rmse_jit(
+                cfg, state, res.q_means, y, us,
+                jax.random.fold_in(sel_base, epoch - 1),
+            ))
+            if sel < best_sel:
+                best_sel = sel
+                best_snap = (state, res.q_means, res.q_logvars,
+                             epoch_loss, epoch - 1)
+        if converged:
+            break
 
     assert res is not None
+    if select_on and best_snap is not None:
+        b_state, b_mu, b_lv, b_loss, b_epoch = best_snap
+        return FitResult(
+            mu=b_mu, logvar=b_lv, loss=b_loss, state=b_state,
+            warm_up=warm_up, lr=lr, epochs_run=epoch,
+            selected_epoch=b_epoch, selected_metric=best_sel,
+        )
     return FitResult(
         mu=res.q_means, logvar=res.q_logvars, loss=epoch_loss, state=state,
         warm_up=warm_up, lr=lr, epochs_run=epoch,
@@ -1551,3 +1611,89 @@ def forecast(
     )
     y = decode(state.params.decoder, x)
     return x, y
+
+
+# ---------------------------------------------------------------------------
+# Forecast-gated model selection (cfg.select='forecast')
+# ---------------------------------------------------------------------------
+
+# Selection PRNG stream: folded OUT of the fit key (fold_in, not split) so
+# computing the metric never perturbs the training chain — a
+# select='forecast' fit trains bit-identically to select='loss'.
+_SELECT_SALT = 0x5E1EC7
+
+
+def rollout_rmse(
+    cfg: VJFConfig,
+    state: TrainState,
+    mu: Array,
+    ys: Array,
+    us: Array,
+    key: jax.Array,
+) -> Array:
+    """Device-side K-step forecast RMSE — the ``cfg.select='forecast'``
+    selection metric (a scalar: one extra fetch per epoch alongside the
+    loss).
+
+    From ``cfg.select_starts`` evenly-spaced posterior means, roll the
+    learned dynamics ``cfg.select_horizon`` steps (reference rollout
+    semantics: a fresh weight sample per step, ``vjf/model.py:342-361``),
+    decode, and RMSE against the actually-observed future — on the count
+    scale for Poisson, matching :func:`vjf_tpu.utils.evaluation.
+    forecast_rmse`. All trials of every start ride ONE batched rollout.
+    """
+    t_len, n_batch, _ = ys.shape
+    h = int(cfg.select_horizon)
+    n_starts = min(int(cfg.select_starts), t_len - h - 1)
+    starts = np.linspace(0, t_len - h - 2, n_starts).astype(int)
+    x0 = mu[jnp.asarray(starts)].reshape(-1, cfg.xdim)     # (S*B, xdim)
+    widx = jnp.asarray(starts[:, None] + 1 + np.arange(h)[None, :])  # (S, h)
+    uw = None
+    if cfg.udim > 0:
+        # u[t] drives the transition INTO x[t] (vjf/model.py:252-258), so
+        # the rollout from start s consumes u[s+1 : s+1+h]
+        uw = (
+            us[widx]                                       # (S, h, B, udim)
+            .transpose(1, 0, 2, 3)
+            .reshape(h, -1, cfg.udim)
+        )
+    _, yf = forecast(cfg, state, x0, key, n_step=h, u=uw, noise=False)
+    yf = yf[1:].reshape(h, len(starts), n_batch, cfg.ydim)
+    if cfg.likelihood == "poisson":
+        # the linear decode is the LOG-rate; compare on the count scale
+        # with the model's own rate clamp (likelihood.py:60 semantics)
+        yf = jnp.exp(jnp.minimum(yf, cfg.poisson_clamp))
+    future = ys[widx]                                      # (S, h, B, ydim)
+    err = jnp.mean((yf.transpose(1, 0, 2, 3) - future) ** 2, axis=(1, 2, 3))
+    return jnp.sqrt(jnp.mean(err))
+
+
+_rollout_rmse_jit = jax.jit(rollout_rmse, static_argnames=("cfg",))
+
+
+def _validate_select(cfg: VJFConfig, mask, channel_mask, mesh,
+                     t_len: Optional[int] = None) -> bool:
+    """Up-front validation for ``cfg.select``; returns True when
+    forecast-gated selection is active."""
+    if cfg.select not in ("loss", "forecast"):
+        raise ValueError(f"unknown cfg.select: {cfg.select!r}")
+    if cfg.select != "forecast":
+        return False
+    if mask is not None or channel_mask is not None:
+        raise ValueError(
+            "select='forecast' supports unmasked fits only (rollout "
+            "windows have no validity alignment); use select='loss' for "
+            "ragged/dropout data"
+        )
+    if mesh is not None and cfg.sync_every != 1:
+        raise ValueError(
+            "select='forecast' is not supported on the relaxed-sync mesh "
+            "path (sync_every != 1): the selection snapshot would capture "
+            "un-merged per-chip state"
+        )
+    if t_len is not None and t_len < cfg.select_horizon + 2:
+        raise ValueError(
+            f"select='forecast' needs T >= select_horizon + 2 (got "
+            f"T={t_len}, select_horizon={cfg.select_horizon})"
+        )
+    return True

@@ -27,13 +27,19 @@ per member:
   sub-dispatches — would recompile the mega kernel for every distinct
   phase-split size (20-40 s each through a remote runtime), costing more
   than it saves.
-* **per-member hot-tau safety** (round-2 weak #3 closed): on the mega
-  layout the per-member skipped-update fraction is read from the vmapped
-  tau stream; if ANY member is pervasively hot the epoch is re-run from
-  its pre-epoch backup on the XLA path (per-step exact-inverse fallback)
-  for the whole ensemble — members share batch size, so a hot regime is a
-  property of the workload, not of one seed — with the same PD-gated
-  epoch repair and re-promotion probing as the solo loop.
+* **per-member hot-tau safety** (round-2 weak #3; made per-member in
+  round 4): on the mega layout the per-member skipped-update fraction is
+  read from the vmapped tau stream; a pervasively-hot member has its
+  epoch re-run on the XLA path (per-step exact-inverse fallback) from
+  its PD-repaired pre-epoch backup via a pow2-padded SUBSET dispatch and
+  the results scattered back (:func:`_rerun_hot_members`) — healthy
+  members keep their mega trajectories bit-identical (reference
+  semantics: members are independent fits, ``vjf/model.py:223-307``).
+  There is no persistent per-member demotion state: the vmapped mega
+  dispatch computes every member regardless, so each epoch doubles as a
+  free repromote probe. Only the degenerate all-hot case (workload
+  physics — members share the batch size, and mega would be pure waste)
+  demotes the whole ensemble with the solo repromote machinery.
 * **multi-chip**: pass ``mesh`` to shard the MEMBER axis
   (:func:`shard_ensemble`) — zero inter-chip collectives; each chip runs
   whole filters at single-chip mega throughput. This is the scaling mode
@@ -75,6 +81,12 @@ class EnsembleFitResult(NamedTuple):
     warm_up: np.ndarray    # (N,) bool — True if the member never left warm-up
     lr: np.ndarray         # (N,) post-run schedule position per member
     epochs_run: np.ndarray  # (N,) epochs each member actually executed
+    # cfg.select='forecast' only (per-member forecast-gated selection —
+    # solo FitResult.selected_epoch semantics, member k == solo fit k):
+    # the epoch whose snapshot each member returned (-1 = no snapshot,
+    # e.g. warm-up never ended) and its rollout-RMSE metric (nan likewise)
+    selected_epoch: Optional[np.ndarray] = None   # (N,) int
+    selected_metric: Optional[np.ndarray] = None  # (N,) float
 
 
 def _member_select(take, new, old):
@@ -173,7 +185,186 @@ def _ensemble_repair(cfg, flags, n_batch, sts):
     )(sts)
 
 
+_gather_jit = jax.jit(lambda idx, tree: jax.tree.map(lambda x: x[idx], tree))
+# duplicate indices (the pow2 padding repeats idx[0]) write identical rows —
+# safe under .at[].set
+_scatter_jit = jax.jit(
+    lambda idx, new, old: jax.tree.map(lambda n, o: o.at[idx].set(n), new, old)
+)
+
+
+def _padded_hot_indices(hot: np.ndarray) -> np.ndarray:
+    """Hot-member index vector padded to the next power of two (bounds the
+    subset-dispatch compile variants to log2(N); padding repeats the first
+    hot index, whose duplicate results scatter the same values)."""
+    idx = np.flatnonzero(hot)
+    pad = 1 << max(len(idx) - 1, 0).bit_length()
+    return np.concatenate([idx, np.repeat(idx[:1], pad - len(idx))])
+
+
+def _rerun_hot_members(cfg, flags, n_batch, y_ax, u_ax, backup, y, us, ks,
+                       lr, mask, channel_mask, hot, result, losses,
+                       epochs_mode=False, lrs=None):
+    """Per-member hot-tau demotion: re-run ONLY the hot members' epoch (or
+    block, ``epochs_mode``) on the XLA path from their PD-repaired
+    pre-epoch backup, and scatter the results back — the healthy members'
+    trajectories stay bit-identical to the all-mega run (reference
+    semantics: members are independent fits, ``vjf/model.py:223-307``,
+    so one pathological subject must not drag N-1 healthy members off the
+    mega kernel).
+
+    Unlike the solo fit there is no persistent demotion or repromote
+    budget: the vmapped mega dispatch computes every member regardless,
+    so a hot member's next-epoch mega slice is free — each epoch IS the
+    repromote probe, and a member that cools simply keeps its mega
+    result. The only marginal cost is this subset dispatch on hot epochs.
+    """
+    pidx = _padded_hot_indices(hot)
+    pidx_t = jnp.asarray(pidx)
+    sub_states = _ensemble_repair(
+        cfg, flags, n_batch, _gather_jit(pidx_t, backup)
+    )
+    sub_y = y[pidx_t] if y_ax == 0 else y
+    sub_us = us[pidx_t] if u_ax == 0 else us
+    sub_ks = ks[pidx_t]
+    cfg_off = cfg.replace(fused_step="off")
+    # the XLA path reports no tau (metrics.tau=None) while the mega result
+    # carries one — scatter field-wise around that leaf and keep the mega
+    # tau (it was already consumed by the hot detection)
+    if epochs_mode:
+        sub = _ensemble_epochs(cfg_off, flags, y_ax, u_ax, sub_states,
+                               sub_y, sub_us, sub_ks, lrs, None, mask,
+                               channel_mask)
+        sub_losses = np.asarray(sub.epoch_loss)          # (pad, K)
+        merged = core.EpochsResult(
+            state=_scatter_jit(pidx_t, sub.state, result.state),
+            q_means=result.q_means.at[pidx_t].set(sub.q_means),
+            q_logvars=result.q_logvars.at[pidx_t].set(sub.q_logvars),
+            epoch_loss=result.epoch_loss.at[pidx_t].set(sub.epoch_loss),
+            epoch_metrics=core.Metrics(
+                *(
+                    o.at[pidx_t].set(n)
+                    for n, o in zip(sub.epoch_metrics[:4],
+                                    result.epoch_metrics[:4])
+                ),
+                tau=result.epoch_metrics.tau,
+            ),
+            max_tau=result.max_tau.at[pidx_t].set(0.0),
+            hot_frac=result.hot_frac.at[pidx_t].set(0.0),
+        )
+    else:
+        sub = _ensemble_epoch(cfg_off, flags, y_ax, u_ax, sub_states,
+                              sub_y, sub_us, sub_ks, lr, None, mask,
+                              channel_mask)
+        sub_losses = np.asarray(jnp.mean(sub.metrics.loss, axis=-1))
+        merged = core.EpochResult(
+            state=_scatter_jit(pidx_t, sub.state, result.state),
+            q_means=result.q_means.at[pidx_t].set(sub.q_means),
+            q_logvars=result.q_logvars.at[pidx_t].set(sub.q_logvars),
+            metrics=core.Metrics(
+                *(
+                    o.at[pidx_t].set(n)
+                    for n, o in zip(sub.metrics[:4], result.metrics[:4])
+                ),
+                tau=result.metrics.tau,
+            ),
+        )
+    n_hot = int(hot.sum())
+    losses = np.array(losses)
+    losses[pidx[:n_hot]] = sub_losses[:n_hot]
+    return merged, losses
+
+
 _select_jit = jax.jit(_member_select)
+
+
+@partial(jax.jit, static_argnames=("cfg", "y_ax", "u_ax"))
+def _ensemble_select_metric(cfg, y_ax, u_ax, sts, q_means, y, us, ks):
+    """Per-member forecast-selection metric (``core.rollout_rmse``) in one
+    vmapped dispatch; returns (N,) rollout RMSEs."""
+    return jax.vmap(
+        lambda st, qm, yy, uu, k: core.rollout_rmse(cfg, st, qm, yy, uu, k),
+        in_axes=(0, 0, y_ax, u_ax, 0),
+    )(sts, q_means, y, us, ks)
+
+
+def _fold_members(keys, data: int):
+    """fold_in per member key — the ensemble mirror of the solo fit's
+    selection-stream derivation (never perturbs the training chains)."""
+    return jax.vmap(lambda k: jax.random.fold_in(k, data))(keys)
+
+
+class _SelectTracker:
+    """Host-side per-member best-forecast snapshot tracker shared by the
+    per-epoch and blocked ensemble drivers (solo ``fit`` selection
+    semantics per member; device buffers updated via member selects)."""
+
+    def __init__(self, n_models: int, sel_base):
+        self.sel_base = sel_base
+        self.best_sel = np.full(n_models, np.inf)
+        self.best_loss = np.full(n_models, np.nan)
+        self.sel_epoch = np.full(n_models, -1, dtype=np.int64)
+        self.have = np.zeros(n_models, dtype=bool)
+        self.states = None
+        self.mu = None
+        self.lv = None
+
+    def observe(self, cfg, y_ax, u_ax, states, result_mu, result_lv,
+                y, us, epoch: int, eligible: np.ndarray, losses: np.ndarray):
+        if not eligible.any():
+            return
+        k_sel = _fold_members(self.sel_base, epoch)
+        sel = np.asarray(_ensemble_select_metric(
+            cfg, y_ax, u_ax, states, result_mu, y, us, k_sel
+        ))
+        sel = np.where(np.isfinite(sel), sel, np.inf)  # NaN never selects
+        take = eligible & (sel < self.best_sel)
+        if not take.any():
+            return
+        if self.states is None:
+            # alias init is safe (arrays immutable); only members with
+            # have=True are ever read back
+            self.states, self.mu, self.lv = states, result_mu, result_lv
+        tk = jnp.asarray(take)
+        self.states = _select_jit(tk, states, self.states)
+        bshape = (-1,) + (1,) * (self.mu.ndim - 1)
+        self.mu = jnp.where(tk.reshape(bshape), result_mu, self.mu)
+        self.lv = jnp.where(tk.reshape(bshape), result_lv, self.lv)
+        self.best_sel = np.where(take, sel, self.best_sel)
+        self.best_loss = np.where(take, losses, self.best_loss)
+        self.sel_epoch = np.where(take, epoch, self.sel_epoch)
+        self.have |= take
+
+    def snapshot(self):
+        """Serializable view (a plain tuple pytree) for
+        ``utils.checkpoint.save_ensemble_checkpoint``."""
+        return (self.sel_base, self.best_sel, self.best_loss,
+                self.sel_epoch, self.have, self.states, self.mu, self.lv)
+
+    @classmethod
+    def restore(cls, n_models: int, snap):
+        t = cls(n_models, jnp.asarray(snap[0]))
+        t.best_sel = np.asarray(snap[1])
+        t.best_loss = np.asarray(snap[2])
+        t.sel_epoch = np.asarray(snap[3]).astype(np.int64)
+        t.have = np.asarray(snap[4]).astype(bool)
+        t.states, t.mu, t.lv = snap[5], snap[6], snap[7]
+        return t
+
+    def finalize(self, states, mu_store, lv_store, losses_final):
+        """Merge the best snapshots into the final result tensors; returns
+        (states, mu, logvar, loss, selected_epoch, selected_metric)."""
+        if not self.have.any():
+            return (states, mu_store, lv_store, losses_final,
+                    self.sel_epoch, np.where(self.have, self.best_sel, np.nan))
+        hb = jnp.asarray(self.have)
+        states = _select_jit(hb, self.states, states)
+        bshape = (-1,) + (1,) * (mu_store.ndim - 1)
+        mu_store = jnp.where(hb.reshape(bshape), self.mu, mu_store)
+        lv_store = jnp.where(hb.reshape(bshape), self.lv, lv_store)
+        losses_final = np.where(self.have, self.best_loss, losses_final)
+        return (states, mu_store, lv_store, losses_final, self.sel_epoch,
+                np.where(self.have, self.best_sel, np.nan))
 
 
 @partial(jax.jit, static_argnames=("cfg", "n_step", "noise"))
@@ -200,6 +391,47 @@ def _split_members(keys):
     return s[:, 0], s[:, 1]
 
 
+class EnsembleSnapshot(NamedTuple):
+    """The COMPLETE per-member fit state machine at an epoch boundary —
+    everything ``fit_ensemble`` evolves (host arrays + device pytrees) —
+    so an interrupted multi-subject sweep resumes BIT-identically to the
+    uninterrupted run (the ensemble mirror of
+    ``utils.checkpoint.FitLoopState``; persisted via
+    ``utils.checkpoint.save_ensemble_checkpoint``)."""
+
+    epoch: object           # completed epochs
+    warm: object            # (N,) bool
+    done: object            # (N,) bool
+    running: object         # (N,) running EMA loss
+    losses_final: object    # (N,)
+    plateau_hits: object    # (N,) int
+    lr: object              # (N,) schedule positions
+    epochs_run: object      # (N,) int
+    keys: object            # (N, 2) member PRNG chains
+    states: object          # stacked TrainState
+    mu_store: object        # (N, T, B, xdim) | None (no epoch completed)
+    lv_store: object
+    demoted: object         # bool: whole-ensemble hot-tau demotion active
+    demote_epoch: object    # int; -1 encodes None
+    repromotes_left: object
+    tracker: object         # forecast-selection tracker snapshot | None
+
+
+def _make_snapshot(epoch, warm, done, running, losses_final, plateau_hits,
+                   lr, epochs_run, keys, states, mu_store, lv_store,
+                   demoted, demote_epoch, repromotes_left, tracker):
+    return EnsembleSnapshot(
+        epoch=np.int64(epoch), warm=warm.copy(), done=done.copy(),
+        running=running.copy(), losses_final=losses_final.copy(),
+        plateau_hits=plateau_hits.copy(), lr=lr.copy(),
+        epochs_run=epochs_run.copy(), keys=keys, states=states,
+        mu_store=mu_store, lv_store=lv_store, demoted=np.bool_(demoted),
+        demote_epoch=np.int64(-1 if demote_epoch is None else demote_epoch),
+        repromotes_left=np.int64(repromotes_left),
+        tracker=None if tracker is None else tracker.snapshot(),
+    )
+
+
 def fit_ensemble(
     cfg: VJFConfig,
     states,
@@ -217,6 +449,9 @@ def fit_ensemble(
     lr0: Optional[float] = None,
     mesh=None,
     epochs_per_dispatch: int = 1,
+    checkpoint_path: Optional[str] = None,
+    checkpoint_every: int = 0,
+    resume_from: Optional[str] = None,
 ) -> EnsembleFitResult:
     """Train every member of a stacked ensemble with the FULL per-member
     ``fit`` state machine in one dispatch stream (module docstring above;
@@ -243,6 +478,15 @@ def fit_ensemble(
         training). Member k == a solo ``fit(epochs_per_dispatch=K)`` of
         member k. The dominant win for small-batch multi-subject sweeps,
         which are dispatch-latency-bound (measured: docs/RESULTS.md).
+    :param checkpoint_path: with ``checkpoint_every=K > 0``, persist the
+        COMPLETE per-member state machine every K epochs (block
+        boundaries in blocked mode) via
+        ``utils.checkpoint.save_ensemble_checkpoint``; the write is
+        atomic, so a kill mid-save never corrupts the previous snapshot
+    :param resume_from: path of such a snapshot — resume BIT-identically
+        to the uninterrupted run (same cfg / data / epochs_per_dispatch
+        required; the ``states``/``key`` argument VALUES are superseded
+        by the snapshot)
     """
     beta = cfg.beta if beta is None else beta
     rtol = cfg.rtol if rtol is None else rtol
@@ -257,6 +501,18 @@ def fit_ensemble(
             raise ValueError(
                 f"keys leading axis {keys.shape[0]} != n_models {n_models}"
             )
+
+    resume_snap = None
+    if resume_from is not None:
+        # exact mid-fit resume: the snapshot carries the COMPLETE
+        # per-member state machine (resume with the same cfg / data /
+        # epochs_per_dispatch; the `states`/`key` arguments' VALUES are
+        # superseded by the snapshot)
+        from ..utils.checkpoint import load_ensemble_checkpoint
+
+        resume_snap = load_ensemble_checkpoint(resume_from)
+        states = resume_snap.states
+        keys = jnp.asarray(resume_snap.keys)
 
     y = jnp.asarray(core.wire_ingest(y, cfg.jdtype))
     if y.ndim == 2:
@@ -291,6 +547,8 @@ def fit_ensemble(
     )
     pair_w = (mask[1:] * mask[:-1]).reshape(-1) if mask is not None else None
     cfg = core._demote_masked_small_sgp(cfg, mask)
+    select_on = core._validate_select(cfg, mask, channel_mask, None,
+                                      t_len=t_len)
     if cfg.multistep_refine > 0 and (cfg.udim > 0 or mask is not None):
         # same constraint as solo fit, validated up-front (not after an
         # entire warm-up phase)
@@ -309,12 +567,24 @@ def fit_ensemble(
         if per_member_data:
             y = jax.device_put(y, ns)
 
+    tracker = None
+    if select_on:
+        if resume_snap is not None and resume_snap.tracker is not None:
+            tracker = _SelectTracker.restore(n_models, resume_snap.tracker)
+        else:
+            # sel_base folds from the ORIGINAL member keys at fit start —
+            # on a fresh run `keys` still are those
+            tracker = _SelectTracker(
+                n_models, _fold_members(keys, core._SELECT_SALT)
+            )
+
     if epochs_per_dispatch > 1:
         return _fit_ensemble_blocked(
             cfg, states, y, us, y_ax, u_ax, keys, mask, channel_mask,
             pair_w, n_models, n_batch, k_block=int(epochs_per_dispatch),
             max_iter=max_iter, beta=beta, rtol=rtol, callback=callback,
-            lr0=lr0,
+            lr0=lr0, tracker=tracker, checkpoint_path=checkpoint_path,
+            checkpoint_every=checkpoint_every, resume_snap=resume_snap,
         )
 
     # --- dispatches (module-level jitted; compiled once per variant) ---
@@ -353,8 +623,28 @@ def fit_ensemble(
     mega_guard = mega_possible
     demote_epoch: Optional[int] = None
     repromotes_left = cfg.repromote_max if cfg.repromote_after > 0 else 0
+    member_demoted = np.zeros(n_models, dtype=bool)  # per-member log state
 
-    for epoch in range(max_iter):
+    start_epoch = 0
+    if resume_snap is not None:
+        start_epoch = int(np.asarray(resume_snap.epoch))
+        warm = np.asarray(resume_snap.warm).astype(bool)
+        done = np.asarray(resume_snap.done).astype(bool)
+        running = np.asarray(resume_snap.running).astype(float)
+        losses_final = np.asarray(resume_snap.losses_final).astype(float)
+        plateau_hits = np.asarray(resume_snap.plateau_hits).astype(np.int64)
+        lr = np.asarray(resume_snap.lr).astype(float)
+        epochs_run = np.asarray(resume_snap.epochs_run).astype(np.int64)
+        mu_store = resume_snap.mu_store
+        lv_store = resume_snap.lv_store
+        if bool(np.asarray(resume_snap.demoted)):
+            cfg_run = cfg_base.replace(fused_step="off")
+            mega_guard = False
+        de = int(np.asarray(resume_snap.demote_epoch))
+        demote_epoch = None if de < 0 else de
+        repromotes_left = int(np.asarray(resume_snap.repromotes_left))
+
+    for epoch in range(start_epoch, max_iter):
         if done.all():
             break
         if (
@@ -411,14 +701,18 @@ def fit_ensemble(
             losses, hot_frac = both[0], both[1]
         else:
             losses = np.asarray(jnp.mean(result.metrics.loss, axis=-1))
-        if watch_hot:
-            if hot_frac.max() > cfg.demote_hot_frac:
-                worst = int(np.argmax(hot_frac))
+        if watch_hot and hot_frac.max() > cfg.demote_hot_frac:
+            hot = hot_frac > cfg.demote_hot_frac
+            if hot.all():
+                # degenerate case: EVERY member is hot — workload physics
+                # (members share the batch size), so the mega dispatch is
+                # pure waste; whole-ensemble demotion with the solo
+                # repromote machinery, exactly as before
                 logger.warning(
-                    "ensemble: member %d skipped %.1f%% of RLS updates on "
-                    "the mega layout (epoch %d) — demoting the ensemble to "
-                    "the XLA epoch and re-running from backup.",
-                    worst, 100 * hot_frac.max(), epoch,
+                    "ensemble: all %d members skipped >%.1f%% of RLS "
+                    "updates on the mega layout (epoch %d) — demoting the "
+                    "ensemble to the XLA epoch and re-running from backup.",
+                    n_models, 100 * cfg.demote_hot_frac, epoch,
                 )
                 cfg_run = cfg_base.replace(fused_step="off")
                 mega_guard = False
@@ -426,6 +720,43 @@ def fit_ensemble(
                 backup = _ensemble_repair(cfg_base, flags, n_batch, backup)
                 result = epoch_fn(flags, backup, k_epoch, lr_shared)
                 losses = np.asarray(jnp.mean(result.metrics.loss, axis=-1))
+            else:
+                # per-member demotion (reference semantics: members are
+                # INDEPENDENT fits, vjf/model.py:223-307 — one pathological
+                # subject must not drag N-1 healthy members off the mega
+                # kernel); the demotion itself is stateless — next epoch's
+                # mega slice is free (the vmapped dispatch computes every
+                # member regardless), so each epoch doubles as the
+                # repromote probe — member_demoted only tracks transitions
+                # for the log
+                newly = hot & ~member_demoted
+                if newly.any():
+                    logger.warning(
+                        "ensemble: members %s skipped up to %.1f%% of RLS "
+                        "updates on the mega layout (epoch %d) — re-running "
+                        "only those members on the XLA path from their "
+                        "repaired pre-epoch backup (per epoch, until their "
+                        "mega probe runs clean).",
+                        np.flatnonzero(newly).tolist(), 100 * hot_frac.max(),
+                        epoch,
+                    )
+                result, losses = _rerun_hot_members(
+                    cfg_base, flags, n_batch, y_ax, u_ax, backup, y, us,
+                    k_epoch, lr_shared, mask, channel_mask, hot, result,
+                    losses,
+                )
+        else:
+            hot = np.zeros(n_models, dtype=bool)
+        if watch_hot:
+            recovered = member_demoted & ~hot
+            if recovered.any():
+                logger.info(
+                    "ensemble: members %s ran clean on the mega layout at "
+                    "epoch %d — keeping their mega results (implicit "
+                    "repromotion).", np.flatnonzero(recovered).tolist(),
+                    epoch,
+                )
+            member_demoted = hot.copy()
 
         active = ~done
         act_t = jnp.asarray(active)
@@ -499,6 +830,13 @@ def fit_ensemble(
             refined = _ensemble_msrefine(cfg, states, result.q_means)
             states = _select_jit(jnp.asarray(adapt_mask), refined, states)
 
+        if tracker is not None:
+            # per-member forecast-gated selection on the state each member
+            # carries forward (post-bootstrap / post-adapt — solo order)
+            tracker.observe(cfg, y_ax, u_ax, states, result.q_means,
+                            result.q_logvars, y, us, epoch,
+                            active & ~warm, losses)
+
         still = active & ~newly_done
         if epoch > 0:
             running = np.where(still, beta * running + (1 - beta) * losses,
@@ -507,9 +845,25 @@ def fit_ensemble(
             running = np.where(still, losses, running)
         lr = np.where(still, lr * cfg.lr_decay, lr)
 
+        if (checkpoint_path is not None and checkpoint_every > 0
+                and (epoch + 1) % checkpoint_every == 0):
+            from ..utils.checkpoint import save_ensemble_checkpoint
+
+            save_ensemble_checkpoint(checkpoint_path, _make_snapshot(
+                epoch + 1, warm, done, running, losses_final, plateau_hits,
+                lr, epochs_run, keys, states, mu_store, lv_store,
+                cfg_run != cfg_base, demote_epoch, repromotes_left,
+                tracker,
+            ))
+
+    sel_ep = sel_m = None
+    if tracker is not None:
+        (states, mu_store, lv_store, losses_final, sel_ep, sel_m
+         ) = tracker.finalize(states, mu_store, lv_store, losses_final)
     return EnsembleFitResult(
         mu=mu_store, logvar=lv_store, loss=losses_final, states=states,
         warm_up=warm, lr=lr, epochs_run=epochs_run,
+        selected_epoch=sel_ep, selected_metric=sel_m,
     )
 
 
@@ -533,6 +887,10 @@ def _fit_ensemble_blocked(
     rtol: float,
     callback,
     lr0: Optional[float],
+    tracker: Optional["_SelectTracker"] = None,
+    checkpoint_path: Optional[str] = None,
+    checkpoint_every: int = 0,
+    resume_snap: Optional[EnsembleSnapshot] = None,
 ) -> EnsembleFitResult:
     """Blocked ensemble driver: K epochs per member per dispatch through
     vmapped :func:`core.run_epochs`; the per-member plateau machine
@@ -563,6 +921,28 @@ def _fit_ensemble_blocked(
     demote_epoch: Optional[int] = None
     repromotes_left = cfg.repromote_max if cfg.repromote_after > 0 else 0
     epoch = 0
+
+    if resume_snap is not None:
+        # exact block-boundary resume (same k_block as the saving run —
+        # boundaries must align for bit-identical replay)
+        epoch = int(np.asarray(resume_snap.epoch))
+        states = resume_snap.states
+        keys = jnp.asarray(resume_snap.keys)
+        warm = np.asarray(resume_snap.warm).astype(bool)
+        done = np.asarray(resume_snap.done).astype(bool)
+        running = np.asarray(resume_snap.running).astype(float)
+        losses_final = np.asarray(resume_snap.losses_final).astype(float)
+        plateau_hits = np.asarray(resume_snap.plateau_hits).astype(np.int64)
+        lr = np.asarray(resume_snap.lr).astype(float)
+        epochs_run = np.asarray(resume_snap.epochs_run).astype(np.int64)
+        mu_store = resume_snap.mu_store
+        lv_store = resume_snap.lv_store
+        if bool(np.asarray(resume_snap.demoted)):
+            cfg_run = cfg_base.replace(fused_step="off")
+            mega_guard = False
+        de = int(np.asarray(resume_snap.demote_epoch))
+        demote_epoch = None if de < 0 else de
+        repromotes_left = int(np.asarray(resume_snap.repromotes_left))
 
     while epoch < max_iter and not done.all():
         if (
@@ -615,20 +995,42 @@ def _fit_ensemble_blocked(
             and uniform_phase and not all_warm
             and float(hot_blk.max()) > cfg.demote_hot_frac
         ):
+            hot = hot_blk.max(axis=1) > cfg.demote_hot_frac
             i, j = np.unravel_index(int(hot_blk.argmax()), hot_blk.shape)
-            logger.warning(
-                "ensemble: member %d skipped %.1f%% of RLS updates on the "
-                "mega layout (epoch %d) — demoting the ensemble to the XLA "
-                "epoch and re-running the block from backup.",
-                int(i), 100 * float(hot_blk.max()), epoch + int(j),
-            )
-            cfg_run = cfg_base.replace(fused_step="off")
-            mega_guard = False
-            demote_epoch = epoch + int(j)
-            backup = _ensemble_repair(cfg_base, flags, n_batch, backup)
-            res = _ensemble_epochs(cfg_run, flags, y_ax, u_ax, backup, y,
-                                   us, eks, lrs, None, mask, channel_mask)
-            losses_blk = np.asarray(res.epoch_loss)
+            if hot.all():
+                # degenerate case: see the per-epoch driver — mega is pure
+                # waste when everyone is hot; whole-ensemble demotion
+                logger.warning(
+                    "ensemble: all %d members skipped >%.1f%% of RLS "
+                    "updates on the mega layout (epoch %d) — demoting the "
+                    "ensemble to the XLA epoch and re-running the block "
+                    "from backup.",
+                    n_models, 100 * cfg.demote_hot_frac, epoch + int(j),
+                )
+                cfg_run = cfg_base.replace(fused_step="off")
+                mega_guard = False
+                demote_epoch = epoch + int(j)
+                backup = _ensemble_repair(cfg_base, flags, n_batch, backup)
+                res = _ensemble_epochs(cfg_run, flags, y_ax, u_ax, backup,
+                                       y, us, eks, lrs, None, mask,
+                                       channel_mask)
+                losses_blk = np.asarray(res.epoch_loss)
+            else:
+                # per-member block demotion (see _rerun_hot_members): only
+                # the hot members' block re-runs on the XLA path
+                logger.warning(
+                    "ensemble: members %s skipped up to %.1f%% of RLS "
+                    "updates on the mega layout (epoch %d) — re-running "
+                    "only those members' block on the XLA path from their "
+                    "repaired pre-block backup.",
+                    np.flatnonzero(hot).tolist(), 100 * float(hot_blk.max()),
+                    epoch + int(j),
+                )
+                res, losses_blk = _rerun_hot_members(
+                    cfg_base, flags, n_batch, y_ax, u_ax, backup, y, us,
+                    eks, None, mask, channel_mask, hot, res, losses_blk,
+                    epochs_mode=True, lrs=lrs,
+                )
 
         active = ~done
         act_t = jnp.asarray(active)
@@ -718,7 +1120,31 @@ def _fit_ensemble_blocked(
             refined = _ensemble_msrefine(cfg, states, res.q_means)
             states = _select_jit(jnp.asarray(post_mask), refined, states)
 
+        if tracker is not None:
+            # block-granular per-member selection (solo _fit_blocked
+            # semantics: evaluate each block's final state/posteriors)
+            tracker.observe(cfg, y_ax, u_ax, states, res.q_means,
+                            res.q_logvars, y, us, epoch - 1,
+                            active & ~warm, losses_blk[:, -1])
+
+        if (checkpoint_path is not None and checkpoint_every > 0
+                and (epoch // checkpoint_every)
+                > ((epoch - k) // checkpoint_every)):
+            from ..utils.checkpoint import save_ensemble_checkpoint
+
+            save_ensemble_checkpoint(checkpoint_path, _make_snapshot(
+                epoch, warm, done, running, losses_final, plateau_hits,
+                lr, epochs_run, keys, states, mu_store, lv_store,
+                cfg_run != cfg_base, demote_epoch, repromotes_left,
+                tracker,
+            ))
+
+    sel_ep = sel_m = None
+    if tracker is not None:
+        (states, mu_store, lv_store, losses_final, sel_ep, sel_m
+         ) = tracker.finalize(states, mu_store, lv_store, losses_final)
     return EnsembleFitResult(
         mu=mu_store, logvar=lv_store, loss=losses_final, states=states,
         warm_up=warm, lr=lr, epochs_run=epochs_run,
+        selected_epoch=sel_ep, selected_metric=sel_m,
     )

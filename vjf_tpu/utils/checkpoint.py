@@ -134,6 +134,34 @@ def load_checkpoint(
     return state, loop
 
 
+def save_ensemble_checkpoint(path: str, snapshot) -> None:
+    """Persist a ``parallel.ensemble.EnsembleSnapshot`` (the per-member fit
+    state machine: stacked states, warm/done/running/plateau_hits/lr/
+    epochs_run, member keys, demotion + selection machinery) for exact
+    mid-fit resume of ``fit_ensemble``.
+
+    Always the flat-npz + pickled-treedef format (self-describing
+    structure — the snapshot's optional leaves, e.g. the selection
+    tracker, vary per run, so a fixed restore template cannot be
+    supplied the way the orbax path requires)."""
+    flat, treedef = _tree_to_flat(snapshot)
+    tmp = path + ".npz.tmp"
+    with open(tmp, "wb") as f:
+        np.savez(f, **flat)
+    os.replace(tmp, path + ".npz")  # atomic: never a torn checkpoint
+    with open(path + ".treedef.pkl", "wb") as f:
+        pickle.dump((treedef, len(flat)), f)
+
+
+def load_ensemble_checkpoint(path: str):
+    """Restore an :func:`save_ensemble_checkpoint` snapshot (leaves come
+    back as jax arrays; the ensemble driver re-hosts its numpy fields)."""
+    with open(path + ".treedef.pkl", "rb") as f:
+        treedef, n = pickle.load(f)
+    with np.load(path + ".npz") as data:
+        return _flat_to_tree(dict(data), treedef, n)
+
+
 def load_config(path: str) -> VJFConfig:
     meta = os.path.join(path, "vjf_meta.json") if os.path.isdir(path) else path + ".meta.json"
     with open(meta) as f:
