@@ -209,18 +209,38 @@ def bench_streaming():
                              depth=K + 1)
     for res in model.filter_stream(stream, chunks_per_dispatch=K):
         n += res.q_means.shape[0]
+    # force completion of the last in-flight block (trap 2: the tunnel
+    # under-reports without a value fetch)
+    float(np.asarray(res.metrics.loss[-1]))
     wall = time.perf_counter() - t0
+
+    # tunnel-vs-pipeline split probe (r4, VERDICT r3 #8): replay the SAME
+    # stream from device-resident chunks — the delta to the end-to-end
+    # rate is the host-IO/tunnel share, so session-to-session drift of
+    # this bench is attributable in one line (the tunnel's effective
+    # bandwidth varies 20-300 MB/s with content and contention)
+    model.state, model.key = state0, key0
+    chunks_dev = [jax.device_put(data[i:i + 2000]) for i in range(0, T, 2000)]
+    jax.block_until_ready(chunks_dev)
+    t0 = time.perf_counter()
+    n2 = 0
+    for res in model.filter_stream(iter(chunks_dev), chunks_per_dispatch=K):
+        n2 += res.q_means.shape[0]
+    float(np.asarray(res.metrics.loss[-1]))
+    pipe_wall = time.perf_counter() - t0
     return {"config": "neural_population_streaming",
             "steps": n, "wall_s": round(wall, 2),
             "steps_per_s": round(n / wall, 1),
+            "pipeline_steps_per_s": round(n2 / pipe_wall, 1),
+            "tunnel_share": round(max(0.0, 1.0 - pipe_wall / wall), 3),
             "native_loader": was_native,
             "chunks_per_dispatch": K,
             "note": "uint8 count ingest (64 MB vs 256 MB f32) + K-chunk "
                     "device-side pipeline + device_prefetch overlap; "
-                    "end-to-end wall is TUNNEL-bound on this dev runtime "
-                    "(7-19k steps/s session-dependent); the pipeline "
-                    "itself sustains 33.1k steps/s with device-resident "
-                    "chunks (docs/RESULTS.md)"}
+                    "steps_per_s is END-TO-END (host IO in the loop, "
+                    "tunnel-bound on this dev runtime), "
+                    "pipeline_steps_per_s the device-resident replay; "
+                    "tunnel_share attributes the gap"}
 
 
 def bench_flagship():

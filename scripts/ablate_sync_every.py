@@ -84,6 +84,20 @@ def main():
         rows.append(run("lorenz", cfg_l, yk, xk, key, 40, K))
         print(rows[-1], flush=True)
 
+    # r4 production recipe: relaxed sync REQUIRES the B=1 conditioning
+    # guard (per-chip RLS between merges is an unpooled B_local=1
+    # accumulation — the root cause of the r3 "K=32 collapse"); the
+    # sync_trust merge damping is on by default. Table in docs/RESULTS.md
+    # "Relaxed-sync".
+    cfg_lc = cfg_l.replace(rls_shrink=0.999, chol_jitter=1e-3)
+    for K in (8, 32, 0):
+        if K and xl.shape[0] % K:
+            yk, xk = ylb[: (xl.shape[0] // K) * K], xl[: (xl.shape[0] // K) * K]
+        else:
+            yk, xk = ylb, xl
+        rows.append(run("lorenz-conditioned", cfg_lc, yk, xk, key, 40, K))
+        print(rows[-1], flush=True)
+
     print("\nFINAL TABLE")
     for r in rows:
         print(r)

@@ -279,3 +279,32 @@ def test_oo_api_evaluate_facade(key):
     assert res.pred.shape == (80, 2)
     assert np.all(np.isfinite(np.asarray(res.pred)))
     assert np.isfinite(float(res.loglik))
+
+
+def test_kfold_vmapped_matches_sequential(key):
+    """The one-dispatch fold-vmapped k-fold equals the sequential fold
+    loop (fold f just rides the smoother's trial axis with its channel
+    mask) — 2-d and batched input, with and without a recording dropout
+    mask."""
+    cfg, state, y = _poisson_setup(key, T=80)
+    rng = np.random.default_rng(5)
+    cm = (rng.random((80, cfg.ydim)) > 0.1).astype(np.float64)
+
+    for ys in (y, np.stack([y, y * (rng.random(y.shape) > 0.5)], axis=1)):
+        for mask in (None, cm):
+            rv = EV.kfold_channel_eval(cfg, state, ys, n_folds=3, n_iter=2,
+                                       channel_mask=mask, vmap_folds=True)
+            rs = EV.kfold_channel_eval(cfg, state, ys, n_folds=3, n_iter=2,
+                                       channel_mask=mask, vmap_folds=False)
+            np.testing.assert_allclose(rv.loglik, rs.loglik,
+                                       rtol=1e-8, atol=1e-8)
+            np.testing.assert_allclose(rv.loglik_null, rs.loglik_null,
+                                       rtol=1e-10, atol=1e-10)
+            np.testing.assert_allclose(rv.bits_per_spike, rs.bits_per_spike,
+                                       rtol=1e-6, atol=1e-9)
+            np.testing.assert_allclose(rv.r2, rs.r2, rtol=1e-7, atol=1e-9)
+            for fv, fs in zip(rv.folds, rs.folds):
+                np.testing.assert_array_equal(fv.heldout, fs.heldout)
+                np.testing.assert_allclose(np.asarray(fv.pred),
+                                           np.asarray(fs.pred),
+                                           rtol=1e-7, atol=1e-9)

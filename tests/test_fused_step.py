@@ -718,57 +718,40 @@ def test_mega_large_batch_single_ns_iteration_matches_xla(key):
     assert tau[-16:].max() < 0.05, tau[-16:].max()
 
 
-def test_mega_unroll_matches_k1(key):
-    """cfg.mega_unroll K>1 (K timesteps per mega grid iteration) must match
-    K=1 — the math is value-identical (same ops/order/RNG draws), so the
-    only admissible differences are last-ulp FMA/fusion rounding from the
-    K-times-larger kernel body. The regime is the hot-tau one from
-    test_mega_epoch_matches_stepwise_and_xla (worst case: rounding noise
-    is amplified by the near-threshold Newton-Schulz recursion) and T is
-    chosen so the K=4 main segment leaves a 3-step K=1 remainder. The
-    trial-masked variant also pins the frozen-carry semantics under
-    unrolling."""
-    cfg = VJFConfig(ydim=20, xdim=3, udim=0, n_rbf=20, hidden_sizes=(16,),
-                    likelihood="poisson", dtype="float32", rls_backend="nsv",
-                    fused_step="off", matmul_dtype="float32", ns_prefix=100)
+def test_retired_mega_unroll_checkpoint_config_loads(tmp_path, key):
+    """The mega_unroll knob was cut in r4 (measured ~1-3%, VMEM-OOM when
+    masked — docs/RESULTS.md); a checkpoint whose config still carries it
+    (or any other retired field) must load with a warning, not
+    TypeError."""
+    import json
+    import os
+    import warnings
+
+    from vjf_tpu.utils.checkpoint import (
+        load_checkpoint, load_config, save_checkpoint,
+    )
+
+    cfg = VJFConfig(ydim=6, xdim=2, udim=0, n_rbf=8, hidden_sizes=(4,),
+                    likelihood="gaussian", dtype="float32")
     state = core.init_state(key, cfg)
-    T, B = 163, 16
-    ys = jax.random.poisson(key, 1.0, (T, B, cfg.ydim)).astype(jnp.float32)
-    us = jnp.zeros((T, B, 0), jnp.float32)
-    eps = jax.random.normal(key, (2, T, B, cfg.xdim), jnp.float32)
-    lr = jnp.asarray(1e-3, jnp.float32)
-    flags = StepFlags()
-    mask = jnp.ones((T, B), jnp.float32).at[140:, :4].set(0.0)
-
-    for m in (None, mask):
-        r1 = F.run_epoch_fused(cfg.replace(mega_unroll=1), flags, state, ys,
-                               us, key, lr, noise=(eps[0], eps[1]),
-                               interpret=True, mask=m)
-        r4 = F.run_epoch_fused(cfg.replace(mega_unroll=4), flags, state, ys,
-                               us, key, lr, noise=(eps[0], eps[1]),
-                               interpret=True, mask=m)
-        np.testing.assert_allclose(np.asarray(r4.metrics.loss),
-                                   np.asarray(r1.metrics.loss),
-                                   rtol=2e-4, atol=2e-4)
-        np.testing.assert_allclose(np.asarray(r4.q_means),
-                                   np.asarray(r1.q_means),
-                                   rtol=1e-3, atol=1e-4)
-        np.testing.assert_allclose(np.asarray(r4.state.dynamics.blr.w_mean),
-                                   np.asarray(r1.state.dynamics.blr.w_mean),
-                                   rtol=1e-3, atol=5e-3)
-        np.testing.assert_allclose(np.asarray(r4.state.dynamics.blr.cov),
-                                   np.asarray(r1.state.dynamics.blr.cov),
-                                   rtol=1e-3, atol=1e-4)
-        # masked rows' posteriors freeze identically under unrolling
-        if m is not None:
-            tail = np.asarray(r4.q_means[141:, :4])
-            frozen = np.asarray(r4.q_means[140:141, :4])
-            np.testing.assert_array_equal(
-                tail, np.broadcast_to(frozen, tail.shape))
-
-    with pytest.raises(ValueError, match="mega_unroll"):
-        F.run_epoch_fused(cfg.replace(mega_unroll=3), flags, state, ys, us,
-                          key, lr, noise=(eps[0], eps[1]), interpret=True)
+    path = str(tmp_path / "ck")
+    save_checkpoint(path, state, cfg=cfg)
+    meta = (os.path.join(path, "vjf_meta.json") if os.path.isdir(path)
+            else path + ".meta.json")
+    with open(meta) as f:
+        d = json.load(f)
+    d["mega_unroll"] = 4
+    with open(meta, "w") as f:
+        json.dump(d, f)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        cfg2 = load_config(path)
+    assert any("mega_unroll" in str(x.message) for x in w)
+    assert cfg2 == cfg
+    restored, _ = load_checkpoint(path, state)
+    for a, b in zip(jax.tree_util.tree_leaves(restored),
+                    jax.tree_util.tree_leaves(state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
 def test_epoch_repair_mechanism_and_gating(key):

@@ -853,3 +853,84 @@ def test_sync_every_warmup_merge_is_identity(key):
     np.testing.assert_allclose(
         np.asarray(out.state.dynamics.blr.precision),
         np.asarray(state.dynamics.blr.precision), rtol=1e-9, atol=1e-11)
+
+
+def test_sync_trust_damps_merged_weight_step(key):
+    """cfg.sync_trust (r4): the relaxed-sync boundary merge rescales the
+    merged weight step to ||dw||_F <= sync_trust * max(||w0||_F, 1); P/V
+    are untouched; sync_trust=0 restores the undamped r3 merge. Driven
+    through run_epoch_sync_every on the 8-device mesh with a hot lr so
+    the un-damped step is large."""
+    from vjf_tpu.parallel import make_mesh, run_epoch_sync_every
+
+    cfg0 = VJFConfig(ydim=10, xdim=2, udim=0, n_rbf=12, hidden_sizes=(8,),
+                     likelihood="gaussian", dtype="float64",
+                     rls_backend="precision", rls_shrink=0.999,
+                     chol_jitter=1e-3)
+    T, B = 32, 8
+    rng = np.random.default_rng(0)
+    ys = jnp.asarray(rng.normal(size=(T, B, cfg0.ydim)) * 5.0)
+    us = jnp.zeros((T, B, 0), jnp.float64)
+    state = core.init_state(key, cfg0)
+    flags = StepFlags(warm_up=False, train_decoder=False)
+    lr = jnp.asarray(1e-2, jnp.float64)
+    mesh = make_mesh(8, axis_names=("dp",))
+    w0 = np.asarray(state.dynamics.blr.w_mean)
+
+    # one epoch-end merge (sync_every=0): both runs traverse IDENTICAL
+    # local segments, so the merged statistics match exactly and the
+    # damping's geometry is pinned exactly
+    outs = {}
+    for trust in (0.0, 0.05):
+        cfg = cfg0.replace(sync_every=0, sync_trust=trust)
+        out = run_epoch_sync_every(cfg, flags, state, ys, us,
+                                   jax.random.PRNGKey(3), lr, mesh,
+                                   sync_every=0)
+        outs[trust] = out
+    radius = 0.05 * max(np.linalg.norm(w0), 1.0)
+    d_un = np.linalg.norm(
+        np.asarray(outs[0.0].state.dynamics.blr.w_mean) - w0)
+    # the un-damped merge step must exceed the tight radius or the test
+    # exercises nothing
+    assert d_un > radius
+    # damped: the step lands exactly ON the trust sphere, along the same
+    # direction
+    dw_tr = np.asarray(outs[0.05].state.dynamics.blr.w_mean) - w0
+    dw_un = np.asarray(outs[0.0].state.dynamics.blr.w_mean) - w0
+    np.testing.assert_allclose(np.linalg.norm(dw_tr), radius, rtol=1e-9)
+    np.testing.assert_allclose(dw_tr, (radius / d_un) * dw_un,
+                               rtol=1e-9, atol=1e-12)
+    # precision statistics identical (damping touches only w)
+    np.testing.assert_allclose(
+        np.asarray(outs[0.05].state.dynamics.blr.precision),
+        np.asarray(outs[0.0].state.dynamics.blr.precision),
+        rtol=1e-12, atol=1e-14)
+
+
+def test_sync_every_unconditioned_warns(key, caplog):
+    """fit(mesh=..., sync_every!=1) with rls_shrink=1.0 must warn loudly:
+    the per-chip RLS between merges is an unpooled pure accumulation —
+    the r4-root-caused Lorenz collapse (docs/RESULTS.md 'Relaxed-sync')."""
+    import logging
+
+    from vjf_tpu.parallel import make_mesh
+
+    rng = np.random.default_rng(0)
+    T, B, ydim = 16, 8, 6
+    y = rng.normal(size=(T, B, ydim)).astype(np.float32)
+    mesh = make_mesh(8, axis_names=("dp",))
+    base = dict(ydim=ydim, xdim=2, udim=0, n_rbf=8, hidden_sizes=(5,),
+                likelihood="gaussian", dtype="float32", rls_backend="nsv",
+                sync_every=8, warmup_max=1)
+    cfg = VJFConfig(**base)
+    state = core.init_state(key, cfg)
+    with caplog.at_level(logging.WARNING, logger="vjf_tpu"):
+        core.fit(cfg, state, y, key=key, max_iter=2, mesh=mesh)
+    assert any("pure accumulation" in r.message for r in caplog.records)
+
+    caplog.clear()
+    cfg2 = VJFConfig(**base, rls_shrink=0.999, chol_jitter=1e-3)
+    state2 = core.init_state(key, cfg2)
+    with caplog.at_level(logging.WARNING, logger="vjf_tpu"):
+        core.fit(cfg2, state2, y, key=key, max_iter=2, mesh=mesh)
+    assert not any("pure accumulation" in r.message for r in caplog.records)

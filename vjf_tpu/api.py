@@ -461,7 +461,17 @@ class VJF:
         channel_masks) in lockstep with the chunk stream and promote them —
         shared by the one-chunk and K-block streaming paths. Raises if a
         side stream runs out early (silently training the remaining chunks
-        without it would also recompile the chunk trace)."""
+        without it would also recompile the chunk trace).
+
+        Host (numpy) side arrays are promoted SHAPE-only, staying on the
+        host in their WIRE dtype — masks as 0/1 uint8 (1/4-1/8 the f32/f64
+        bytes), controls host-downcast to the compute dtype if wider,
+        never upcast. They ride to the device inside the jitted call (one
+        transfer at wire width; ``run_epoch`` upcasts on device) or, in
+        the K-block path, as one stacked block put — per-chunk eager
+        ``device_put``s serialize against in-flight compute on a tunneled
+        runtime (measured ~5x their idle cost, CLAUDE.md trap 20).
+        Already-device arrays promote as before."""
         from .models import vjf as core
 
         cfg = self.cfg
@@ -478,14 +488,38 @@ class VJF:
                 f"filter_stream: the `{which}` iterable ran out before "
                 "the chunk stream — provide one item per chunk"
             )
-        uc = (
-            core._promote_u(uc, t_len, n_batch, cfg.jdtype)
-            if uc is not None else None
-        )
+        if uc is not None:
+            if isinstance(uc, np.ndarray):
+                if uc.dtype.itemsize > np.dtype(cfg.jdtype).itemsize:
+                    uc = np.asarray(uc, dtype=cfg.jdtype)
+                if uc.ndim == 2:
+                    uc = uc[:, None, :]
+                if uc.shape[1] != n_batch:
+                    uc = np.broadcast_to(
+                        uc, (t_len, n_batch, uc.shape[-1])
+                    )
+            else:
+                uc = core._promote_u(uc, t_len, n_batch, cfg.jdtype)
         if m is not None:
-            m = core._promote_mask(m, t_len, n_batch, cfg.jdtype)
+            if isinstance(m, np.ndarray):
+                # nonzero -> 1 preserves the bool semantics filter_step
+                # applies (a plain uint8 cast would turn 0.5 into 0)
+                m = np.not_equal(m, 0).astype(np.uint8)
+                if m.ndim == 1:
+                    m = m[:, None]
+                if m.shape != (t_len, n_batch):
+                    m = np.broadcast_to(m, (t_len, n_batch))
+            else:
+                m = core._promote_mask(m, t_len, n_batch, cfg.jdtype)
         if cm is not None:
-            cm = core._promote_channel_mask(cm, chunk.shape, cfg.jdtype)
+            if isinstance(cm, np.ndarray):
+                cm = np.not_equal(cm, 0).astype(np.uint8)
+                if cm.ndim == 2:
+                    cm = cm[:, None, :]
+                if cm.shape != tuple(chunk.shape):
+                    cm = np.broadcast_to(cm, tuple(chunk.shape))
+            else:
+                cm = core._promote_channel_mask(cm, chunk.shape, cfg.jdtype)
         return uc, m, cm
 
     def _stream_tail(self, chunk, uc, m, cm, n_valid, warm_up, q):

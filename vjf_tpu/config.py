@@ -134,6 +134,20 @@ class VJFConfig:
     # parallel/sharded.py:run_epoch_sync_every). 0 = sync at epoch end
     # only. Quality vs K measured in docs/RESULTS.md "Relaxed-sync".
     sync_every: int = 1
+    # trust-region damping of the merged dynamics-weight step at relaxed-
+    # sync segment boundaries (sync_every != 1 only): the merged pooled
+    # step Δw = w_merged − w_base is rescaled so ‖Δw‖_F ≤ sync_trust ·
+    # max(‖w_base‖_F, 1). Root-caused in r4 (docs/RESULTS.md "Relaxed-
+    # sync"): each boundary applies an 8×-data pooled natural-gradient
+    # step computed from locally-drifted B_local-sized trajectories, and
+    # the un-damped recursion amplifies ‖w‖ multiplicatively per merge —
+    # the measured Lorenz "K=32 collapse" (and the K=8 silent dynamics
+    # death behind a healthy latent R²). With the damping + the B=1
+    # conditioning guard (rls_shrink<1 + chol_jitter) every cadence
+    # K ∈ {8, 32, epoch} beats persistence on the 20-step forecast.
+    # 0 disables (the r3 behavior). Exact-sync (sync_every=1) never
+    # consults it.
+    sync_trust: float = 0.25
     rls_backend: str = "auto"             # 'precision' | 'covariance' | 'nsv' | 'auto'
     fused_step: str = "auto"              # whole-step pallas kernel: 'on'|'off'|'auto'
     # epoch compilation strategy for the fused path:
@@ -160,21 +174,10 @@ class VJFConfig:
     # ops/pallas/fused_step.py NS_TAU_ESCALATE). In-kernel escalation adds
     # +1 at tau >= 0.05 and +2 more at tau >= 0.25 regardless.
     mega_ns_iters: int = 0
-    # timesteps processed per mega grid iteration (kernel-internal unroll).
-    # Each grid iteration pays fixed mechanics — the full training-carry
-    # VMEM load/store (~2x180 KB at flagship size), the scalar-pack block
-    # read-modify-write, and Mosaic's per-iteration bookkeeping — so K > 1
-    # amortizes that over K sequentially-processed steps with
-    # value-identical math (same ops/order; same per-step RNG stream: the
-    # kernel re-seeds per substep) — differences vs K=1 are last-ulp
-    # compiler-rounding only.
-    # Must divide into the scalar-pack row block: 1, 2, 4, or 8. Any
-    # post-prefix remainder of the epoch runs a K=1 kernel. 0 = auto,
-    # which resolves to 1 (ops/pallas/fused_step.py:_pick_mega_unroll):
-    # measured on v5e the K=8 win is only ~1-3% and the K-wide data blocks
-    # push the kernel to the scoped-VMEM limit at flagship scale (the
-    # trial-masked flagship OOMs at K=8). Opt in per measurement.
-    mega_unroll: int = 0
+    # (a mega_unroll knob — K timesteps per mega grid iteration — lived
+    # here in rounds 2-3; cut in round 4: measured ~1-3% at flagship
+    # scale, VMEM-OOM when trial-masked. docs/RESULTS.md "K-step mega
+    # unroll" keeps the measurement record.)
     # bf16 MXU inputs (f32 accumulate) for the fused kernel's activation /
     # gradient / sufficient-statistic matmuls; the error-feedback-critical
     # chain (P w, Newton-Schulz polish, V g) always stays f32. 'float32'

@@ -197,6 +197,15 @@ def heldout_eval(
             us=us, n_iter=n_iter,
         )
 
+    return _score_heldout(cfg, state, ys, idx, obs_w, smoothed)
+
+
+def _score_heldout(
+    cfg: VJFConfig, state: TrainState, ys: Array, idx: np.ndarray,
+    obs_w: Array, smoothed,
+) -> HeldoutEval:
+    """Score held-out channels against a smoother result (the scoring
+    half of :func:`heldout_eval`, shared with the vmapped k-fold path)."""
     c_h = state.params.decoder.w[idx]           # (k, xdim)
     d_h = state.params.decoder.b[idx]           # (k,)
     # scored values: 0 at unobserved entries (stored NaN must not leak
@@ -289,12 +298,111 @@ class KFoldEval(NamedTuple):
     r2: np.ndarray                    # (k,) per-fold prediction R²
 
 
+def _kfold_folds_vmapped(
+    cfg: VJFConfig,
+    state: TrainState,
+    ys: Array,
+    fold_idx,
+    x_ref: Optional[Array] = None,
+    us: Optional[Array] = None,
+    n_iter: Optional[int] = None,
+    mesh=None,
+    channel_mask: Optional[Array] = None,
+) -> Tuple[HeldoutEval, ...]:
+    """All ``n_folds`` co-smoothing folds in ONE batched-smoother dispatch.
+
+    A fold is just a channel mask, and the batched smoother already vmaps
+    over trials — so the folds ride the trial axis: the data is tiled to
+    (T, F*B, ydim), trial slot ``f*B + b`` carries fold f's infer mask,
+    and one :func:`smoothing.smooth_batch` call (8 iterated-Laplace
+    passes for Poisson) smooths everything. The sequential fold loop paid
+    F of those dispatch chains back-to-back (flagship: 312 s for 5 folds
+    — docs/RESULTS.md); scoring is unchanged (:func:`_score_heldout` per
+    fold on the per-fold slices). Memory: the smoother covariances become
+    (T, F*B, xdim, xdim) — chunk or fall back to ``vmap_folds=False`` for
+    very long sequences.
+    """
+    ys = wire_ingest(ys, cfg.jdtype)
+    squeeze = ys.ndim == 2
+    ys3 = ys[:, None, :] if squeeze else ys
+    t_len, n_b, _ = ys3.shape
+    n_folds = len(fold_idx)
+    if mesh is not None and squeeze:
+        raise ValueError(
+            "mesh= applies only to batched (T, B, ydim) input"
+        )
+
+    rows = np.ones((n_folds, cfg.ydim), dtype=np.float64)
+    for f, idx in enumerate(fold_idx):
+        rows[f, idx] = 0.0
+    # trial slot f*B + b carries fold f's mask
+    fold_rows = np.repeat(rows, n_b, axis=0)            # (F*B, ydim)
+    infer = jnp.asarray(
+        np.broadcast_to(fold_rows, (t_len,) + fold_rows.shape).copy(),
+        cfg.jdtype,
+    )
+    if channel_mask is not None:
+        cm = jnp.asarray(channel_mask, cfg.jdtype)
+        if cm.ndim == 2:
+            # shared over trials -> shared over every F*B slot
+            cm_rep = jnp.broadcast_to(cm[:, None, :], infer.shape)
+        elif cm.shape == (t_len, n_b, cfg.ydim):
+            cm_rep = jnp.tile(cm, (1, n_folds, 1))
+        else:
+            raise ValueError(
+                f"channel_mask must be (T, ydim) or (T, B, ydim); got "
+                f"{cm.shape}"
+            )
+        infer = infer * cm_rep
+    ys_rep = jnp.tile(ys3, (1, n_folds, 1))
+    us_rep = None
+    if us is not None:
+        u = jnp.asarray(us, cfg.jdtype)
+        # (T, udim) shared controls stay shared across the F*B slots;
+        # per-trial (T, B, udim) tiles along the fold axis
+        us_rep = u if u.ndim == 2 else jnp.tile(u, (1, n_folds, 1))
+    x_rep = None
+    if x_ref is not None:
+        xr = jnp.asarray(x_ref, cfg.jdtype)
+        if xr.ndim == 2:
+            xr = xr[:, None, :]
+        x_rep = jnp.tile(xr, (1, n_folds, 1))
+    if n_iter is None:
+        n_iter = 8 if cfg.likelihood == "poisson" else 1
+    _, smoothed = smoothing.smooth_batch(
+        cfg, state, ys_rep, x_ref=x_rep, channel_mask=infer, mesh=mesh,
+        us=us_rep, n_iter=n_iter,
+    )
+
+    folds = []
+    for f, idx in enumerate(fold_idx):
+        sl = slice(f * n_b, (f + 1) * n_b)
+        view = smoothing.pkalman.SmoothResult(
+            means=smoothed.means[:, sl].squeeze(1) if squeeze
+            else smoothed.means[:, sl],
+            covs=smoothed.covs[:, sl].squeeze(1) if squeeze
+            else smoothed.covs[:, sl],
+        )
+        if channel_mask is not None:
+            cm = jnp.asarray(channel_mask, cfg.jdtype)
+            obs_w = cm[..., idx]
+            if obs_w.ndim == 2 and not squeeze:
+                obs_w = obs_w[:, None, :]
+            obs_w = jnp.broadcast_to(obs_w, ys[..., idx].shape)
+        else:
+            obs_w = jnp.ones_like(ys[..., idx])
+        folds.append(_score_heldout(cfg, state, ys, idx, obs_w, view))
+    return tuple(folds)
+
+
 def kfold_channel_eval(
     cfg: VJFConfig,
     state: TrainState,
     ys: Array,
     n_folds: int = 5,
     seed: int = 0,
+    vmap_folds: bool = False,
+    fold_chunk: Optional[int] = None,
     **kwargs,
 ) -> KFoldEval:
     """Rotate :func:`heldout_eval` over ``n_folds`` disjoint channel folds
@@ -303,6 +411,19 @@ def kfold_channel_eval(
     population-level evaluation with no sacrificed channels. ``kwargs``
     pass through to :func:`heldout_eval` (``x_ref``/``us``/``n_iter``/
     ``mesh``/``channel_mask``).
+
+    ``vmap_folds=True``: all folds smooth in ONE batched dispatch — the
+    fold axis rides the smoother's trial vmap
+    (:func:`_kfold_folds_vmapped`; equality with the sequential loop is
+    test-pinned). Measured on-chip at flagship scale (5 folds x 256
+    trials, docs/RESULTS.md): the sequential loop's recorded 312 s wall
+    was ~80% COMPILE (warm-cache 48.5 s), and the fold-vmapped variant
+    is no faster warm (54.1 s — the 256-trial smoother already saturates
+    the chip) while paying a larger cold compile, so the sequential loop
+    stays the default; the vmapped path is for dispatch-latency-bound
+    small models and one-dispatch composition. ``fold_chunk = c`` bounds
+    the vmapped width to ``c`` folds per dispatch — mandatory at large
+    F*B (the flagship's 1280-trial graph crashes the TPU compiler).
 
     Pooled ``bits_per_spike`` uses total loglik gain over total spikes
     (not a mean of per-fold ratios — folds with more spikes weigh more,
@@ -313,10 +434,20 @@ def kfold_channel_eval(
             f"n_folds must be in [2, ydim={cfg.ydim}]; got {n_folds}"
         )
     perm = np.random.default_rng(seed).permutation(cfg.ydim)
-    folds = tuple(
-        heldout_eval(cfg, state, ys, np.sort(perm[f::n_folds]), **kwargs)
-        for f in range(n_folds)
-    )
+    fold_idx = [np.sort(perm[f::n_folds]) for f in range(n_folds)]
+    if vmap_folds:
+        c = n_folds if not fold_chunk else max(1, int(fold_chunk))
+        folds = []
+        for lo in range(0, n_folds, c):
+            folds.extend(_kfold_folds_vmapped(
+                cfg, state, ys, fold_idx[lo:lo + c], **kwargs
+            ))
+        folds = tuple(folds)
+    else:
+        folds = tuple(
+            heldout_eval(cfg, state, ys, fold_idx[f], **kwargs)
+            for f in range(n_folds)
+        )
     ll = float(sum(float(f.loglik) for f in folds))
     ll0 = float(sum(float(f.loglik_null) for f in folds))
     if cfg.likelihood == "poisson":

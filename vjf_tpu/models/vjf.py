@@ -941,6 +941,23 @@ def fit(
                 "sync_every != 1 does not support masks; use the exact "
                 "per-step-sync path (cfg.sync_every=1) for ragged trials"
             )
+        if cfg.rls_shrink >= 1.0:
+            # root-caused r4 (docs/RESULTS.md "Relaxed-sync"): between
+            # merges each chip runs an UNPOOLED B_local-sized RLS — at
+            # small per-chip batches that is the pure-accumulation regime
+            # CLAUDE.md trap 14 documents as f32-unsustainable, and the
+            # measured outcome is divergence of the merged weights
+            # (Lorenz: latent-R² collapse at K=32, silent dynamics death
+            # at K=8) that exact sync masks by pooling every step.
+            logger.warning(
+                "sync_every=%d with rls_shrink=1.0: the per-chip RLS "
+                "between merges is a pure accumulation over B_local=%d "
+                "trials — measured to destabilize the merged dynamics. "
+                "Set cfg.rls_shrink<1 (e.g. 0.999) + chol_jitter "
+                "(e.g. 1e-3); cfg.sync_trust damping is active but only "
+                "bounds the per-merge step, not the accumulation.",
+                cfg.sync_every, local_batch,
+            )
         from ..parallel import shard_data, shard_state
         from ..parallel.sharded import run_epoch_sync_every
 

@@ -1627,18 +1627,12 @@ def _make_mega_kernel(
     has_mask: bool = False,
     has_cmask: bool = False,
     ns_base_iters: int = 2,
-    k_steps: int = 1,
 ):
-    """``k_steps`` > 1 processes that many consecutive timesteps per grid
-    iteration (cfg.mega_unroll): the training carry is loaded/stored ONCE
-    per iteration instead of once per step, the intermediate carry and
-    posterior flow as values, and the per-step RNG stream is preserved by
-    re-seeding with the running ``rng_count`` before each substep. The
-    math is value-identical to ``k_steps=1`` (same ops, same order, same
-    RNG draws); observed differences are last-ulp FMA/fusion rounding
-    from compiling a K-times-larger kernel body (measured <= 4e-5 on the
-    epoch loss even in a deliberately hot-tau regime — see
-    tests/test_fused_step.py::test_mega_unroll_matches_k1)."""
+    """One timestep per grid iteration. (A K-substep unroll variant —
+    carry loaded/stored once per K steps — was built and measured in
+    rounds 2-3: ~1-3% at flagship scale while sitting ~100 KB under the
+    16 MB scoped-VMEM limit, OOM when trial-masked; cut in round 4,
+    docs/RESULTS.md "K-step mega unroll".)"""
     n_data = (
         1 + (1 if has_u else 0) + (0 if internal_rng else 2)
         + (1 if has_mask else 0) + (1 if has_cmask else 0)
@@ -1706,66 +1700,49 @@ def _make_mega_kernel(
 
             return ns_s[:]
 
-        # k_steps == 1 keeps the squeezed single-step block layout; the
-        # unrolled variant indexes substep j out of each (K, ...) block
-        # with static indices (no dynamic slicing in Mosaic).
-        sub = (lambda blk, j: blk) if k_steps == 1 else (lambda blk, j: blk[j])
-        qm, qlv = qm_s[:], qlv_s[:]
-        scal_sub = []
-        for j in range(k_steps):
-            y = sub(y_blk, j)
-            u = sub(u_blk, j) if has_u else None
-            if internal_rng:
-                pltpu.prng_seed(carry.rng_seed[0, 0], carry.rng_count[0, 0])
-                b = y.shape[0]
-                eps_s, eps_t = _box_muller_latents(b, xd, y.dtype)
-            else:
-                eps_s = sub(eps_s_blk, j)
-                eps_t = sub(eps_t_blk, j)
-            mask = sub(mask_blk, j) if has_mask else None
-            cmask = sub(cmask_blk, j) if has_cmask else None
+        y = y_blk
+        u = u_blk if has_u else None
+        if internal_rng:
+            pltpu.prng_seed(carry.rng_seed[0, 0], carry.rng_count[0, 0])
+            b = y.shape[0]
+            eps_s, eps_t = _box_muller_latents(b, xd, y.dtype)
+        else:
+            eps_s, eps_t = eps_s_blk, eps_t_blk
+        mask = mask_blk if has_mask else None
+        cmask = cmask_blk if has_cmask else None
 
-            out = step_math(
-                cfg, flags, carry, qm, qlv, y, u, eps_s, eps_t,
-                lr_ref[0], ns_extra=ns_extra, ns_tau_max=NS_TAU_MAX,
-                ns_iters=ns_base_iters, mask=mask, cmask=cmask,
-            )
-            carry = out.carry._replace(rng_count=out.carry.rng_count + 1)
-            qm, qlv = out.qt_mean, out.qt_logvar
-            if k_steps == 1:
-                q_ref[0] = qm
-                q_ref[1] = qlv
-            else:
-                q_ref[j, 0] = qm
-                q_ref[j, 1] = qlv
-            scal_sub.append(out.scal)
+        out = step_math(
+            cfg, flags, carry, qm_s[:], qlv_s[:], y, u, eps_s, eps_t,
+            lr_ref[0], ns_extra=ns_extra, ns_tau_max=NS_TAU_MAX,
+            ns_iters=ns_base_iters, mask=mask, cmask=cmask,
+        )
+        carry = out.carry._replace(rng_count=out.carry.rng_count + 1)
+        q_ref[0] = out.qt_mean
+        q_ref[1] = out.qt_logvar
 
         for ref, val in zip(carry_out, jax.tree_util.tree_leaves(carry)):
             ref[:] = val
-        qm_s[:] = qm
-        qlv_s[:] = qlv
+        qm_s[:] = out.qt_mean
+        qlv_s[:] = out.qt_logvar
         # scalar pack: Mosaic requires (8, 128)-tileable output blocks, so
         # the per-step scalar rows ride a (scal_rows, 128) block covering
         # scal_rows consecutive steps (revisited in VMEM; flushed when the
-        # block index advances). This iteration's k_steps rows start at
-        # r0 = (t * k_steps) % scal_rows (k_steps divides scal_rows, so
-        # they never straddle a block boundary); each row is selected by
-        # iota mask — no dynamic-index stores, no scalar stores.
+        # block index advances). This step's row r0 = t % scal_rows is
+        # selected by iota mask — no dynamic-index stores, no scalar
+        # stores.
+        s = out.scal
         cols = jax.lax.broadcasted_iota(jnp.int32, (scal_rows, 128), 1)
         row_of_t = jax.lax.broadcasted_iota(jnp.int32, (scal_rows, 128), 0)
-        vals = jnp.zeros((scal_rows, 128), y_blk.dtype)
-        r0 = (t * k_steps) % scal_rows
-        for j, s in enumerate(scal_sub):
-            vals_j = (
-                jnp.where(cols == 0, s.loss[0, 0], 0.0)
-                + jnp.where(cols == 1, s.recon[0, 0], 0.0)
-                + jnp.where(cols == 2, s.dyn[0, 0], 0.0)
-                + jnp.where(cols == 3, s.ent[0, 0], 0.0)
-                + jnp.where(cols == 4, s.tau[0, 0], 0.0)
-            )
-            vals = vals + jnp.where(row_of_t == r0 + j, vals_j, 0.0)
+        r0 = t % scal_rows
+        vals = (
+            jnp.where(cols == 0, s.loss[0, 0], 0.0)
+            + jnp.where(cols == 1, s.recon[0, 0], 0.0)
+            + jnp.where(cols == 2, s.dyn[0, 0], 0.0)
+            + jnp.where(cols == 3, s.ent[0, 0], 0.0)
+            + jnp.where(cols == 4, s.tau[0, 0], 0.0)
+        )
         scal_ref[:] = jnp.where(
-            (row_of_t >= r0) & (row_of_t < r0 + k_steps),
+            row_of_t == r0,
             vals,
             jnp.where(row_of_t < r0, scal_ref[:], 0.0),
         )
@@ -1787,7 +1764,6 @@ def mega_epoch_call(
     interpret: bool = False,
     mask: Optional[Array] = None,
     cmask: Optional[Array] = None,
-    k_steps: int = 1,
 ):
     """Run ``T = ys.shape[0]`` fused steps as ONE grid-over-time pallas_call.
 
@@ -1797,8 +1773,6 @@ def mega_epoch_call(
     ``mask``: optional (T, B, 1) trial-validity blocks (ragged trials,
     single-device only — see :func:`step_math`); ``cmask``: optional
     (T, B, ydim) missing-observation blocks (streamed like ``ys``).
-    ``k_steps``: timesteps per grid iteration (cfg.mega_unroll; must divide
-    T and the scalar-pack row block — callers split off any remainder).
     """
     carry_leaves, carry_treedef = jax.tree_util.tree_flatten(carry)
     has_u = us is not None and us.shape[-1] > 0
@@ -1811,14 +1785,6 @@ def mega_epoch_call(
     nfp = carry.p_mat.shape[0]
 
     scal_rows = 8 if t_total >= 8 else t_total
-    if k_steps > 1 and (
-        t_total % k_steps != 0 or scal_rows % k_steps != 0
-    ):
-        raise ValueError(
-            f"mega_epoch_call: k_steps={k_steps} must divide both the "
-            f"segment length {t_total} and the scalar row block "
-            f"{scal_rows} (split the remainder into a k_steps=1 call)"
-        )
     # batch-adaptive base Newton-Schulz iterations (see NS_TAU_ESCALATE
     # block comment): large batches run 1 (tau provably tiny), small ones
     # keep the round-2 scheme's 2 — cfg.mega_ns_iters != 0 overrides.
@@ -1832,38 +1798,21 @@ def mega_epoch_call(
     kernel = _make_mega_kernel(
         cfg, flags, carry_treedef, len(carry_leaves), has_u, internal_rng, xd,
         scal_rows, has_mask=has_mask, has_cmask=has_cmask,
-        ns_base_iters=ns_base_iters, k_steps=k_steps,
+        ns_base_iters=ns_base_iters,
     )
     data = [ys] + ([us] if has_u else []) + (
         [] if internal_rng else [eps_s, eps_t]
     ) + ([mask] if has_mask else []) + ([cmask] if has_cmask else [])
-    if k_steps == 1:
-        data_specs = [
-            pl.BlockSpec(
-                (None,) + d.shape[1:], lambda t, _n=d.ndim - 1: (t,) + (0,) * _n
-            )
-            for d in data
-        ]
-        q_spec = pl.BlockSpec((None, 2, b, xd), lambda t: (t, 0, 0, 0))
-        scal_spec = pl.BlockSpec(
-            (scal_rows, 128), lambda t, _r=scal_rows: (t // _r, 0)
+    data_specs = [
+        pl.BlockSpec(
+            (None,) + d.shape[1:], lambda t, _n=d.ndim - 1: (t,) + (0,) * _n
         )
-    else:
-        # grid iteration t covers timesteps [t*K, (t+1)*K): K-step data
-        # blocks, a K-step posterior output block, and a scalar block that
-        # advances every scal_rows/K iterations
-        data_specs = [
-            pl.BlockSpec(
-                (k_steps,) + d.shape[1:],
-                lambda t, _n=d.ndim - 1: (t,) + (0,) * _n,
-            )
-            for d in data
-        ]
-        q_spec = pl.BlockSpec((k_steps, 2, b, xd), lambda t: (t, 0, 0, 0))
-        scal_spec = pl.BlockSpec(
-            (scal_rows, 128),
-            lambda t, _r=scal_rows, _k=k_steps: ((t * _k) // _r, 0),
-        )
+        for d in data
+    ]
+    q_spec = pl.BlockSpec((None, 2, b, xd), lambda t: (t, 0, 0, 0))
+    scal_spec = pl.BlockSpec(
+        (scal_rows, 128), lambda t, _r=scal_rows: (t // _r, 0)
+    )
     in_specs = (
         [pl.BlockSpec(memory_space=pltpu.SMEM)]
         + [_const_spec(l.shape) for l in carry_leaves]
@@ -1884,7 +1833,7 @@ def mega_epoch_call(
     aliases = {1 + i: i for i in range(len(carry_leaves))}
     results = pl.pallas_call(
         kernel,
-        grid=(t_total // k_steps,),
+        grid=(t_total,),
         out_shape=out_shape,
         in_specs=in_specs,
         out_specs=out_specs,
@@ -1906,26 +1855,6 @@ def mega_epoch_call(
 # ---------------------------------------------------------------------------
 # Fused epoch runner (drop-in for models.vjf.run_epoch)
 # ---------------------------------------------------------------------------
-
-
-def _pick_mega_unroll(cfg: VJFConfig, seg_len: int) -> int:
-    """Resolve cfg.mega_unroll (timesteps per mega grid iteration) for a
-    cond-free segment of ``seg_len`` steps. K must be 1/2/4/8 so the K
-    substep scalar rows never straddle a (scal_rows=8)-row output block."""
-    k = int(cfg.mega_unroll)
-    if k == 0:
-        # auto stays at 1: measured on v5e at flagship scale (T=10k,
-        # B=256, ydim=200) K=8 wins only ~1-3% (106.0k vs 105.0k steps/s
-        # full-epoch wall, identical loss) while sitting within ~100 KB of
-        # the 16 MB scoped-VMEM limit — the masked variant OOMs at compile
-        # time (exceeds by 117 KB). Not worth defaulting; opt in per
-        # measurement via cfg.mega_unroll.
-        return 1
-    if k not in (1, 2, 4, 8):
-        raise ValueError(
-            f"mega_unroll must be 0 (auto), 1, 2, 4, or 8 — got {k}"
-        )
-    return k if k <= seg_len else 1
 
 
 def fused_enabled(cfg: VJFConfig, state, n_batch: Optional[int] = None) -> bool:
@@ -2053,29 +1982,22 @@ def run_epoch_fused(cfg, flags, state, ys, us, key, lr, noise=None, q0=None,
         q_segs.append(q_seq_a)
         scal_segs.append(scal_a[:, 0, :])
     if prefix < t_len:
-        seg = t_len - prefix
-        k_steps = _pick_mega_unroll(cfg, seg)
-        main = (seg // k_steps) * k_steps
-        pieces = [(prefix, prefix + main, k_steps)] if main else []
-        if prefix + main < t_len:     # K=1 kernel on the remainder
-            pieces.append((prefix + main, t_len, 1))
-        for lo, hi, k in pieces:
-            e1, e2 = (
-                (noise[0][lo:hi], noise[1][lo:hi])
-                if not internal_rng
-                else (None, None)
-            )
-            carry_f, q_seq_b, scal_b = mega_epoch_call(
-                cfg, flags, carry_f, qm_f, qlv_f, ys[lo:hi],
-                us[lo:hi] if has_u else None, e1, e2, lr,
-                interpret=interpret,
-                mask=mask3[lo:hi] if has_mask else None,
-                cmask=cmask3[lo:hi] if has_cmask else None,
-                k_steps=k,
-            )
-            qm_f, qlv_f = q_seq_b[-1, 0], q_seq_b[-1, 1]
-            q_segs.append(q_seq_b)
-            scal_segs.append(scal_b)
+        lo, hi = prefix, t_len
+        e1, e2 = (
+            (noise[0][lo:hi], noise[1][lo:hi])
+            if not internal_rng
+            else (None, None)
+        )
+        carry_f, q_seq_b, scal_b = mega_epoch_call(
+            cfg, flags, carry_f, qm_f, qlv_f, ys[lo:hi],
+            us[lo:hi] if has_u else None, e1, e2, lr,
+            interpret=interpret,
+            mask=mask3[lo:hi] if has_mask else None,
+            cmask=cmask3[lo:hi] if has_cmask else None,
+        )
+        qm_f, qlv_f = q_seq_b[-1, 0], q_seq_b[-1, 1]
+        q_segs.append(q_seq_b)
+        scal_segs.append(scal_b)
 
     q_seq = q_segs[0] if len(q_segs) == 1 else jnp.concatenate(q_segs, axis=0)
     scal_seq = scal_segs[0] if len(scal_segs) == 1 else jnp.concatenate(scal_segs, axis=0)

@@ -326,6 +326,22 @@ def _merge_local_states(cfg: VJFConfig, st0: core.TrainState,
     )
     p_m = p_sol.astype(blr.precision.dtype)
     v_m = v_sol.astype(blr.precision.dtype)
+    if rls_active and cfg.sync_trust > 0 and n_dev > 1:
+        # trust-region damping of the merged weight step (cfg.sync_trust):
+        # the pooled natural-gradient step is computed from locally-
+        # drifted B_local-sized trajectories, and the un-damped recursion
+        # amplifies |w| multiplicatively per boundary (the r4-root-caused
+        # Lorenz K=32 collapse / K=8 silent dynamics death —
+        # docs/RESULTS.md "Relaxed-sync"). P/V stay exact (they are
+        # sufficient statistics; only the step into w is a judgment call).
+        d_w = w_m - blr0.w_mean
+        ratio = _jnp.linalg.norm(d_w) / _jnp.maximum(
+            _jnp.linalg.norm(blr0.w_mean), 1.0
+        )
+        scale = _jnp.minimum(
+            1.0, cfg.sync_trust / _jnp.maximum(ratio, 1e-30)
+        ).astype(w_m.dtype)
+        w_m = blr0.w_mean + scale * d_w
     if isinstance(blr, R.NSVBLR):
         blr_m = R.NSVBLR(w_m, p_m, v_m)
     else:

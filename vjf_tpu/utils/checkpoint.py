@@ -167,4 +167,17 @@ def load_config(path: str) -> VJFConfig:
     with open(meta) as f:
         d = json.load(f)
     d["hidden_sizes"] = tuple(d["hidden_sizes"])
+    # forward compatibility: a checkpoint written by a build with a since-
+    # retired knob (e.g. mega_unroll, cut in r4) must stay loadable —
+    # unknown keys are dropped with a warning rather than TypeError-ing
+    fields = {f.name for f in dataclasses.fields(VJFConfig)}
+    unknown = sorted(set(d) - fields)
+    if unknown:
+        import warnings
+
+        warnings.warn(
+            f"checkpoint config carries retired/unknown fields {unknown}; "
+            "ignoring them"
+        )
+        d = {k: v for k, v in d.items() if k in fields}
     return VJFConfig(**d)
