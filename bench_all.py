@@ -220,6 +220,10 @@ def bench_streaming():
     # this bench is attributable in one line (the tunnel's effective
     # bandwidth varies 20-300 MB/s with content and contention)
     model.state, model.key = state0, key0
+    # perturb lr so the replay's (executable, args) pairs differ from the
+    # end-to-end run's — the remote runtime CACHES identical executions
+    # (CLAUDE.md trap 2) and an unperturbed replay measures cache hits
+    model._lr *= 1.0 + 1e-6
     chunks_dev = [jax.device_put(data[i:i + 2000]) for i in range(0, T, 2000)]
     jax.block_until_ready(chunks_dev)
     t0 = time.perf_counter()
