@@ -271,3 +271,24 @@ def test_ensemble_resume_blocked_bit_exact(tmp_path):
     resumed = fit_ensemble(cfg, states, y, keys=keys, max_iter=8,
                            epochs_per_dispatch=2, resume_from=p)
     _assert_ens_equal(full, resumed)
+
+
+def test_ensemble_resume_validates_compatibility(tmp_path):
+    """A mismatched resume (different epochs_per_dispatch / member count /
+    config) must ERROR, not silently break the bit-exact contract."""
+    from vjf_tpu.parallel import fit_ensemble, init_ensemble
+
+    cfg, states, y, keys = _ens_setup(select="loss")
+    p = str(tmp_path / "ens")
+    fit_ensemble(cfg, states, y, keys=keys, max_iter=4,
+                 checkpoint_path=p, checkpoint_every=4)
+    with pytest.raises(ValueError, match="epochs_per_dispatch"):
+        fit_ensemble(cfg, states, y, keys=keys, max_iter=8,
+                     epochs_per_dispatch=2, resume_from=p)
+    with pytest.raises(ValueError, match="different .*config"):
+        fit_ensemble(cfg.replace(lr=2e-4), states, y, keys=keys,
+                     max_iter=8, resume_from=p)
+    states3 = init_ensemble(jax.random.PRNGKey(1), cfg, 2)
+    with pytest.raises(ValueError, match="members"):
+        fit_ensemble(cfg, states3, y, keys=jax.random.split(
+            jax.random.PRNGKey(2), 2), max_iter=8, resume_from=p)

@@ -932,7 +932,11 @@ def fit(
         and cfg.fused_epoch == "mega"
         and _fused.fused_enabled(cfg, state, n_batch=local_batch)
     )
-    donate = donate and not mega_possible
+    # select='forecast' keeps per-epoch snapshots alive PAST later epoch
+    # dispatches — donation would invalidate the best snapshot's buffers
+    # the moment the next epoch runs (same hazard class as the demotion
+    # backup below; invisible on CPU, where donation is a no-op)
+    donate = donate and not mega_possible and not select_on
     if mesh is not None and cfg.sync_every != 1:
         # relaxed-sync deviation (cfg.sync_every): K fully-local steps per
         # chip between state merges — parallel/sharded.run_epoch_sync_every

@@ -288,9 +288,12 @@ def _ensemble_select_metric(cfg, y_ax, u_ax, sts, q_means, y, us, ks):
     )(sts, q_means, y, us, ks)
 
 
-def _fold_members(keys, data: int):
+@jax.jit
+def _fold_members(keys, data):
     """fold_in per member key — the ensemble mirror of the solo fit's
-    selection-stream derivation (never perturbs the training chains)."""
+    selection-stream derivation (never perturbs the training chains).
+    Module-level jit: a fresh vmap per epoch would re-trace inside the
+    dispatch-latency-sensitive driver (trap 19)."""
     return jax.vmap(lambda k: jax.random.fold_in(k, data))(keys)
 
 
@@ -415,11 +418,51 @@ class EnsembleSnapshot(NamedTuple):
     demote_epoch: object    # int; -1 encodes None
     repromotes_left: object
     tracker: object         # forecast-selection tracker snapshot | None
+    # resume-compatibility fingerprint (validated by resume_from — a
+    # mismatched resume would otherwise SILENTLY violate the bit-exact
+    # contract, e.g. a different epochs_per_dispatch changes the member
+    # key-split cadence)
+    n_models: object = None
+    k_block: object = None    # epochs_per_dispatch of the saving run
+    cfg_digest: object = None  # stable md5 of the resolved cfg (uint8[16])
+
+
+def _cfg_digest(cfg: VJFConfig) -> np.ndarray:
+    """Process-stable config fingerprint (Python ``hash`` is salted)."""
+    import dataclasses
+    import hashlib
+    import json
+
+    blob = json.dumps(dataclasses.asdict(cfg), sort_keys=True).encode()
+    return np.frombuffer(hashlib.md5(blob).digest(), dtype=np.uint8).copy()
+
+
+def _restore_host_state(snap: "EnsembleSnapshot"):
+    """Re-host an :class:`EnsembleSnapshot`'s loop variables (shared by
+    the per-epoch and blocked drivers — one source of truth for the
+    resume state machine)."""
+    de = int(np.asarray(snap.demote_epoch))
+    return (
+        int(np.asarray(snap.epoch)),
+        np.asarray(snap.warm).astype(bool),
+        np.asarray(snap.done).astype(bool),
+        np.asarray(snap.running).astype(float),
+        np.asarray(snap.losses_final).astype(float),
+        np.asarray(snap.plateau_hits).astype(np.int64),
+        np.asarray(snap.lr).astype(float),
+        np.asarray(snap.epochs_run).astype(np.int64),
+        snap.mu_store,
+        snap.lv_store,
+        bool(np.asarray(snap.demoted)),
+        None if de < 0 else de,
+        int(np.asarray(snap.repromotes_left)),
+    )
 
 
 def _make_snapshot(epoch, warm, done, running, losses_final, plateau_hits,
                    lr, epochs_run, keys, states, mu_store, lv_store,
-                   demoted, demote_epoch, repromotes_left, tracker):
+                   demoted, demote_epoch, repromotes_left, tracker,
+                   n_models, k_block, cfg):
     return EnsembleSnapshot(
         epoch=np.int64(epoch), warm=warm.copy(), done=done.copy(),
         running=running.copy(), losses_final=losses_final.copy(),
@@ -429,6 +472,8 @@ def _make_snapshot(epoch, warm, done, running, losses_final, plateau_hits,
         demote_epoch=np.int64(-1 if demote_epoch is None else demote_epoch),
         repromotes_left=np.int64(repromotes_left),
         tracker=None if tracker is None else tracker.snapshot(),
+        n_models=np.int64(n_models), k_block=np.int64(k_block),
+        cfg_digest=_cfg_digest(cfg),
     )
 
 
@@ -567,6 +612,32 @@ def fit_ensemble(
         if per_member_data:
             y = jax.device_put(y, ns)
 
+    if resume_snap is not None:
+        # validate the snapshot against THIS call — a mismatched resume
+        # (different member count / dispatch blocking / config) would
+        # silently break the bit-exact-resume contract, not error
+        if resume_snap.n_models is not None:
+            snap_n = int(np.asarray(resume_snap.n_models))
+            if snap_n != n_models:
+                raise ValueError(
+                    f"resume_from snapshot has {snap_n} members; this "
+                    f"call passes states for {n_models}"
+                )
+            snap_k = int(np.asarray(resume_snap.k_block))
+            if snap_k != int(epochs_per_dispatch):
+                raise ValueError(
+                    f"resume_from snapshot was saved with "
+                    f"epochs_per_dispatch={snap_k}; resuming with "
+                    f"{int(epochs_per_dispatch)} would change the member "
+                    "key-split and plateau-replay cadence (not bit-exact)"
+                )
+            if not np.array_equal(np.asarray(resume_snap.cfg_digest),
+                                  _cfg_digest(cfg)):
+                raise ValueError(
+                    "resume_from snapshot was saved under a different "
+                    "config; resume with the same cfg"
+                )
+
     tracker = None
     if select_on:
         if resume_snap is not None and resume_snap.tracker is not None:
@@ -627,22 +698,12 @@ def fit_ensemble(
 
     start_epoch = 0
     if resume_snap is not None:
-        start_epoch = int(np.asarray(resume_snap.epoch))
-        warm = np.asarray(resume_snap.warm).astype(bool)
-        done = np.asarray(resume_snap.done).astype(bool)
-        running = np.asarray(resume_snap.running).astype(float)
-        losses_final = np.asarray(resume_snap.losses_final).astype(float)
-        plateau_hits = np.asarray(resume_snap.plateau_hits).astype(np.int64)
-        lr = np.asarray(resume_snap.lr).astype(float)
-        epochs_run = np.asarray(resume_snap.epochs_run).astype(np.int64)
-        mu_store = resume_snap.mu_store
-        lv_store = resume_snap.lv_store
-        if bool(np.asarray(resume_snap.demoted)):
+        (start_epoch, warm, done, running, losses_final, plateau_hits,
+         lr, epochs_run, mu_store, lv_store, demoted, demote_epoch,
+         repromotes_left) = _restore_host_state(resume_snap)
+        if demoted:
             cfg_run = cfg_base.replace(fused_step="off")
             mega_guard = False
-        de = int(np.asarray(resume_snap.demote_epoch))
-        demote_epoch = None if de < 0 else de
-        repromotes_left = int(np.asarray(resume_snap.repromotes_left))
 
     for epoch in range(start_epoch, max_iter):
         if done.all():
@@ -853,7 +914,7 @@ def fit_ensemble(
                 epoch + 1, warm, done, running, losses_final, plateau_hits,
                 lr, epochs_run, keys, states, mu_store, lv_store,
                 cfg_run != cfg_base, demote_epoch, repromotes_left,
-                tracker,
+                tracker, n_models, 1, cfg_base,
             ))
 
     sel_ep = sel_m = None
@@ -920,29 +981,18 @@ def _fit_ensemble_blocked(
     mega_guard = mega_possible
     demote_epoch: Optional[int] = None
     repromotes_left = cfg.repromote_max if cfg.repromote_after > 0 else 0
+    member_demoted = np.zeros(n_models, dtype=bool)  # per-member log state
     epoch = 0
 
     if resume_snap is not None:
-        # exact block-boundary resume (same k_block as the saving run —
-        # boundaries must align for bit-identical replay)
-        epoch = int(np.asarray(resume_snap.epoch))
-        states = resume_snap.states
-        keys = jnp.asarray(resume_snap.keys)
-        warm = np.asarray(resume_snap.warm).astype(bool)
-        done = np.asarray(resume_snap.done).astype(bool)
-        running = np.asarray(resume_snap.running).astype(float)
-        losses_final = np.asarray(resume_snap.losses_final).astype(float)
-        plateau_hits = np.asarray(resume_snap.plateau_hits).astype(np.int64)
-        lr = np.asarray(resume_snap.lr).astype(float)
-        epochs_run = np.asarray(resume_snap.epochs_run).astype(np.int64)
-        mu_store = resume_snap.mu_store
-        lv_store = resume_snap.lv_store
-        if bool(np.asarray(resume_snap.demoted)):
+        # exact block-boundary resume (k_block alignment validated by
+        # fit_ensemble); states/keys were already replaced there
+        (epoch, warm, done, running, losses_final, plateau_hits,
+         lr, epochs_run, mu_store, lv_store, demoted, demote_epoch,
+         repromotes_left) = _restore_host_state(resume_snap)
+        if demoted:
             cfg_run = cfg_base.replace(fused_step="off")
             mega_guard = False
-        de = int(np.asarray(resume_snap.demote_epoch))
-        demote_epoch = None if de < 0 else de
-        repromotes_left = int(np.asarray(resume_snap.repromotes_left))
 
     while epoch < max_iter and not done.all():
         if (
@@ -1017,20 +1067,37 @@ def _fit_ensemble_blocked(
                 losses_blk = np.asarray(res.epoch_loss)
             else:
                 # per-member block demotion (see _rerun_hot_members): only
-                # the hot members' block re-runs on the XLA path
-                logger.warning(
-                    "ensemble: members %s skipped up to %.1f%% of RLS "
-                    "updates on the mega layout (epoch %d) — re-running "
-                    "only those members' block on the XLA path from their "
-                    "repaired pre-block backup.",
-                    np.flatnonzero(hot).tolist(), 100 * float(hot_blk.max()),
-                    epoch + int(j),
-                )
+                # the hot members' block re-runs on the XLA path; warn on
+                # TRANSITIONS only (a persistently-hot member would
+                # otherwise re-fire the warning every block)
+                newly = hot & ~member_demoted
+                if newly.any():
+                    logger.warning(
+                        "ensemble: members %s skipped up to %.1f%% of RLS "
+                        "updates on the mega layout (epoch %d) — "
+                        "re-running only those members' block on the XLA "
+                        "path from their repaired pre-block backup (per "
+                        "block, until their mega probe runs clean).",
+                        np.flatnonzero(newly).tolist(),
+                        100 * float(hot_blk.max()), epoch + int(j),
+                    )
                 res, losses_blk = _rerun_hot_members(
                     cfg_base, flags, n_batch, y_ax, u_ax, backup, y, us,
                     eks, None, mask, channel_mask, hot, res, losses_blk,
                     epochs_mode=True, lrs=lrs,
                 )
+        else:
+            hot = np.zeros(n_models, dtype=bool)
+        if mega_guard and uniform_phase and not all_warm:
+            recovered = member_demoted & ~hot
+            if recovered.any():
+                logger.info(
+                    "ensemble: members %s ran clean on the mega layout at "
+                    "the epoch-%d block — keeping their mega results "
+                    "(implicit repromotion).",
+                    np.flatnonzero(recovered).tolist(), epoch,
+                )
+            member_demoted = hot.copy()
 
         active = ~done
         act_t = jnp.asarray(active)
@@ -1136,7 +1203,7 @@ def _fit_ensemble_blocked(
                 epoch, warm, done, running, losses_final, plateau_hits,
                 lr, epochs_run, keys, states, mu_store, lv_store,
                 cfg_run != cfg_base, demote_epoch, repromotes_left,
-                tracker,
+                tracker, n_models, k_block, cfg_base,
             ))
 
     sel_ep = sel_m = None

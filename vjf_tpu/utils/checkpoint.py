@@ -140,26 +140,32 @@ def save_ensemble_checkpoint(path: str, snapshot) -> None:
     epochs_run, member keys, demotion + selection machinery) for exact
     mid-fit resume of ``fit_ensemble``.
 
-    Always the flat-npz + pickled-treedef format (self-describing
-    structure — the snapshot's optional leaves, e.g. the selection
-    tracker, vary per run, so a fixed restore template cannot be
-    supplied the way the orbax path requires)."""
+    Flat-npz format with the pickled treedef embedded as a uint8 entry —
+    ONE file, atomically replaced, so a kill at any instant leaves either
+    the previous complete snapshot or the new one, never a torn pair
+    (a sidecar treedef file could desynchronize from the npz: the
+    snapshot's structure legitimately changes between saves, e.g. the
+    selection tracker's leaves flip from None to full pytrees). The
+    structure is self-describing — the snapshot's optional leaves vary
+    per run, so a fixed restore template cannot be supplied the way the
+    orbax path requires."""
     flat, treedef = _tree_to_flat(snapshot)
+    flat["__treedef__"] = np.frombuffer(
+        pickle.dumps((treedef, len(flat))), dtype=np.uint8
+    )
     tmp = path + ".npz.tmp"
     with open(tmp, "wb") as f:
         np.savez(f, **flat)
     os.replace(tmp, path + ".npz")  # atomic: never a torn checkpoint
-    with open(path + ".treedef.pkl", "wb") as f:
-        pickle.dump((treedef, len(flat)), f)
 
 
 def load_ensemble_checkpoint(path: str):
     """Restore an :func:`save_ensemble_checkpoint` snapshot (leaves come
     back as jax arrays; the ensemble driver re-hosts its numpy fields)."""
-    with open(path + ".treedef.pkl", "rb") as f:
-        treedef, n = pickle.load(f)
     with np.load(path + ".npz") as data:
-        return _flat_to_tree(dict(data), treedef, n)
+        flat = dict(data)
+    treedef, n = pickle.loads(flat.pop("__treedef__").tobytes())
+    return _flat_to_tree(flat, treedef, n)
 
 
 def load_config(path: str) -> VJFConfig:
