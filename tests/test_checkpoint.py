@@ -292,3 +292,88 @@ def test_ensemble_resume_validates_compatibility(tmp_path):
     with pytest.raises(ValueError, match="members"):
         fit_ensemble(cfg, states3, y, keys=jax.random.split(
             jax.random.PRNGKey(2), 2), max_iter=8, resume_from=p)
+
+
+def _solo_setup(select="forecast"):
+    rng = np.random.default_rng(3)
+    th = np.cumsum(0.15 + 0.01 * rng.normal(size=60))
+    x = np.stack([np.cos(th), np.sin(th)], axis=-1)
+    C = rng.normal(size=(8, 2))
+    y = (x @ C.T)[:, None, :] + 0.1 * rng.normal(size=(60, 2, 8))
+    cfg = VJFConfig(ydim=8, xdim=2, udim=0, n_rbf=10, hidden_sizes=(6,),
+                    likelihood="gaussian", dtype="float64", rtol=1e-9,
+                    warmup_max=3, select=select, select_horizon=8,
+                    select_starts=4)
+    return cfg, y
+
+
+def _assert_fit_equal(a, b):
+    for la, lb in zip(jax.tree_util.tree_leaves(a.state),
+                      jax.tree_util.tree_leaves(b.state)):
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+    np.testing.assert_array_equal(np.asarray(a.mu), np.asarray(b.mu))
+    np.testing.assert_array_equal(np.asarray(a.logvar), np.asarray(b.logvar))
+    assert a.loss == b.loss and a.warm_up == b.warm_up
+    np.testing.assert_allclose(a.lr, b.lr, rtol=1e-15)
+    assert a.epochs_run == b.epochs_run
+    assert a.selected_epoch == b.selected_epoch
+    if a.selected_epoch is not None:
+        np.testing.assert_allclose(a.selected_metric, b.selected_metric,
+                                   rtol=1e-12)
+
+
+def test_solo_fit_resume_bit_exact(tmp_path, key):
+    """The solo mirror of the ensemble resume contract: a fit interrupted
+    at epoch 4 and resumed equals the uninterrupted fit bit-exactly —
+    phase, plateau machine, lr schedule, PRNG chain, and the
+    forecast-selection snapshot all ride the FitSnapshot."""
+    cfg, y = _solo_setup()
+    state = core.init_state(key, cfg)
+    full = core.fit(cfg, state, y, key=key, max_iter=8, donate=False)
+    p = str(tmp_path / "solo")
+    core.fit(cfg, state, y, key=key, max_iter=4, donate=False,
+             checkpoint_path=p, checkpoint_every=4)
+    resumed = core.fit(cfg, state, y, key=key, max_iter=8, donate=False,
+                       resume_from=p)
+    assert full.selected_epoch is not None
+    _assert_fit_equal(full, resumed)
+    # resume at max_iter: nothing to run, snapshot outputs returned
+    done = core.fit(cfg, state, y, key=key, max_iter=4, donate=False,
+                    resume_from=p)
+    assert done.epochs_run == 4 and np.isfinite(done.loss)
+
+
+def test_solo_fit_resume_blocked_bit_exact(tmp_path, key):
+    cfg, y = _solo_setup(select="loss")
+    state = core.init_state(key, cfg)
+    full = core.fit(cfg, state, y, key=key, max_iter=8,
+                    epochs_per_dispatch=2)
+    p = str(tmp_path / "solob")
+    core.fit(cfg, state, y, key=key, max_iter=4, epochs_per_dispatch=2,
+             checkpoint_path=p, checkpoint_every=4)
+    resumed = core.fit(cfg, state, y, key=key, max_iter=8,
+                       epochs_per_dispatch=2, resume_from=p)
+    _assert_fit_equal(full, resumed)
+
+
+def test_solo_fit_resume_validates(tmp_path, key):
+    cfg, y = _solo_setup(select="loss")
+    state = core.init_state(key, cfg)
+    p = str(tmp_path / "solo")
+    core.fit(cfg, state, y, key=key, max_iter=4, donate=False,
+             checkpoint_path=p, checkpoint_every=4)
+    with pytest.raises(ValueError, match="different config"):
+        core.fit(cfg.replace(lr=5e-4), state, y, key=key, max_iter=8,
+                 resume_from=p)
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        core.fit(cfg, state, y, key=key, max_iter=8, resume_from=p,
+                 noise_hook=lambda e: None)
+    # an ENSEMBLE snapshot must be rejected, not mis-restored
+    from vjf_tpu.parallel import fit_ensemble, init_ensemble
+
+    cfg_e, states, ye, keys_e = _ens_setup(select="loss")
+    pe = str(tmp_path / "ens")
+    fit_ensemble(cfg_e, states, ye, keys=keys_e, max_iter=4,
+                 checkpoint_path=pe, checkpoint_every=4)
+    with pytest.raises(ValueError, match="not a solo-fit snapshot"):
+        core.fit(cfg, state, y, key=key, max_iter=8, resume_from=pe)

@@ -771,6 +771,9 @@ class VJF:
         mask: Optional[Array] = None,
         channel_mask: Optional[Array] = None,
         mesh=None,
+        checkpoint_path: Optional[str] = None,
+        checkpoint_every: int = 0,
+        resume_from: Optional[str] = None,
     ) -> Tuple[Array, Array, float]:
         """Epoch training with warm-up — ``VJF.fit`` (``vjf/model.py:223-307``).
 
@@ -851,6 +854,9 @@ class VJF:
             mask=mask,
             channel_mask=channel_mask,
             mesh=mesh,
+            checkpoint_path=checkpoint_path,
+            checkpoint_every=checkpoint_every,
+            resume_from=resume_from,
             # continue the ExponentialLR schedule across fit() calls (the
             # reference's scheduler is instance state, vjf/model.py:69-78)
             lr0=self._lr,

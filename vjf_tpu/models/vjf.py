@@ -734,6 +734,77 @@ class FitResult:
     selected_metric: float = float("nan")
 
 
+class FitSnapshot(NamedTuple):
+    """The COMPLETE solo ``fit`` loop state at an epoch boundary — the
+    solo mirror of ``parallel.ensemble.EnsembleSnapshot`` (r4): an
+    interrupted fit resumes BIT-identically to the uninterrupted run.
+    Persisted via ``utils.checkpoint.save_ensemble_checkpoint`` (the
+    generic atomic single-file pytree format)."""
+
+    epoch: object           # completed epochs
+    warm_up: object
+    lr: object              # ExponentialLR schedule position
+    running_loss: object
+    plateau_hits: object
+    key: object             # the fit PRNG chain
+    state: object           # TrainState
+    mu: object              # last epoch's (T, B, xdim) posteriors
+    logvar: object
+    epoch_loss: object
+    demoted: object         # hot-tau demotion active (cfg_run != cfg)
+    demote_epoch: object    # -1 encodes None
+    repromotes_left: object
+    best: object            # select='forecast': (state, mu, lv, loss,
+    #                         epoch, metric) | None
+    cfg_digest: object      # resume-compatibility fingerprint
+    # the selection PRNG base (fold_in(entry_key, _SELECT_SALT)): derived
+    # from the ORIGINAL run's entry key, which resume supersedes — it must
+    # ride the snapshot or the resumed run would select on a different
+    # metric stream. None when select='loss'.
+    sel_base: object = None
+
+
+def _make_fit_snapshot(cfg, epoch, warm_up, lr, running_loss, plateau_hits,
+                       key, state, result, epoch_loss, demoted,
+                       demote_epoch, repromotes_left, best_snap, best_sel,
+                       sel_base=None):
+    from ..utils.checkpoint import config_digest
+
+    best = None
+    if best_snap is not None:
+        b_state, b_mu, b_lv, b_loss, b_epoch = best_snap
+        best = (b_state, b_mu, b_lv, np.float64(b_loss),
+                np.int64(b_epoch), np.float64(best_sel))
+    return FitSnapshot(
+        epoch=np.int64(epoch), warm_up=np.bool_(warm_up),
+        lr=np.float64(lr), running_loss=np.float64(running_loss),
+        plateau_hits=np.int64(plateau_hits), key=key, state=state,
+        mu=result.q_means, logvar=result.q_logvars,
+        epoch_loss=np.float64(epoch_loss), demoted=np.bool_(demoted),
+        demote_epoch=np.int64(-1 if demote_epoch is None else demote_epoch),
+        repromotes_left=np.int64(repromotes_left), best=best,
+        cfg_digest=config_digest(cfg), sel_base=sel_base,
+    )
+
+
+def _load_fit_snapshot(cfg, resume_from: str) -> FitSnapshot:
+    from ..utils.checkpoint import config_digest, load_ensemble_checkpoint
+
+    snap = load_ensemble_checkpoint(resume_from)
+    if not isinstance(snap, FitSnapshot):
+        raise ValueError(
+            f"resume_from {resume_from!r} is not a solo-fit snapshot "
+            f"(got {type(snap).__name__}); fit_ensemble snapshots resume "
+            "through fit_ensemble"
+        )
+    if not np.array_equal(np.asarray(snap.cfg_digest), config_digest(cfg)):
+        raise ValueError(
+            "resume_from snapshot was saved under a different config; "
+            "resume with the same cfg"
+        )
+    return snap
+
+
 def wire_put(y, jdtype) -> Array:
     """device_put ``y`` in its wire dtype: native when NARROWER than
     ``jdtype`` (uint8 spike counts ride the host->device link at 1/4 the
@@ -827,8 +898,20 @@ def fit(
     channel_mask: Optional[Array] = None,
     lr0: Optional[float] = None,
     mesh=None,
+    checkpoint_path: Optional[str] = None,
+    checkpoint_every: int = 0,
+    resume_from: Optional[str] = None,
 ) -> FitResult:
     """Epoch training loop with warm-up — ``VJF.fit`` (``vjf/model.py:223-307``).
+
+    ``checkpoint_path`` + ``checkpoint_every=K``: persist the COMPLETE
+    loop state (:class:`FitSnapshot` — state, phase, plateau machine, lr
+    schedule, PRNG chain, demotion + selection machinery) every K epochs
+    (block boundaries in blocked mode), atomically. ``resume_from``: path
+    of such a snapshot — resume BIT-identically to the uninterrupted run
+    (same cfg/data/epochs_per_dispatch; the ``state``/``key``/``lr0``
+    argument VALUES are superseded by the snapshot). Not composable with
+    ``noise_hook`` (parity harnesses re-run from scratch).
 
     ``lr0`` overrides the schedule's starting learning rate (default
     ``cfg.lr``): the reference holds its optimizer + ExponentialLR as
@@ -884,6 +967,8 @@ def fit(
             "(the rollout has no control/validity alignment)"
         )
     select_on = _validate_select(cfg, mask, channel_mask, mesh)
+    if resume_from is not None and noise_hook is not None:
+        raise ValueError("resume_from and noise_hook are mutually exclusive")
     if epochs_per_dispatch > 1:
         if noise_hook is not None:
             raise ValueError(
@@ -894,7 +979,16 @@ def fit(
             cfg, state, y, u, key=key, max_iter=max_iter, beta=beta,
             rtol=rtol, callback=callback, k_block=int(epochs_per_dispatch),
             mask=mask, channel_mask=channel_mask, lr0=lr0, mesh=mesh,
+            checkpoint_path=checkpoint_path,
+            checkpoint_every=checkpoint_every, resume_from=resume_from,
         )
+    resume_snap = (
+        _load_fit_snapshot(cfg, resume_from) if resume_from is not None
+        else None
+    )
+    if resume_snap is not None:
+        state = resume_snap.state
+        key = jnp.asarray(resume_snap.key)
 
     y = _promote_y(wire_ingest(y, cfg.jdtype))
     t_len, n_batch, _ = y.shape
@@ -1033,7 +1127,29 @@ def fit(
     repromotes_left = cfg.repromote_max if cfg.repromote_after > 0 else 0
     plateau_hits = 0  # consecutive post-warm-up plateau epochs (stop_patience)
 
-    for epoch in range(max_iter):
+    start_epoch = 0
+    if resume_snap is not None:
+        start_epoch = int(np.asarray(resume_snap.epoch))
+        warm_up = bool(np.asarray(resume_snap.warm_up))
+        lr = float(np.asarray(resume_snap.lr))
+        running_loss = float(np.asarray(resume_snap.running_loss))
+        plateau_hits = int(np.asarray(resume_snap.plateau_hits))
+        epoch_loss = float(np.asarray(resume_snap.epoch_loss))
+        if bool(np.asarray(resume_snap.demoted)):
+            cfg_run = cfg.replace(fused_step="off")
+            mega_guard = False
+        de = int(np.asarray(resume_snap.demote_epoch))
+        demote_epoch = None if de < 0 else de
+        repromotes_left = int(np.asarray(resume_snap.repromotes_left))
+        if resume_snap.best is not None:
+            b_state, b_mu, b_lv, b_loss, b_epoch, b_sel = resume_snap.best
+            best_snap = (b_state, b_mu, b_lv, float(np.asarray(b_loss)),
+                         int(np.asarray(b_epoch)))
+            best_sel = float(np.asarray(b_sel))
+        if select_on and resume_snap.sel_base is not None:
+            sel_base = jnp.asarray(resume_snap.sel_base)
+
+    for epoch in range(start_epoch, max_iter):
         if (
             demote_epoch is not None
             and repromotes_left > 0
@@ -1178,17 +1294,37 @@ def fit(
         )
         lr *= cfg.lr_decay                                  # ExponentialLR, model.py:78
 
-    assert result is not None
+        if (checkpoint_path is not None and checkpoint_every > 0
+                and (epoch + 1) % checkpoint_every == 0):
+            from ..utils.checkpoint import save_ensemble_checkpoint
+
+            save_ensemble_checkpoint(checkpoint_path, _make_fit_snapshot(
+                cfg, epoch + 1, warm_up, lr, running_loss, plateau_hits,
+                key, state, result, epoch_loss, cfg_run != cfg,
+                demote_epoch, repromotes_left,
+                best_snap if select_on else None, best_sel,
+                sel_base=sel_base if select_on else None,
+            ))
+
+    epochs_total = start_epoch if result is None else epoch + 1
     if select_on and best_snap is not None:
         b_state, b_mu, b_lv, b_loss, b_epoch = best_snap
         return FitResult(
             mu=b_mu, logvar=b_lv, loss=b_loss, state=b_state,
-            warm_up=warm_up, lr=lr, epochs_run=epoch + 1,
+            warm_up=warm_up, lr=lr, epochs_run=epochs_total,
             selected_epoch=b_epoch, selected_metric=best_sel,
+        )
+    if result is None:
+        # resume landed at (or past) max_iter: nothing to run — return the
+        # snapshot's stored outputs
+        assert resume_snap is not None
+        return FitResult(
+            mu=resume_snap.mu, logvar=resume_snap.logvar, loss=epoch_loss,
+            state=state, warm_up=warm_up, lr=lr, epochs_run=start_epoch,
         )
     return FitResult(
         mu=result.q_means, logvar=result.q_logvars, loss=epoch_loss, state=state,
-        warm_up=warm_up, lr=lr, epochs_run=epoch + 1,
+        warm_up=warm_up, lr=lr, epochs_run=epochs_total,
     )
 
 
@@ -1370,6 +1506,9 @@ def _fit_blocked(
     channel_mask: Optional[Array] = None,
     lr0: Optional[float] = None,
     mesh=None,
+    checkpoint_path: Optional[str] = None,
+    checkpoint_every: int = 0,
+    resume_from: Optional[str] = None,
 ) -> FitResult:
     """Block-dispatch fit: K epochs per device round-trip via
     :func:`run_epochs`, with ``fit``'s plateau state machine replayed on the
@@ -1451,6 +1590,40 @@ def _fit_blocked(
     repromotes_left = cfg.repromote_max if cfg.repromote_after > 0 else 0
     plateau_hits = 0  # consecutive post-warm-up plateau epochs (stop_patience)
     epoch = 0
+
+    resume_snap = (
+        _load_fit_snapshot(cfg, resume_from) if resume_from is not None
+        else None
+    )
+    if resume_snap is not None:
+        # block-boundary resume (boundaries align when the saving run used
+        # the same epochs_per_dispatch — snapshots are written only at
+        # checkpoint_every multiples, which the caller controls)
+        epoch = int(np.asarray(resume_snap.epoch))
+        state = resume_snap.state
+        key = jnp.asarray(resume_snap.key)
+        warm_up = bool(np.asarray(resume_snap.warm_up))
+        lr = float(np.asarray(resume_snap.lr))
+        running_loss = float(np.asarray(resume_snap.running_loss))
+        plateau_hits = int(np.asarray(resume_snap.plateau_hits))
+        epoch_loss = float(np.asarray(resume_snap.epoch_loss))
+        if bool(np.asarray(resume_snap.demoted)):
+            cfg_run = cfg.replace(fused_step="off")
+            mega_guard = False
+        de = int(np.asarray(resume_snap.demote_epoch))
+        demote_epoch = None if de < 0 else de
+        repromotes_left = int(np.asarray(resume_snap.repromotes_left))
+        if resume_snap.best is not None:
+            b_state, b_mu, b_lv, b_loss, b_epoch, b_sel = resume_snap.best
+            best_snap = (b_state, b_mu, b_lv, float(np.asarray(b_loss)),
+                         int(np.asarray(b_epoch)))
+            best_sel = float(np.asarray(b_sel))
+        if select_on and resume_snap.sel_base is not None:
+            sel_base = jnp.asarray(resume_snap.sel_base)
+        if mesh is not None:
+            from ..parallel import shard_state as _ss
+
+            state = _ss(cfg, state, mesh)
 
     while epoch < max_iter:
         if (
@@ -1597,14 +1770,33 @@ def _fit_blocked(
                              epoch_loss, epoch - 1)
         if converged:
             break
+        if (checkpoint_path is not None and checkpoint_every > 0
+                and (epoch // checkpoint_every)
+                > ((epoch - k) // checkpoint_every)):
+            from ..utils.checkpoint import save_ensemble_checkpoint
 
-    assert res is not None
+            save_ensemble_checkpoint(checkpoint_path, _make_fit_snapshot(
+                cfg, epoch, warm_up, lr, running_loss, plateau_hits,
+                key, state, res, epoch_loss, cfg_run != cfg,
+                demote_epoch, repromotes_left,
+                best_snap if select_on else None, best_sel,
+                sel_base=sel_base if select_on else None,
+            ))
+
     if select_on and best_snap is not None:
         b_state, b_mu, b_lv, b_loss, b_epoch = best_snap
         return FitResult(
             mu=b_mu, logvar=b_lv, loss=b_loss, state=b_state,
             warm_up=warm_up, lr=lr, epochs_run=epoch,
             selected_epoch=b_epoch, selected_metric=best_sel,
+        )
+    if res is None:
+        # resume landed at (or past) max_iter — return the snapshot's
+        # stored outputs
+        assert resume_snap is not None
+        return FitResult(
+            mu=resume_snap.mu, logvar=resume_snap.logvar, loss=epoch_loss,
+            state=state, warm_up=warm_up, lr=lr, epochs_run=epoch,
         )
     return FitResult(
         mu=res.q_means, logvar=res.q_logvars, loss=epoch_loss, state=state,

@@ -428,13 +428,9 @@ class EnsembleSnapshot(NamedTuple):
 
 
 def _cfg_digest(cfg: VJFConfig) -> np.ndarray:
-    """Process-stable config fingerprint (Python ``hash`` is salted)."""
-    import dataclasses
-    import hashlib
-    import json
+    from ..utils.checkpoint import config_digest
 
-    blob = json.dumps(dataclasses.asdict(cfg), sort_keys=True).encode()
-    return np.frombuffer(hashlib.md5(blob).digest(), dtype=np.uint8).copy()
+    return config_digest(cfg)
 
 
 def _restore_host_state(snap: "EnsembleSnapshot"):

@@ -134,6 +134,15 @@ def load_checkpoint(
     return state, loop
 
 
+def config_digest(cfg: VJFConfig) -> np.ndarray:
+    """Process-stable config fingerprint (Python ``hash`` is salted per
+    process) — stored in fit/ensemble snapshots and validated on resume."""
+    import hashlib
+
+    blob = json.dumps(dataclasses.asdict(cfg), sort_keys=True).encode()
+    return np.frombuffer(hashlib.md5(blob).digest(), dtype=np.uint8).copy()
+
+
 def save_ensemble_checkpoint(path: str, snapshot) -> None:
     """Persist a ``parallel.ensemble.EnsembleSnapshot`` (the per-member fit
     state machine: stacked states, warm/done/running/plateau_hits/lr/
