@@ -377,3 +377,47 @@ def test_solo_fit_resume_validates(tmp_path, key):
                  checkpoint_path=pe, checkpoint_every=4)
     with pytest.raises(ValueError, match="not a solo-fit snapshot"):
         core.fit(cfg, state, y, key=key, max_iter=8, resume_from=pe)
+
+
+def test_solo_resume_rejects_mismatched_k_block(tmp_path, key):
+    cfg, y = _solo_setup(select="loss")
+    state = core.init_state(key, cfg)
+    p = str(tmp_path / "solo")
+    core.fit(cfg, state, y, key=key, max_iter=4, donate=False,
+             checkpoint_path=p, checkpoint_every=4)
+    with pytest.raises(ValueError, match="epochs_per_dispatch"):
+        core.fit(cfg, state, y, key=key, max_iter=8,
+                 epochs_per_dispatch=2, resume_from=p)
+    # the reverse direction: ensemble rejects a solo snapshot
+    from vjf_tpu.parallel import fit_ensemble, init_ensemble
+
+    cfg_e, states, ye, keys_e = _ens_setup(select="loss")
+    with pytest.raises(ValueError, match="not a fit_ensemble"):
+        fit_ensemble(cfg_e, states, ye, keys=keys_e, max_iter=4,
+                     resume_from=p)
+
+
+def test_solo_resume_masked_sgp_cfg_rewrite(tmp_path, key):
+    """The snapshot digests the RESOLVED cfg: a masked small-batch SGP fit
+    (whose cfg is rewritten to fused_step='off' inside fit) must be
+    resumable with the caller's original cfg — the review-r4 ordering bug
+    made this raise 'saved under a different config'."""
+    rng = np.random.default_rng(0)
+    T, B = 40, 2
+    y = rng.normal(size=(T, B, 6)).astype(np.float64)
+    mask = np.ones((T, B)); mask[30:, 1] = 0.0
+    cfg = VJFConfig(ydim=6, xdim=2, udim=0, dynamics="sgp", n_inducing=8,
+                    likelihood="gaussian", dtype="float64",
+                    rls_backend="nsv", fused_step="auto", rtol=1e-9,
+                    warmup_max=2)
+    state = core.init_state(key, cfg)
+    p = str(tmp_path / "sgp")
+    full = core.fit(cfg, state, y, key=key, max_iter=6, mask=mask,
+                    donate=False)
+    core.fit(cfg, state, y, key=key, max_iter=3, mask=mask, donate=False,
+             checkpoint_path=p, checkpoint_every=3)
+    resumed = core.fit(cfg, state, y, key=key, max_iter=6, mask=mask,
+                       donate=False, resume_from=p)
+    for a, b in zip(jax.tree_util.tree_leaves(full.state),
+                    jax.tree_util.tree_leaves(resumed.state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

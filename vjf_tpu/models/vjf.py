@@ -762,12 +762,15 @@ class FitSnapshot(NamedTuple):
     # ride the snapshot or the resumed run would select on a different
     # metric stream. None when select='loss'.
     sel_base: object = None
+    # epochs_per_dispatch of the saving run (validated on resume — a
+    # different blocking changes the key-split and plateau cadence)
+    k_block: object = None
 
 
 def _make_fit_snapshot(cfg, epoch, warm_up, lr, running_loss, plateau_hits,
                        key, state, result, epoch_loss, demoted,
                        demote_epoch, repromotes_left, best_snap, best_sel,
-                       sel_base=None):
+                       sel_base=None, k_block=1):
     from ..utils.checkpoint import config_digest
 
     best = None
@@ -784,10 +787,11 @@ def _make_fit_snapshot(cfg, epoch, warm_up, lr, running_loss, plateau_hits,
         demote_epoch=np.int64(-1 if demote_epoch is None else demote_epoch),
         repromotes_left=np.int64(repromotes_left), best=best,
         cfg_digest=config_digest(cfg), sel_base=sel_base,
+        k_block=np.int64(k_block),
     )
 
 
-def _load_fit_snapshot(cfg, resume_from: str) -> FitSnapshot:
+def _load_fit_snapshot(cfg, resume_from: str, k_block: int) -> FitSnapshot:
     from ..utils.checkpoint import config_digest, load_ensemble_checkpoint
 
     snap = load_ensemble_checkpoint(resume_from)
@@ -802,7 +806,41 @@ def _load_fit_snapshot(cfg, resume_from: str) -> FitSnapshot:
             "resume_from snapshot was saved under a different config; "
             "resume with the same cfg"
         )
+    if snap.k_block is not None and int(np.asarray(snap.k_block)) != k_block:
+        raise ValueError(
+            f"resume_from snapshot was saved with epochs_per_dispatch="
+            f"{int(np.asarray(snap.k_block))}; resuming with {k_block} "
+            "would change the key-split and plateau cadence (not bit-exact)"
+        )
     return snap
+
+
+def _restore_fit_snapshot(snap: FitSnapshot):
+    """Re-host a :class:`FitSnapshot`'s loop variables — one source of
+    truth for the resume state machine, shared by :func:`fit` and
+    :func:`_fit_blocked` (the two copies this replaces had already
+    diverged once, review r4)."""
+    de = int(np.asarray(snap.demote_epoch))
+    best_snap = None
+    best_sel = float("inf")
+    if snap.best is not None:
+        b_state, b_mu, b_lv, b_loss, b_epoch, b_sel = snap.best
+        best_snap = (b_state, b_mu, b_lv, float(np.asarray(b_loss)),
+                     int(np.asarray(b_epoch)))
+        best_sel = float(np.asarray(b_sel))
+    return (
+        int(np.asarray(snap.epoch)),
+        bool(np.asarray(snap.warm_up)),
+        float(np.asarray(snap.lr)),
+        float(np.asarray(snap.running_loss)),
+        int(np.asarray(snap.plateau_hits)),
+        float(np.asarray(snap.epoch_loss)),
+        bool(np.asarray(snap.demoted)),
+        None if de < 0 else de,
+        int(np.asarray(snap.repromotes_left)),
+        best_snap,
+        best_sel,
+    )
 
 
 def wire_put(y, jdtype) -> Array:
@@ -982,14 +1020,6 @@ def fit(
             checkpoint_path=checkpoint_path,
             checkpoint_every=checkpoint_every, resume_from=resume_from,
         )
-    resume_snap = (
-        _load_fit_snapshot(cfg, resume_from) if resume_from is not None
-        else None
-    )
-    if resume_snap is not None:
-        state = resume_snap.state
-        key = jnp.asarray(resume_snap.key)
-
     y = _promote_y(wire_ingest(y, cfg.jdtype))
     t_len, n_batch, _ = y.shape
     us = _promote_u(u, t_len, n_batch, cfg.jdtype)
@@ -1000,6 +1030,16 @@ def fit(
     else:
         pair_w = None
     cfg = _demote_masked_small_sgp(cfg, mask)
+    # load AFTER the cfg rewrite above: the snapshot digests the RESOLVED
+    # cfg (the blocked path always did; the per-epoch copy diverged once —
+    # review r4), and the restored state must precede every consumer below
+    resume_snap = (
+        _load_fit_snapshot(cfg, resume_from, 1)
+        if resume_from is not None else None
+    )
+    if resume_snap is not None:
+        state = resume_snap.state
+        key = jnp.asarray(resume_snap.key)
     if select_on:
         _validate_select(cfg, None, None, mesh, t_len=t_len)
         sel_base = jax.random.fold_in(key, _SELECT_SALT)
@@ -1129,23 +1169,14 @@ def fit(
 
     start_epoch = 0
     if resume_snap is not None:
-        start_epoch = int(np.asarray(resume_snap.epoch))
-        warm_up = bool(np.asarray(resume_snap.warm_up))
-        lr = float(np.asarray(resume_snap.lr))
-        running_loss = float(np.asarray(resume_snap.running_loss))
-        plateau_hits = int(np.asarray(resume_snap.plateau_hits))
-        epoch_loss = float(np.asarray(resume_snap.epoch_loss))
-        if bool(np.asarray(resume_snap.demoted)):
+        (start_epoch, warm_up, lr, running_loss, plateau_hits, epoch_loss,
+         demoted, demote_epoch, repromotes_left, r_best, r_sel
+         ) = _restore_fit_snapshot(resume_snap)
+        if demoted:
             cfg_run = cfg.replace(fused_step="off")
             mega_guard = False
-        de = int(np.asarray(resume_snap.demote_epoch))
-        demote_epoch = None if de < 0 else de
-        repromotes_left = int(np.asarray(resume_snap.repromotes_left))
-        if resume_snap.best is not None:
-            b_state, b_mu, b_lv, b_loss, b_epoch, b_sel = resume_snap.best
-            best_snap = (b_state, b_mu, b_lv, float(np.asarray(b_loss)),
-                         int(np.asarray(b_epoch)))
-            best_sel = float(np.asarray(b_sel))
+        if r_best is not None:
+            best_snap, best_sel = r_best, r_sel
         if select_on and resume_snap.sel_base is not None:
             sel_base = jnp.asarray(resume_snap.sel_base)
 
@@ -1592,32 +1623,20 @@ def _fit_blocked(
     epoch = 0
 
     resume_snap = (
-        _load_fit_snapshot(cfg, resume_from) if resume_from is not None
-        else None
+        _load_fit_snapshot(cfg, resume_from, k_block)
+        if resume_from is not None else None
     )
     if resume_snap is not None:
-        # block-boundary resume (boundaries align when the saving run used
-        # the same epochs_per_dispatch — snapshots are written only at
-        # checkpoint_every multiples, which the caller controls)
-        epoch = int(np.asarray(resume_snap.epoch))
         state = resume_snap.state
         key = jnp.asarray(resume_snap.key)
-        warm_up = bool(np.asarray(resume_snap.warm_up))
-        lr = float(np.asarray(resume_snap.lr))
-        running_loss = float(np.asarray(resume_snap.running_loss))
-        plateau_hits = int(np.asarray(resume_snap.plateau_hits))
-        epoch_loss = float(np.asarray(resume_snap.epoch_loss))
-        if bool(np.asarray(resume_snap.demoted)):
+        (epoch, warm_up, lr, running_loss, plateau_hits, epoch_loss,
+         demoted, demote_epoch, repromotes_left, r_best, r_sel
+         ) = _restore_fit_snapshot(resume_snap)
+        if demoted:
             cfg_run = cfg.replace(fused_step="off")
             mega_guard = False
-        de = int(np.asarray(resume_snap.demote_epoch))
-        demote_epoch = None if de < 0 else de
-        repromotes_left = int(np.asarray(resume_snap.repromotes_left))
-        if resume_snap.best is not None:
-            b_state, b_mu, b_lv, b_loss, b_epoch, b_sel = resume_snap.best
-            best_snap = (b_state, b_mu, b_lv, float(np.asarray(b_loss)),
-                         int(np.asarray(b_epoch)))
-            best_sel = float(np.asarray(b_sel))
+        if r_best is not None:
+            best_snap, best_sel = r_best, r_sel
         if select_on and resume_snap.sel_base is not None:
             sel_base = jnp.asarray(resume_snap.sel_base)
         if mesh is not None:
@@ -1780,7 +1799,7 @@ def _fit_blocked(
                 key, state, res, epoch_loss, cfg_run != cfg,
                 demote_epoch, repromotes_left,
                 best_snap if select_on else None, best_sel,
-                sel_base=sel_base if select_on else None,
+                sel_base=sel_base if select_on else None, k_block=k_block,
             ))
 
     if select_on and best_snap is not None:

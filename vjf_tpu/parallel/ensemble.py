@@ -552,6 +552,12 @@ def fit_ensemble(
         from ..utils.checkpoint import load_ensemble_checkpoint
 
         resume_snap = load_ensemble_checkpoint(resume_from)
+        if not isinstance(resume_snap, EnsembleSnapshot):
+            raise ValueError(
+                f"resume_from {resume_from!r} is not a fit_ensemble "
+                f"snapshot (got {type(resume_snap).__name__}); solo-fit "
+                "snapshots resume through fit()"
+            )
         states = resume_snap.states
         keys = jnp.asarray(resume_snap.keys)
 

@@ -169,12 +169,20 @@ def save_ensemble_checkpoint(path: str, snapshot) -> None:
 
 
 def load_ensemble_checkpoint(path: str):
-    """Restore an :func:`save_ensemble_checkpoint` snapshot (leaves come
-    back as jax arrays; the ensemble driver re-hosts its numpy fields)."""
+    """Restore an :func:`save_ensemble_checkpoint` snapshot.
+
+    Leaves come back as NUMPY arrays in their stored dtypes — NOT
+    ``jnp.asarray``'d: under disabled x64 (production f32 mode) that
+    would silently round the snapshot's float64 host scalars (lr,
+    running losses, selection metrics) to f32 and break the bit-exact
+    resume contract the drivers promise. Device-bound leaves (states,
+    posteriors, keys) convert on first use inside the jitted dispatches,
+    preserving their stored dtypes."""
     with np.load(path + ".npz") as data:
         flat = dict(data)
     treedef, n = pickle.loads(flat.pop("__treedef__").tobytes())
-    return _flat_to_tree(flat, treedef, n)
+    leaves = [flat[f"leaf_{i}"] for i in range(n)]
+    return jax.tree_util.tree_unflatten(treedef, leaves)
 
 
 def load_config(path: str) -> VJFConfig:
