@@ -1,5 +1,7 @@
 """Checkpoint exactness: the whole TrainState pytree round-trips bit-exactly
 (fixing the reference's structural inability to checkpoint — SURVEY.md §5)."""
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -421,3 +423,54 @@ def test_solo_resume_masked_sgp_cfg_rewrite(tmp_path, key):
     for a, b in zip(jax.tree_util.tree_leaves(full.state),
                     jax.tree_util.tree_leaves(resumed.state)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_resume_bit_exact_without_x64(tmp_path):
+    """Production mode runs with x64 DISABLED — the conftest forces x64,
+    so this drives a subprocess: snapshot restore must not round the
+    float64 host scalars (lr, running losses, metrics) through f32
+    (review-r4 finding: a jnp-based restore did exactly that)."""
+    import subprocess
+    import sys as _sys
+
+    script = f"""
+import jax
+jax.config.update("jax_platforms", "cpu")
+import numpy as np
+from vjf_tpu.config import VJFConfig
+from vjf_tpu.models import vjf as core
+
+assert not jax.config.jax_enable_x64
+rng = np.random.default_rng(3)
+th = np.cumsum(0.15 + 0.01 * rng.normal(size=60))
+x = np.stack([np.cos(th), np.sin(th)], axis=-1)
+C = rng.normal(size=(8, 2))
+y = ((x @ C.T)[:, None, :] + 0.1 * rng.normal(size=(60, 2, 8))).astype(np.float32)
+cfg = VJFConfig(ydim=8, xdim=2, udim=0, n_rbf=10, hidden_sizes=(6,),
+                likelihood="gaussian", dtype="float32", rtol=1e-9,
+                warmup_max=3, select="forecast", select_horizon=8,
+                select_starts=4)
+key = jax.random.PRNGKey(0)
+state = core.init_state(key, cfg)
+full = core.fit(cfg, state, y, key=key, max_iter=8, donate=False)
+p = {str(tmp_path / 'f32ck')!r}
+core.fit(cfg, state, y, key=key, max_iter=4, donate=False,
+         checkpoint_path=p, checkpoint_every=4)
+res = core.fit(cfg, state, y, key=key, max_iter=8, donate=False,
+               resume_from=p)
+for a, b in zip(jax.tree_util.tree_leaves(full.state),
+                jax.tree_util.tree_leaves(res.state)):
+    assert np.array_equal(np.asarray(a), np.asarray(b)), "state diverged"
+assert full.selected_epoch == res.selected_epoch
+assert full.selected_metric == res.selected_metric
+assert full.lr == res.lr and full.loss == res.loss
+print("F32_RESUME_OK")
+"""
+    env = dict(os.environ)
+    env.pop("JAX_ENABLE_X64", None)
+    out = subprocess.run([_sys.executable, "-c", script],
+                         capture_output=True, text=True, timeout=600,
+                         env=env, cwd=os.path.dirname(os.path.dirname(
+                             os.path.abspath(__file__))))
+    assert "F32_RESUME_OK" in out.stdout, (out.stdout, out.stderr[-2000:])
+
