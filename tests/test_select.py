@@ -165,3 +165,24 @@ def test_select_validation_errors(key):
         core.fit(cfg, st, short, key=key, max_iter=2)
     with pytest.raises(ValueError, match="unknown cfg.select"):
         core.fit(cfg.replace(select="bogus"), st, y, key=key, max_iter=2)
+
+
+def test_select_composes_with_relaxed_sync(key):
+    """select='forecast' on the relaxed-sync mesh path (sync_every != 1):
+    run_epoch_sync_every returns the consistent POST-MERGE state, so the
+    per-epoch snapshot is well-defined — and it is the measured rescue
+    for relaxed sync's forecast damage (VdP K=8 fc 12.2 -> 0.43,
+    docs/RESULTS.md). This pins the composition executes and selects."""
+    from vjf_tpu.parallel import make_mesh
+
+    y = _data(t_len=128)
+    yb = np.repeat(y[:, None, :], 8, axis=1)
+    cfg = VJFConfig(**{**_BASE, "warmup_max": 3},
+                    sync_every=16, rls_shrink=0.999, chol_jitter=1e-3,
+                    select="forecast", select_horizon=10, select_starts=8)
+    mesh = make_mesh(8, axis_names=("dp",))
+    res = core.fit(cfg, core.init_state(key, cfg), yb, key=key,
+                   max_iter=8, mesh=mesh)
+    assert res.selected_epoch is not None
+    assert np.isfinite(res.selected_metric)
+    assert np.all(np.isfinite(np.asarray(res.mu)))

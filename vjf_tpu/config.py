@@ -118,8 +118,10 @@ class VJFConfig:
     # snapshot (state + posteriors) instead of the final one.
     # FitResult.selected_epoch/.selected_metric report the choice. Blocked
     # dispatch modes evaluate at block granularity; fit_ensemble selects
-    # per member. Not supported with masks (rollout windows have no
-    # validity alignment) or the relaxed-sync mesh path.
+    # per member; the relaxed-sync mesh path (sync_every != 1) COMPOSES —
+    # and selection is the measured rescue for its forecast damage (VdP
+    # K=8 fc 12.2 -> 0.43, RESULTS "Relaxed-sync"). Not supported with
+    # masks (rollout windows have no validity alignment).
     select: str = "loss"                  # 'loss' | 'forecast'
     select_horizon: int = 20
     select_starts: int = 32

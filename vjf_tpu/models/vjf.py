@@ -1917,12 +1917,12 @@ def _validate_select(cfg: VJFConfig, mask, channel_mask, mesh,
             "windows have no validity alignment); use select='loss' for "
             "ragged/dropout data"
         )
-    if mesh is not None and cfg.sync_every != 1:
-        raise ValueError(
-            "select='forecast' is not supported on the relaxed-sync mesh "
-            "path (sync_every != 1): the selection snapshot would capture "
-            "un-merged per-chip state"
-        )
+    # relaxed sync (sync_every != 1) composes: run_epoch_sync_every's
+    # returned state is the post-merge (consistent, replicated) state, so
+    # the per-epoch snapshot is well-defined — and selection is exactly
+    # what rescues forecast skill there (measured: frequent merges damage
+    # the long-horizon field while latent R² stays ~0.99; the best-epoch
+    # snapshot predates the damage — docs/RESULTS.md "Relaxed-sync").
     if t_len is not None and t_len < cfg.select_horizon + 2:
         raise ValueError(
             f"select='forecast' needs T >= select_horizon + 2 (got "
