@@ -934,3 +934,35 @@ def test_sync_every_unconditioned_warns(key, caplog):
     with caplog.at_level(logging.WARNING, logger="vjf_tpu"):
         core.fit(cfg2, state2, y, key=key, max_iter=2, mesh=mesh)
     assert not any("pure accumulation" in r.message for r in caplog.records)
+
+
+def test_sync_every_without_forecast_select_warns(key, caplog):
+    """fit(mesh=..., sync_every!=1) without select='forecast' must warn
+    that merges can destroy forecast skill while latents look healthy
+    (r4 VERDICT #6; measured VdP K=8 rollout 12.2 vs 0.91 persistence)."""
+    import logging
+
+    from vjf_tpu.parallel import make_mesh
+
+    rng = np.random.default_rng(0)
+    T, B, ydim = 16, 8, 6
+    y = rng.normal(size=(T, B, ydim)).astype(np.float32)
+    mesh = make_mesh(8, axis_names=("dp",))
+    base = dict(ydim=ydim, xdim=2, udim=0, n_rbf=8, hidden_sizes=(5,),
+                likelihood="gaussian", dtype="float32", rls_backend="nsv",
+                sync_every=8, warmup_max=1, rls_shrink=0.999,
+                chol_jitter=1e-3)
+    cfg = VJFConfig(**base)
+    state = core.init_state(key, cfg)
+    with caplog.at_level(logging.WARNING, logger="vjf_tpu"):
+        core.fit(cfg, state, y, key=key, max_iter=2, mesh=mesh)
+    assert any("forecast" in r.message for r in caplog.records)
+
+    caplog.clear()
+    cfg2 = VJFConfig(**base, select="forecast", select_horizon=3,
+                     select_starts=4)
+    state2 = core.init_state(key, cfg2)
+    with caplog.at_level(logging.WARNING, logger="vjf_tpu"):
+        core.fit(cfg2, state2, y, key=key, max_iter=2, mesh=mesh)
+    assert not any("destroy forecast skill" in r.message
+                   for r in caplog.records)

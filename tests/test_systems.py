@@ -243,3 +243,19 @@ def test_multistep_refine_improves_rollout_consistency(key):
     u = np.zeros((y.shape[0], 1))
     with pytest.raises(ValueError, match="autonomous"):
         core.fit(cfg3, st3, y, u, key=key, max_iter=12)
+
+
+def test_multistep_refine_deprecation_warns(key):
+    """cfg.multistep_refine is deprecated (r5: measured-negative A/B,
+    superseded by select='forecast') — fit() must say so."""
+    import pytest as _pytest
+
+    rng = np.random.default_rng(0)
+    y = rng.normal(size=(12, 4, 5)).astype(np.float32)
+    cfg = VJFConfig(ydim=5, xdim=2, udim=0, n_rbf=6, hidden_sizes=(4,),
+                    likelihood="gaussian", dtype="float32",
+                    rls_backend="nsv", warmup_max=1,
+                    multistep_refine=3)
+    state = core.init_state(key, cfg)
+    with _pytest.warns(DeprecationWarning, match="multistep_refine"):
+        core.fit(cfg, state, y, key=key, max_iter=2)

@@ -266,6 +266,9 @@ class VJF:
         masks=None,
         channel_masks=None,
         chunks_per_dispatch: int = 1,
+        checkpoint_path: Optional[str] = None,
+        checkpoint_every: int = 0,
+        resume_from: Optional[str] = None,
     ):
         """Stream chunks of observations through the fused filter-then-learn
         scan, carrying the posterior across chunk boundaries.
@@ -308,26 +311,71 @@ class VJF:
         materialized), and the hot-tau demotion check resolves once per
         K-block instead of once per chunk. A final short block (stream
         end or tail chunk) flushes through the one-chunk path.
+
+        ``checkpoint_path`` + ``checkpoint_every=N``: persist the COMPLETE
+        stream loop state (:class:`vjf_tpu.models.vjf.StreamSnapshot`:
+        TrainState, PRNG chain, lr, posterior carry, demotion machinery,
+        stream position) every >= N consumed chunks — at chunk boundaries
+        (block boundaries in the K-block mode), atomically (single-file,
+        fsync'd). ``resume_from``: path to such a snapshot; the resumed
+        stream is BIT-identical to the uninterrupted one, including the
+        K-block ``ns_prefix=0`` continuation contract. The caller
+        re-positions ``chunks`` (and the side iterables) at
+        ``StreamSnapshot.chunks_done`` — chunks before that index were
+        already consumed by the saving run. ``warm_up``,
+        ``chunks_per_dispatch``, and the config must match the saving run
+        (validated). Snapshots embed a pickled treedef — load only
+        trusted files (the ``torch.load`` trust model).
         """
         from itertools import repeat
 
         from .models import vjf as core
 
+        if checkpoint_path is None and checkpoint_every > 0:
+            raise ValueError("checkpoint_every requires checkpoint_path")
+        if checkpoint_path is not None and checkpoint_every <= 0:
+            raise ValueError(
+                "checkpoint_path requires checkpoint_every = N > 0 chunks"
+            )
         if chunks_per_dispatch > 1:
             yield from self._filter_stream_blocked(
                 chunks, int(chunks_per_dispatch), warm_up=warm_up,
                 valid_fn=valid_fn, controls=controls, masks=masks,
                 channel_masks=channel_masks,
+                checkpoint_path=checkpoint_path,
+                checkpoint_every=checkpoint_every, resume_from=resume_from,
             )
             return
 
         cfg = self.cfg
+        chunks_done = 0
+        last_saved = 0
+        resume_q = None
+        resume_first_checked = False
+        resume_pending = None
+        resume_demoted = False
+        if resume_from is not None:
+            # restore BEFORE flags (decoder_frozen feeds them); leaves
+            # stay numpy (jnp restore under x64-off rounds f64 host
+            # scalars — the FitSnapshot lesson, CLAUDE.md perf notes)
+            snap = core._load_stream_snapshot(cfg, resume_from, 1, warm_up)
+            chunks_done = last_saved = int(np.asarray(snap.chunks_done))
+            self.state = snap.state
+            self.key = snap.key
+            self._lr = float(np.asarray(snap.lr))
+            self._decoder_frozen = bool(np.asarray(snap.decoder_frozen))
+            if snap.q_mean is not None:
+                resume_q = Gaussian(snap.q_mean, snap.q_logvar)
+            resume_first_checked = bool(np.asarray(snap.first_checked))
+            ph = float(np.asarray(snap.pending_hot))
+            resume_pending = None if ph < 0 else ph
+            resume_demoted = bool(np.asarray(snap.demoted))
         flags = StepFlags(
             sgd=True, update=True, warm_up=warm_up,
             train_decoder=not self._decoder_frozen,
         )
         run = jax.jit(core.run_epoch, static_argnames=("cfg", "flags"))
-        q = None
+        q = resume_q
         # hot-tau demotion for streams (same policy as fit(): the mega
         # kernel soundly DROPS samples whose NSV trace bound exceeds the
         # escalation ceiling, so a pervasively hot stream regime — measured
@@ -335,6 +383,11 @@ class VJF:
         # must fall back to the XLA epoch or the dynamics silently stop
         # learning from most of the data)
         mega_guard = cfg.fused_epoch == "mega"
+        if resume_demoted:
+            # the saving run had demoted the stream to the XLA path —
+            # a regime property, carried so resume stays bit-exact
+            cfg = cfg.replace(fused_step="off")
+            mega_guard = False
         # The first eligible chunk is checked SYNCHRONOUSLY (hot regimes are
         # a physics property of the update size — B=1 SGP is hot from step
         # one — so they show on the first chunk) and re-run on the XLA path
@@ -345,13 +398,33 @@ class VJF:
         # mid-stream regime change therefore trains up to two chunks on the
         # lossy-but-sound mega path (skipped samples, consistent state)
         # before the demotion sticks — logged when it happens.
-        first_checked = False
-        pending_hot = None                     # device scalar, prev chunk
+        first_checked = resume_first_checked
+        pending_hot = resume_pending           # device scalar, prev chunk
         if cfg.udim > 0 and controls is None:
             raise ValueError(
                 f"filter_stream: the model has udim={cfg.udim} — pass "
                 "`controls=` (one (chunk_len, B, udim) array per chunk)"
             )
+
+        def _maybe_save():
+            nonlocal last_saved
+            if (checkpoint_path is None
+                    or chunks_done - last_saved < checkpoint_every):
+                return
+            from .utils.checkpoint import save_ensemble_checkpoint
+
+            snap = core._make_stream_snapshot(
+                self.cfg, chunks_done, self.state, self.key, self._lr, q,
+                warm_up, self._decoder_frozen,
+                demoted=(cfg.fused_step == "off"
+                         and self.cfg.fused_step != "off"),
+                first_checked=first_checked,
+                pending_hot=(None if pending_hot is None
+                             else float(pending_hot)),
+                k_block=1,
+            )
+            save_ensemble_checkpoint(checkpoint_path, snap)
+            last_saved = chunks_done
         u_it = iter(controls) if controls is not None else repeat(None)
         m_it = iter(masks) if masks is not None else repeat(None)
         cm_it = iter(channel_masks) if channel_masks is not None else repeat(None)
@@ -452,6 +525,8 @@ class VJF:
                         )
             self.state = result.state
             q = Gaussian(result.q_means[-1], result.q_logvars[-1])
+            chunks_done += 1
+            _maybe_save()
             yield result
         _final_hot_check(pending_hot)
 
@@ -503,7 +578,18 @@ class VJF:
         if m is not None:
             if isinstance(m, np.ndarray):
                 # nonzero -> 1 preserves the bool semantics filter_step
-                # applies (a plain uint8 cast would turn 0.5 into 0)
+                # applies (a plain uint8 cast would turn 0.5 into 0).
+                # Fractional values would change meaning on this wire
+                # (device arrays keep them as weights) — refuse instead
+                # of silently coercing (r4 advisor finding).
+                if m.dtype.kind == "f" and not np.isin(
+                    m[np.isfinite(m)], (0.0, 1.0)
+                ).all():
+                    raise ValueError(
+                        "filter_stream: numpy masks must be binary 0/1 "
+                        "(the uint8 wire format cannot carry fractional "
+                        "weights); pass a jax array to use weights"
+                    )
                 m = np.not_equal(m, 0).astype(np.uint8)
                 if m.ndim == 1:
                     m = m[:, None]
@@ -513,6 +599,15 @@ class VJF:
                 m = core._promote_mask(m, t_len, n_batch, cfg.jdtype)
         if cm is not None:
             if isinstance(cm, np.ndarray):
+                if cm.dtype.kind == "f" and not np.isin(
+                    cm[np.isfinite(cm)], (0.0, 1.0)
+                ).all():
+                    raise ValueError(
+                        "filter_stream: numpy channel_masks must be "
+                        "binary 0/1 (the uint8 wire format cannot carry "
+                        "fractional weights); pass a jax array to use "
+                        "weights"
+                    )
                 cm = np.not_equal(cm, 0).astype(np.uint8)
                 if cm.ndim == 2:
                     cm = cm[:, None, :]
@@ -562,6 +657,9 @@ class VJF:
         controls,
         masks,
         channel_masks,
+        checkpoint_path=None,
+        checkpoint_every: int = 0,
+        resume_from=None,
     ):
         """K-chunk pipeline mode of :meth:`filter_stream` (see its
         docstring): stack K full chunks, one ``run_chunks`` scan dispatch,
@@ -572,16 +670,39 @@ class VJF:
         from .models import vjf as core
 
         cfg = self.cfg
+        chunks_done = 0
+        last_saved = 0
+        resume_q = None
+        resume_first_checked = False
+        resume_pending = None
+        resume_demoted = False
+        if resume_from is not None:
+            snap = core._load_stream_snapshot(cfg, resume_from, k_block,
+                                              warm_up)
+            chunks_done = last_saved = int(np.asarray(snap.chunks_done))
+            self.state = snap.state
+            self.key = snap.key
+            self._lr = float(np.asarray(snap.lr))
+            self._decoder_frozen = bool(np.asarray(snap.decoder_frozen))
+            if snap.q_mean is not None:
+                resume_q = Gaussian(snap.q_mean, snap.q_logvar)
+            resume_first_checked = bool(np.asarray(snap.first_checked))
+            ph = float(np.asarray(snap.pending_hot))
+            resume_pending = None if ph < 0 else ph
+            resume_demoted = bool(np.asarray(snap.demoted))
         flags = StepFlags(
             sgd=True, update=True, warm_up=warm_up,
             train_decoder=not self._decoder_frozen,
         )
         run_blk = jax.jit(core.run_chunks, static_argnames=("cfg", "flags"))
         run_one = jax.jit(core.run_epoch, static_argnames=("cfg", "flags"))
-        q = None
+        q = resume_q
         mega_guard = cfg.fused_epoch == "mega"
-        first_checked = False
-        pending_hot = None
+        if resume_demoted:
+            cfg = cfg.replace(fused_step="off")
+            mega_guard = False
+        first_checked = resume_first_checked
+        pending_hot = resume_pending
         if cfg.udim > 0 and controls is None:
             raise ValueError(
                 f"filter_stream: the model has udim={cfg.udim} — pass "
@@ -606,6 +727,29 @@ class VJF:
                 cfg = cfg.replace(fused_step="off")
                 mega_guard = False
 
+        def _maybe_save():
+            # block-boundary-only saves (buf empty when called): resume
+            # re-forms blocks from the boundary, preserving the key-split
+            # and ns_prefix=0 continuation contract exactly
+            nonlocal last_saved
+            if (checkpoint_path is None
+                    or chunks_done - last_saved < checkpoint_every):
+                return
+            from .utils.checkpoint import save_ensemble_checkpoint
+
+            snap = core._make_stream_snapshot(
+                self.cfg, chunks_done, self.state, self.key, self._lr, q,
+                warm_up, self._decoder_frozen,
+                demoted=(cfg.fused_step == "off"
+                         and self.cfg.fused_step != "off"),
+                first_checked=first_checked,
+                pending_hot=(None if pending_hot is None
+                             else float(pending_hot)),
+                k_block=k_block,
+            )
+            save_ensemble_checkpoint(checkpoint_path, snap)
+            last_saved = chunks_done
+
         def _flush_block(buf):
             """One run_chunks dispatch over len(buf) <= k_block chunks.
 
@@ -616,6 +760,7 @@ class VJF:
             regime change (measured: the prefix cost ~26% of every chunk
             for protection only the stream's FIRST chunk needs)."""
             nonlocal q, first_checked, pending_hot, cfg, mega_guard
+            nonlocal chunks_done
             cfg_blk = cfg.replace(ns_prefix=0)
             if all(isinstance(b[0], np.ndarray) for b in buf):
                 # host chunks: ONE stacked wire-dtype transfer per block —
@@ -653,6 +798,11 @@ class VJF:
                 pending_hot = res.hot_frac       # fetched next block
             self.state = res.state
             q = Gaussian(res.q_last.mean, res.q_last.logvar)
+            # advance + save BEFORE yielding: a consumer that abandons
+            # the generator mid-block must still find the boundary
+            # snapshot on disk
+            chunks_done += len(buf)
+            _maybe_save()
             for i in range(len(buf)):
                 yield core.EpochResult(
                     state=self.state,
@@ -725,6 +875,8 @@ class VJF:
                         )
                 self.state = result.state
                 q = Gaussian(result.q_means[-1], result.q_logvars[-1])
+                chunks_done += 1
+                _maybe_save()
                 yield result
                 continue
             buf.append((chunk, uc, m, cm))

@@ -84,7 +84,12 @@ class VJFConfig:
     # outside any sane noise scale, so parity is unaffected.
     logvar_clamp: float = 30.0
 
-    # --- forecast-skill training (opt-in; no reference counterpart) ---
+    # --- forecast-skill training (DEPRECATED r5; no reference counterpart)
+    # The honest A/B is negative (VdP 20-step forecast RMSE 0.257->0.279
+    # WORSE, Lorenz ~1% — docs/RESULTS.md "Forecast-skill training");
+    # select='forecast' below wins on both systems with zero quality risk.
+    # fit()/fit_ensemble() emit a DeprecationWarning when it is enabled;
+    # the knob will be removed in a future release. ---
     # The one-step filtering objective optimizes next-step prediction;
     # long-horizon forecasts degrade with extended training (measured —
     # docs/RESULTS.md "Task quality": the plateau stop acts as an

@@ -843,6 +843,93 @@ def _restore_fit_snapshot(snap: FitSnapshot):
     )
 
 
+class StreamSnapshot(NamedTuple):
+    """The COMPLETE :meth:`vjf_tpu.api.VJF.filter_stream` loop state at a
+    chunk (or K-block) boundary — the streaming mirror of
+    :class:`FitSnapshot` (r5, VERDICT r4 #3: an interrupted unbounded
+    stream must not lose everything). Persisted via
+    ``utils.checkpoint.save_ensemble_checkpoint`` (atomic single-file
+    pytree). Resume is BIT-exact: the restored run continues the PRNG
+    chain, posterior carry, lr, demotion machinery, and the K-block
+    prefix-free contract exactly where the saving run stopped — the
+    caller re-positions the chunk stream at ``chunks_done``.
+    """
+
+    chunks_done: object     # chunks fully consumed (stream position)
+    state: object           # TrainState
+    key: object             # the driver PRNG chain (VJF.key)
+    lr: object
+    q_mean: object          # posterior carry (last step) — None before
+    q_logvar: object        #   the first chunk completes
+    warm_up: object         # stream-level flag (validated on resume)
+    decoder_frozen: object
+    demoted: object         # hot-tau demotion applied (fused_step off)
+    first_checked: object   # the first-chunk synchronous check ran
+    pending_hot: object     # resolved hot-fraction awaiting its program
+    #                         point (-1.0 encodes None) — resolving it at
+    #                         save time is a pure read; applying it at
+    #                         the SAME point keeps demotion timing
+    #                         bit-identical to the uninterrupted stream
+    k_block: object         # chunks_per_dispatch of the saving run
+    cfg_digest: object
+
+
+def _make_stream_snapshot(cfg, chunks_done, state, key, lr, q, warm_up,
+                          decoder_frozen, demoted, first_checked,
+                          pending_hot, k_block):
+    from ..utils.checkpoint import config_digest
+
+    return StreamSnapshot(
+        chunks_done=np.int64(chunks_done), state=state, key=key,
+        lr=np.float64(lr),
+        q_mean=None if q is None else q.mean,
+        q_logvar=None if q is None else q.logvar,
+        warm_up=np.bool_(warm_up), decoder_frozen=np.bool_(decoder_frozen),
+        demoted=np.bool_(demoted), first_checked=np.bool_(first_checked),
+        pending_hot=np.float64(
+            -1.0 if pending_hot is None else float(pending_hot)
+        ),
+        k_block=np.int64(k_block), cfg_digest=config_digest(cfg),
+    )
+
+
+def _load_stream_snapshot(cfg, resume_from: str, k_block: int,
+                          warm_up: bool) -> StreamSnapshot:
+    from ..utils.checkpoint import config_digest, load_ensemble_checkpoint
+
+    snap = load_ensemble_checkpoint(resume_from)
+    if not isinstance(snap, StreamSnapshot):
+        raise ValueError(
+            f"resume_from {resume_from!r} is not a filter_stream snapshot "
+            f"(got {type(snap).__name__})"
+        )
+    # unconditional validation (r4 advisor finding on the ensemble
+    # twin): a snapshot missing its fields is rejected, not trusted
+    if snap.cfg_digest is None or snap.k_block is None:
+        raise ValueError(
+            "resume_from snapshot is missing validation fields — "
+            "refusing to resume an unvalidatable snapshot"
+        )
+    if not np.array_equal(np.asarray(snap.cfg_digest), config_digest(cfg)):
+        raise ValueError(
+            "resume_from snapshot was saved under a different config; "
+            "resume with the same cfg"
+        )
+    if int(np.asarray(snap.k_block)) != k_block:
+        raise ValueError(
+            f"resume_from snapshot was saved with chunks_per_dispatch="
+            f"{int(np.asarray(snap.k_block))}; resuming with {k_block} "
+            "would change block formation and the key chain (not bit-exact)"
+        )
+    if bool(np.asarray(snap.warm_up)) != bool(warm_up):
+        raise ValueError(
+            "resume_from snapshot was saved with warm_up="
+            f"{bool(np.asarray(snap.warm_up))}; this call passes "
+            f"warm_up={bool(warm_up)}"
+        )
+    return snap
+
+
 def wire_put(y, jdtype) -> Array:
     """device_put ``y`` in its wire dtype: native when NARROWER than
     ``jdtype`` (uint8 spike counts ride the host->device link at 1/4 the
@@ -1004,6 +1091,23 @@ def fit(
             "multistep_refine supports autonomous, unmasked fits only "
             "(the rollout has no control/validity alignment)"
         )
+    if cfg.multistep_refine > 0:
+        # DEPRECATED (r5, VERDICT r4 #7): the honest A/B says don't use
+        # it — VdP 20-step forecast RMSE 0.257 -> 0.279 (WORSE), Lorenz
+        # ~1% (docs/RESULTS.md "Forecast-skill training"), while
+        # select='forecast' wins on both (VdP 0.468->0.445, Lorenz
+        # 2.069->1.991) at zero quality risk (training bit-identical).
+        import warnings
+
+        warnings.warn(
+            "cfg.multistep_refine is deprecated: the measured A/B shows "
+            "it does not improve (VdP: worsens) long-horizon forecasts; "
+            "use cfg.select='forecast' instead (docs/RESULTS.md "
+            "'Forecast-skill training'). The knob will be removed in a "
+            "future release.",
+            DeprecationWarning,
+            stacklevel=2,
+        )
     select_on = _validate_select(cfg, mask, channel_mask, mesh)
     if resume_from is not None and noise_hook is not None:
         raise ValueError("resume_from and noise_hook are mutually exclusive")
@@ -1066,6 +1170,20 @@ def fit(
         and cfg.fused_epoch == "mega"
         and _fused.fused_enabled(cfg, state, n_batch=local_batch)
     )
+    if cfg.dynamics_update != "rls" and not mega_possible:
+        # performance-envelope notice (r4 VERDICT #8): the fused/mega
+        # kernels implement the RLS learner only — the kalman
+        # (weight-diffusion) variant runs the plain XLA epoch at ~8.7k
+        # steps/s on the flagship config vs ~150k fused (docs/RESULTS.md
+        # "kalman variant"). It is a parity/diagnostic path, not a
+        # production one.
+        logger.info(
+            "dynamics_update=%r runs the XLA-only epoch path (the "
+            "fused/mega kernels implement the RLS learner only): expect "
+            "~17x lower throughput than the default 'rls' fused path "
+            "(measured ~8.7k vs ~150k steps/s on the flagship config).",
+            cfg.dynamics_update,
+        )
     # select='forecast' keeps per-epoch snapshots alive PAST later epoch
     # dispatches — donation would invalidate the best snapshot's buffers
     # the moment the next epoch runs (same hazard class as the demotion
@@ -1095,6 +1213,25 @@ def fit(
                 "(e.g. 1e-3); cfg.sync_trust damping is active but only "
                 "bounds the per-merge step, not the accumulation.",
                 cfg.sync_every, local_batch,
+            )
+        if cfg.select != "forecast":
+            # measured r4 (docs/RESULTS.md "Relaxed-sync"): even fully
+            # guarded (shrink+jitter+sync_trust), frequent merges can
+            # destroy FORECAST skill on fast-dynamics systems while
+            # latents stay pristine (VdP K=8 rollout RMSE 12.2 vs 0.91
+            # persistence; latent R² healthy — trap 23/24's "recognition
+            # masks dynamics damage" at the parallelism level).
+            # select='forecast' snapshots the consistent post-merge state
+            # before the damage accrues (12.2 -> 0.43, beats persistence).
+            logger.warning(
+                "sync_every=%d without select='forecast': relaxed-sync "
+                "merges can destroy forecast skill while latent "
+                "reconstruction looks healthy (measured: VdP K=8 rollout "
+                "RMSE 12.2 vs 0.91 persistence). Set cfg.select="
+                "'forecast' to snapshot the best post-merge state, or "
+                "gate your own quality checks on forecast skill, never "
+                "latent R².",
+                cfg.sync_every,
             )
         from ..parallel import shard_data, shard_state
         from ..parallel.sharded import run_epoch_sync_every

@@ -603,6 +603,19 @@ def fit_ensemble(
             "multistep_refine supports autonomous, unmasked fits only "
             "(the rollout has no control/validity alignment)"
         )
+    if cfg.multistep_refine > 0:
+        import warnings
+
+        # deprecated (r5): measured-negative — see solo fit()'s warning
+        warnings.warn(
+            "cfg.multistep_refine is deprecated: the measured A/B shows "
+            "it does not improve (VdP: worsens) long-horizon forecasts; "
+            "use cfg.select='forecast' instead (docs/RESULTS.md "
+            "'Forecast-skill training'). The knob will be removed in a "
+            "future release.",
+            DeprecationWarning,
+            stacklevel=2,
+        )
 
     if mesh is not None:
         from .replicated import shard_ensemble
@@ -617,28 +630,37 @@ def fit_ensemble(
     if resume_snap is not None:
         # validate the snapshot against THIS call — a mismatched resume
         # (different member count / dispatch blocking / config) would
-        # silently break the bit-exact-resume contract, not error
-        if resume_snap.n_models is not None:
-            snap_n = int(np.asarray(resume_snap.n_models))
-            if snap_n != n_models:
-                raise ValueError(
-                    f"resume_from snapshot has {snap_n} members; this "
-                    f"call passes states for {n_models}"
-                )
-            snap_k = int(np.asarray(resume_snap.k_block))
-            if snap_k != int(epochs_per_dispatch):
-                raise ValueError(
-                    f"resume_from snapshot was saved with "
-                    f"epochs_per_dispatch={snap_k}; resuming with "
-                    f"{int(epochs_per_dispatch)} would change the member "
-                    "key-split and plateau-replay cadence (not bit-exact)"
-                )
-            if not np.array_equal(np.asarray(resume_snap.cfg_digest),
-                                  _cfg_digest(cfg)):
-                raise ValueError(
-                    "resume_from snapshot was saved under a different "
-                    "config; resume with the same cfg"
-                )
+        # silently break the bit-exact-resume contract, not error.
+        # Validation is UNCONDITIONAL: a snapshot missing these fields
+        # (hand-edited, truncated, future format) is rejected rather than
+        # resumed unvalidated (r4 advisor finding).
+        if (resume_snap.n_models is None or resume_snap.k_block is None
+                or resume_snap.cfg_digest is None):
+            raise ValueError(
+                "resume_from snapshot is missing validation fields "
+                "(n_models/k_block/cfg_digest) — refusing to resume an "
+                "unvalidatable snapshot"
+            )
+        snap_n = int(np.asarray(resume_snap.n_models))
+        if snap_n != n_models:
+            raise ValueError(
+                f"resume_from snapshot has {snap_n} members; this "
+                f"call passes states for {n_models}"
+            )
+        snap_k = int(np.asarray(resume_snap.k_block))
+        if snap_k != int(epochs_per_dispatch):
+            raise ValueError(
+                f"resume_from snapshot was saved with "
+                f"epochs_per_dispatch={snap_k}; resuming with "
+                f"{int(epochs_per_dispatch)} would change the member "
+                "key-split and plateau-replay cadence (not bit-exact)"
+            )
+        if not np.array_equal(np.asarray(resume_snap.cfg_digest),
+                              _cfg_digest(cfg)):
+            raise ValueError(
+                "resume_from snapshot was saved under a different "
+                "config; resume with the same cfg"
+            )
 
     tracker = None
     if select_on:

@@ -165,11 +165,32 @@ def save_ensemble_checkpoint(path: str, snapshot) -> None:
     tmp = path + ".npz.tmp"
     with open(tmp, "wb") as f:
         np.savez(f, **flat)
+        # flush+fsync before the rename: os.replace alone is atomic vs
+        # process kills, but on power loss some filesystems persist the
+        # rename with truncated content — fsync makes the data durable
+        # before it can become the checkpoint
+        f.flush()
+        os.fsync(f.fileno())
     os.replace(tmp, path + ".npz")  # atomic: never a torn checkpoint
+    # fsync the directory so the rename itself is durable
+    try:
+        dfd = os.open(os.path.dirname(os.path.abspath(path)) or ".", os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
+    except OSError:
+        pass  # best-effort (some filesystems disallow directory fsync)
 
 
 def load_ensemble_checkpoint(path: str):
     """Restore an :func:`save_ensemble_checkpoint` snapshot.
+
+    .. warning:: Snapshot files embed a pickled pytree treedef, and
+       unpickling executes arbitrary code (the same trust model as
+       ``torch.load``): only load snapshots you (or a process you trust)
+       wrote. ``fit``/``fit_ensemble`` ``resume_from=`` inherit this
+       requirement.
 
     Leaves come back as NUMPY arrays in their stored dtypes — NOT
     ``jnp.asarray``'d: under disabled x64 (production f32 mode) that
