@@ -718,3 +718,27 @@ def test_smooth_controls_drive_recovery(key):
                                np.asarray(sm.means), rtol=1e-7, atol=1e-9)
     np.testing.assert_allclose(np.asarray(smb.means[:, 1]),
                                np.asarray(sm0.means), rtol=1e-7, atol=1e-9)
+
+
+def test_gj_inverse_matches_linalg_inv():
+    """The unrolled Gauss-Jordan inverse (r5: replaces batched
+    lax.linalg solves in the hot scan path — see _gj_inverse's perf
+    note) must match jnp.linalg.inv including cases that REQUIRE
+    pivoting, in both dtypes."""
+    from vjf_tpu.ops.pkalman import _gj_inverse
+
+    rng = np.random.default_rng(7)
+    m = np.eye(10) + 0.3 * rng.normal(size=(40, 10, 10))
+    got = np.asarray(_gj_inverse(jnp.asarray(m)))
+    np.testing.assert_allclose(got, np.linalg.inv(m), rtol=1e-9,
+                               atol=1e-11)
+    # zero leading pivot: unpivoted elimination would divide by zero
+    perm = np.array([[0.0, 1.0], [1.0, 0.0]])
+    got = np.asarray(_gj_inverse(jnp.asarray(perm[None])))
+    np.testing.assert_allclose(got, perm[None], atol=1e-15)
+    # f32 batch, moderately conditioned SPD (the Laplace working regime)
+    a = rng.normal(size=(64, 10, 10)).astype(np.float32) * 0.1
+    spd = a @ np.swapaxes(a, -1, -2) + np.eye(10, dtype=np.float32)
+    got32 = np.asarray(_gj_inverse(jnp.asarray(spd)))
+    resid = got32 @ spd - np.eye(10, dtype=np.float32)
+    assert np.abs(resid).max() < 1e-4

@@ -37,6 +37,53 @@ class SmoothResult(NamedTuple):
     covs: Array
 
 
+def _gj_inverse(m):
+    """Batched inverse of SMALL (n <= ~16) matrices via UNROLLED
+    Gauss-Jordan with partial pivoting — pure batched elementwise/gather
+    XLA ops, no ``lax.linalg`` primitive anywhere.
+
+    Why: on TPU, batched small-matrix LU is effectively a serialized
+    per-matrix loop — ONE ``jnp.linalg.solve`` of (38400, 10, 10) systems
+    measured 134 ms on-chip (~3.5 us per 10x10 matrix, ~100x off memory
+    bandwidth), and the associative-scan combine runs two of them per
+    scan level. The unrolled form is ~n passes of full-batch elementwise
+    work (memory-bandwidth grade) and fuses into the surrounding scan.
+    Partial pivoting keeps it LU-stable; the explicit-inverse-then-matmul
+    application is accurate here because every consumer pins its
+    application matmuls to full f32 precision (CLAUDE.md traps 8/10) and
+    the combine's matrices ``I + C J`` have eigenvalues >= 1.
+    """
+    n = m.shape[-1]
+    eye = jnp.eye(n, dtype=m.dtype)
+    aug = jnp.concatenate([m, jnp.broadcast_to(eye, m.shape)], axis=-1)
+    rows = jnp.arange(n)
+    for k in range(n):
+        # partial pivot: strongest remaining row in column k
+        col = jnp.abs(aug[..., :, k])
+        col = jnp.where(rows >= k, col, -jnp.inf)          # only rows >= k
+        p = jnp.argmax(col, axis=-1)                        # (...,)
+        pk = p[..., None]
+        rows_b = jnp.broadcast_to(rows, aug.shape[:-2] + (n,))
+        swapped = jnp.where(rows_b == k, pk,
+                            jnp.where(rows_b == pk, k, rows_b))
+        aug = jnp.take_along_axis(aug, swapped[..., None], axis=-2)
+        # normalize pivot row, eliminate column k from every other row
+        prow = aug[..., k:k + 1, :] / aug[..., k:k + 1, k:k + 1]
+        fac = aug[..., :, k:k + 1]
+        aug = jnp.where((rows == k)[:, None], prow, aug - fac * prow)
+    return aug[..., :, n:]
+
+
+_PHIGH = jax.lax.Precision.HIGHEST
+
+
+def _apply(minv, rhs):
+    """Explicit-inverse application at FULL f32 precision (the result
+    feeds covariance/information recursions across the scan — default
+    bf16 matmul passes are the trap-8/10 failure mode)."""
+    return jnp.matmul(minv, rhs, precision=_PHIGH)
+
+
 def _broadcast_a(a, t_len):
     """Accept a time-invariant (x, x) or per-step (T, x, x) transition."""
     if a.ndim == 2:
@@ -73,11 +120,15 @@ def _filter_elements(a, q, h, r, m0, p0, ys, b=None):
         c_el = i_kh @ q
         hs_inv_h = h.T @ jax.scipy.linalg.cho_solve(s_chol, h)
 
+        c_el = 0.5 * (c_el + c_el.T)   # exact-arith symmetric; pin it
+        hs_inv_h = 0.5 * (hs_inv_h + hs_inv_h.T)
+
         def generic(a_t, b_t, y):
             innov = y - h @ b_t
             b_out = i_kh @ b_t + k @ y
             eta = a_t.T @ h.T @ jax.scipy.linalg.cho_solve(s_chol, innov)
-            return i_kh @ a_t, b_out, c_el, eta, a_t.T @ hs_inv_h @ a_t
+            j_t = a_t.T @ hs_inv_h @ a_t
+            return i_kh @ a_t, b_out, c_el, eta, 0.5 * (j_t + j_t.T)
 
         a_g, b_g, c_g, eta_g, j_g = jax.vmap(generic)(a_seq, b_seq, ys)
     else:
@@ -90,7 +141,9 @@ def _filter_elements(a, q, h, r, m0, p0, ys, b=None):
             b_out = i_kh_t @ b_t + k_t @ y
             eta = a_t.T @ h.T @ jax.scipy.linalg.cho_solve(s_t, innov)
             j_t = a_t.T @ (h.T @ jax.scipy.linalg.cho_solve(s_t, h)) @ a_t
-            return i_kh_t @ a_t, b_out, i_kh_t @ q, eta, j_t
+            c_t = i_kh_t @ q
+            return (i_kh_t @ a_t, b_out, 0.5 * (c_t + c_t.T), eta,
+                    0.5 * (j_t + j_t.T))
 
         a_g, b_g, c_g, eta_g, j_g = jax.vmap(generic_t)(a_seq, b_seq, ys, r)
 
@@ -105,6 +158,7 @@ def _filter_elements(a, q, h, r, m0, p0, ys, b=None):
     a1 = jnp.zeros((xdim, xdim), q.dtype)
     b1 = m1m + k1 @ (ys[0] - h @ m1m)
     c1 = (eye - k1 @ h) @ p1m
+    c1 = 0.5 * (c1 + c1.T)
     eta1 = jnp.zeros((xdim,), q.dtype)
     j1 = jnp.zeros((xdim, xdim), q.dtype)
 
@@ -145,17 +199,27 @@ def _filter_elements_diag(a, q, h, r, m0, p0, ys, b=None):
     y_safe = jnp.where(w > 0, ys, 0.0)                        # NaN-safe
     z = (w * y_safe) @ h                                      # (T, xdim)
     phi = jnp.einsum("ty,yi,yj->tij", w, h, h)                # (T, x, x)
-    q_inv = jnp.linalg.inv(q)
+    q_inv = _gj_inverse(q)
 
     def generic(a_t, b_t, phi_t, z_t):
+        # ONE unrolled-GJ inverse + a stacked full-precision application
+        # replaces three independent LU factorizations (batched small
+        # linalg is the costliest primitive in this module on TPU — see
+        # _gj_inverse's perf note)
         m = q_inv + phi_t
-        kh = jnp.linalg.solve(m, phi_t)                       # K_t H
+        m_inv = _gj_inverse(m)
+        rhs = jnp.concatenate(
+            [phi_t, z_t[:, None], (z_t - phi_t @ b_t)[:, None]], axis=-1
+        )
+        sol = _apply(m_inv, rhs)
+        kh = sol[:, :xdim]                                    # K_t H
         i_kh = eye - kh
-        b_out = i_kh @ b_t + jnp.linalg.solve(m, z_t)
-        eta = a_t.T @ (q_inv @ jnp.linalg.solve(m, z_t - phi_t @ b_t))
+        b_out = i_kh @ b_t + sol[:, xdim]
+        eta = a_t.T @ (q_inv @ sol[:, xdim + 1])
         j = a_t.T @ (q_inv @ kh) @ a_t
         j = 0.5 * (j + j.T)
-        return i_kh @ a_t, b_out, i_kh @ q, eta, j
+        c_t = i_kh @ q
+        return i_kh @ a_t, b_out, 0.5 * (c_t + c_t.T), eta, j
 
     a_g, b_g, c_g, eta_g, j_g = jax.vmap(generic)(a_seq, b_seq, phi, z)
 
@@ -163,8 +227,8 @@ def _filter_elements_diag(a, q, h, r, m0, p0, ys, b=None):
     a0 = a_seq[0]
     m1m = a0 @ m0 + b_seq[0]
     p1m = a0 @ p0 @ a0.T + q
-    p1m_inv = jnp.linalg.inv(p1m)
-    c1 = jnp.linalg.inv(p1m_inv + phi[0])
+    p1m_inv = _gj_inverse(p1m)
+    c1 = _gj_inverse(p1m_inv + phi[0])
     c1 = 0.5 * (c1 + c1.T)
     b1 = c1 @ (p1m_inv @ m1m + z[0])
     a1 = jnp.zeros((xdim, xdim), q.dtype)
@@ -181,25 +245,45 @@ def _filter_elements_diag(a, q, h, r, m0, p0, ys, b=None):
 
 
 def _filter_combine(ei, ej):
-    """(A,b,C,eta,J)_i then _j — eq. 9 of the paper (batched over scan)."""
+    """(A,b,C,eta,J)_i then _j — eq. 9 of the paper (batched over scan).
+
+    Perf (r5): this combine runs ~2T times per filter (the assoc-scan's
+    total work), and batched small-matrix LU is the single most expensive
+    primitive on TPU — the original form paid FIVE independent
+    ``jnp.linalg.solve`` factorizations per combine. With ``C`` and ``J``
+    symmetric (they are covariance-/information-matrix iterates, and the
+    element constructors + this combine keep them symmetrized), ``N = I +
+    J C = M^T``, so ONE :func:`_gj_inverse` of ``M = I + C J`` serves
+    every solve — the M-solves and the transpose (N-) solves are two
+    full-precision applications of the same explicit inverse. Notes from
+    the on-chip bisection (2026-08-21): ``lu_factor``/``lu_solve``
+    composed into ``associative_scan`` KERNEL-FAULTS the TPU worker
+    (batched LU standalone is fine; in-scan it crashes twice,
+    deterministically), and even plain ``jnp.linalg.solve`` costs
+    ~3.5 us per 10x10 matrix batched — hence the unrolled Gauss-Jordan."""
     ai, bi, ci, etai, ji = ei
     aj, bj, cj, etaj, jj = ej
     xdim = ai.shape[-1]
     eye = jnp.eye(xdim, dtype=ai.dtype)
 
     m = eye + ci @ jj                                     # (..., x, x)
-    m_inv_ai = jnp.linalg.solve(m, ai)
-    m_inv_bc = jnp.linalg.solve(m, (bi + (ci @ etaj[..., None])[..., 0])[..., None])
-    a_out = aj @ m_inv_ai
-    b_out = (aj @ m_inv_bc)[..., 0] + bj
-    c_out = aj @ jnp.linalg.solve(m, ci) @ jnp.swapaxes(aj, -1, -2) + cj
+    m_inv = _gj_inverse(m)
+    bc = bi[..., None] + ci @ etaj[..., None]             # (..., x, 1)
+    rhs_m = jnp.concatenate([ai, bc, ci], axis=-1)        # (..., x, 2x+1)
+    sol_m = _apply(m_inv, rhs_m)
+    a_out = aj @ sol_m[..., :xdim]
+    b_out = (aj @ sol_m[..., xdim:xdim + 1])[..., 0] + bj
+    c_out = aj @ sol_m[..., xdim + 1:] @ jnp.swapaxes(aj, -1, -2) + cj
+    c_out = 0.5 * (c_out + jnp.swapaxes(c_out, -1, -2))
 
-    n = eye + jj @ ci
-    n_inv = lambda x: jnp.linalg.solve(n, x)
-    eta_out = (
-        jnp.swapaxes(ai, -1, -2) @ n_inv((etaj - (jj @ bi[..., None])[..., 0])[..., None])
-    )[..., 0] + etai
-    j_out = jnp.swapaxes(ai, -1, -2) @ n_inv(jj @ ai) + ji
+    # N = I + J C = M^T for symmetric C, J: apply M^-T, same inverse
+    nb = (etaj - (jj @ bi[..., None])[..., 0])[..., None]
+    rhs_n = jnp.concatenate([nb, jj @ ai], axis=-1)       # (..., x, x+1)
+    sol_n = _apply(jnp.swapaxes(m_inv, -1, -2), rhs_n)
+    ait = jnp.swapaxes(ai, -1, -2)
+    eta_out = (ait @ sol_n[..., :1])[..., 0] + etai
+    j_out = ait @ sol_n[..., 1:] + ji
+    j_out = 0.5 * (j_out + jnp.swapaxes(j_out, -1, -2))
     return a_out, b_out, c_out, eta_out, j_out
 
 
@@ -234,10 +318,11 @@ def _smooth_elements(a, q, filtered: FilterResult, b=None):
 
     def elem(a_n, b_n, m, p):
         pp = a_n @ p @ a_n.T + q
-        e = jnp.linalg.solve(pp, a_n @ p).T              # G = P A^T Pp^-1
+        pp = 0.5 * (pp + pp.T)
+        e = _apply(_gj_inverse(pp), a_n @ p).T           # G = P A^T Pp^-1
         g = m - e @ (a_n @ m + b_n)
         l = p - e @ pp @ e.T
-        return e, g, l
+        return e, g, 0.5 * (l + jnp.swapaxes(l, -1, -2))
 
     e_all, g_all, l_all = jax.vmap(elem)(a_next, b_next, filtered.means, filtered.covs)
     # last element: identity on the filtered terminal state
