@@ -50,17 +50,22 @@ def main():
 
     out = {}
     modes = [("sequential", dict(vmap_folds=False)),
-             ("vmapped_c2", dict(vmap_folds=True, fold_chunk=2)),
-             ("vmapped_all", dict(vmap_folds=True))]
+             ("vmapped_c2", dict(vmap_folds=True, fold_chunk=2))]
     for name, kw in modes:
-        t0 = time.perf_counter()
-        try:
-            kf = EV.kfold_channel_eval(cfg, res.state, y, n_folds=5, **kw)
-        except Exception as e:
-            print(json.dumps({name: {"error": str(e)[:120]}}))
+        walls = []
+        for rep in range(2):  # rep 0 = cold (compiles), rep 1 = warm
+            t0 = time.perf_counter()
+            try:
+                kf = EV.kfold_channel_eval(cfg, res.state, y, n_folds=5, **kw)
+            except Exception as e:
+                print(json.dumps({name: {"error": str(e)[:120]}}))
+                kf = None
+                break
+            walls.append(round(time.perf_counter() - t0, 1))
+        if kf is None:
             continue
-        wall = time.perf_counter() - t0
-        out[name] = {"wall_s": round(wall, 1),
+        out[name] = {"wall_cold_s": walls[0],
+                     "wall_warm_s": walls[-1] if len(walls) > 1 else None,
                      "bits_per_spike": round(float(kf.bits_per_spike), 4)}
         print(json.dumps({name: out[name]}))
 

@@ -257,9 +257,7 @@ def smooth_poisson(
     # zero counts before the first smoothing pass
     eta_hat = jnp.log(ys + 0.5)
 
-    filtered = smoothed = None
-    a_seq, c_seq = a0, c0
-    for it in range(n_iter):
+    def one_pass(eta_hat, a_seq, c_seq):
         lam = jnp.clip(
             jnp.exp(jnp.minimum(eta_hat, cfg.poisson_clamp)), 1e-4, None
         )
@@ -272,11 +270,37 @@ def smooth_poisson(
         filtered, smoothed = pkalman.parallel_smooth(
             a_seq, q, c_mat, r_diag, m0, p0, y_work, b=c_seq, diag_r=True
         )
-        eta_hat = smoothed.means @ c_mat.T + d_vec
-        if relinearize_dynamics and it + 1 < n_iter:
+        return filtered, smoothed, smoothed.means @ c_mat.T + d_vec
+
+    # Pass 0 unrolled, passes 1..n-1 as ONE lax.scan body: a Python loop
+    # here inlines n_iter copies of the full parallel smoother into the
+    # traced graph — measured on-chip 2026-08-21, the unrolled 8-pass
+    # flagship graph compiled in ~870 s and the fold-vmapped variant
+    # crashed the TPU compiler outright; the scan form keeps exactly two
+    # smoother copies (same math: the scan body relinearizes even on the
+    # final pass, whose a/c outputs are discarded — a (T, n_rbf) feature
+    # pass, negligible next to the smoother itself).
+    filtered, smoothed, eta_hat = one_pass(eta_hat, a0, c0)
+    if n_iter > 1:
+        a_seq, c_seq = (a0, c0)
+        if relinearize_dynamics:
             a_seq, c_seq = _linearize_for_sequence(
                 cfg, state, smoothed.means, t_len, us=us
             )
+
+        def body(carry, _):
+            eta, a_s, c_s, _, _ = carry
+            filt, smth, eta_new = one_pass(eta, a_s, c_s)
+            if relinearize_dynamics:
+                a_s, c_s = _linearize_for_sequence(
+                    cfg, state, smth.means, t_len, us=us
+                )
+            return (eta_new, a_s, c_s, filt, smth), None
+
+        (eta_hat, _, _, filtered, smoothed), _ = jax.lax.scan(
+            body, (eta_hat, a_seq, c_seq, filtered, smoothed), None,
+            length=n_iter - 1,
+        )
     return filtered, smoothed
 
 
@@ -435,11 +459,20 @@ def smooth_iterated(
     ys = wire_ingest(ys, cfg.jdtype)  # two-step ingest (see core fit())
     filtered, smoothed = smooth(cfg, state, ys, x_ref,
                                 channel_mask=channel_mask, us=us)
-    for _ in range(n_iter - 1):
-        # transition INTO t linearized at the smoothed mean of t-1
-        a_seq, c_seq = _linearize_for_sequence(
-            cfg, state, smoothed.means, ys.shape[0], us=us
+    if n_iter > 1:
+        # scan, not a Python loop: an unrolled loop inlines n_iter copies
+        # of the parallel smoother into the traced graph (see the compile
+        # note in smooth_poisson)
+        def body(carry, _):
+            _, smth = carry
+            # transition INTO t linearized at the smoothed mean of t-1
+            a_seq, c_seq = _linearize_for_sequence(
+                cfg, state, smth.means, ys.shape[0], us=us
+            )
+            return _smooth_affine(cfg, state, ys, a_seq, c_seq,
+                                  channel_mask=channel_mask), None
+
+        (filtered, smoothed), _ = jax.lax.scan(
+            body, (filtered, smoothed), None, length=n_iter - 1
         )
-        filtered, smoothed = _smooth_affine(cfg, state, ys, a_seq, c_seq,
-                                            channel_mask=channel_mask)
     return filtered, smoothed
