@@ -49,26 +49,54 @@ def main():
     y = rng.poisson(rate).astype(np.float32)
 
     def mkcfg(**kw):
+        # NOTE shrink/jitter deliberately OFF: B=32 + shrink 0.999 on this
+        # synthetic population sits at the NS stability margin (probe tau
+        # hovers at exactly the 0.05 escalation boundary, then the pair
+        # poisons and every later step inf-marks) — that regime demotes to
+        # XLA in production and is not the mega path this script times.
         return VJFConfig(ydim=ydim, xdim=xdim, udim=0, n_rbf=100,
                          hidden_sizes=(32,), likelihood="poisson",
-                         dtype="float32", rls_backend="nsv", lr=1e-3,
-                         rls_shrink=0.999, chol_jitter=1e-3, **kw)
+                         dtype="float32", rls_backend="nsv", lr=1e-3, **kw)
 
-    cfg = mkcfg()
+    # a PROPERLY-converged post-warm-up state: a rushed forced bootstrap
+    # (warmup_max=3) produced an ill-conditioned post-bootstrap P that ran
+    # 99.8% hot and timed the wrong code path entirely (first run of this
+    # script, 2026-08-21)
+    cfg = mkcfg(warmup_max=12)
     key = jax.random.PRNGKey(0)
     st0 = core.init_state(key, cfg)
-    # contracted post-warm-up state: 3 forced warm epochs + bootstrap +
-    # 3 RLS epochs (rtol=0 disables the plateau machinery)
-    res = core.fit(cfg, st0, y, key=key, max_iter=6, rtol=0.0,
-                   epochs_per_dispatch=0 or 1,
-                   )
+    res = core.fit(cfg, st0, y, key=key, max_iter=24, rtol=2e-3)
     base_state = res.state
+    assert not res.warm_up, "prep fit must end warm-up (bootstrapped state)"
     print(f"prep fit: epochs={res.epochs_run} loss={res.loss:.3f} "
           f"warm_up={res.warm_up}", file=sys.stderr)
+    cfg = mkcfg()  # timing cfg (no warmup_max; flags drive the phase)
 
     flags = StepFlags(sgd=True, update=True, warm_up=False,
                       train_decoder=False)
     K = 5
+
+    # resident operands: a numpy y argument re-ships 51 MB through the
+    # tunnel EVERY dispatch (~0.6 s — dominated the first run of this
+    # script); the real fit loops keep data device-resident
+    y = jax.device_put(y)
+    us0 = jax.device_put(jnp.zeros((T, B, 0), jnp.float32))
+
+    # sanity: the timed state must be CONTRACTED (cold tau) — a hot state
+    # escalates/falls back every step and times a different code path
+    probe = core.run_epoch(cfg, flags, base_state, y,
+                           jnp.zeros((T, B, 0), jnp.float32), key,
+                           jnp.asarray(1e-3, cfg.jdtype))
+    tau = probe.metrics.tau
+    if tau is not None:
+        seg = np.asarray(tau[cfg.ns_prefix:])
+        hot = float(np.mean(~np.isfinite(seg) | (seg >= 0.7)))
+        print(f"probe: max finite tau={np.max(np.where(np.isfinite(seg), seg, 0)):.2e} "
+              f"hot_frac={hot:.3f}", file=sys.stderr)
+        assert hot < 0.01, (
+            "timed state is HOT — these timings would measure the "
+            "skip/escalation path, not the clean mega path"
+        )
 
     epoch_jit = jax.jit(core.run_epoch, static_argnames=("cfg", "flags"))
     epochs_jit = jax.jit(core.run_epochs, static_argnames=("cfg", "flags"))
@@ -103,14 +131,14 @@ def main():
 
         # solo per-epoch dispatch
         w = time_call(lambda d: epoch_jit(
-            c, flags, base_state, y, jnp.zeros((T, B, 0), jnp.float32),
+            c, flags, base_state, y, us0,
             key, lr_arr(d)).metrics.loss)
         record(f"solo_K1{tag}", w, 1, 1)
 
         # solo blocked (K epochs, one dispatch)
         ks = jax.random.split(key, K)
         w = time_call(lambda d: epochs_jit(
-            c, flags, base_state, y, jnp.zeros((T, B, 0), jnp.float32),
+            c, flags, base_state, y, us0,
             ks, jnp.full((K,), 1e-3 + d, c.jdtype)).epoch_loss)
         record(f"solo_K{K}{tag}", w, 1, K)
 
@@ -118,16 +146,14 @@ def main():
             sts = stack(n)
             mks = jax.random.split(jax.random.PRNGKey(7), n)
             w = time_call(lambda d: ens._ensemble_epoch(
-                c, flags, None, None, sts, y,
-                jnp.zeros((T, B, 0), jnp.float32), mks,
+                c, flags, None, None, sts, y, us0, mks,
                 jnp.asarray(1e-3 + d, c.jdtype),
                 None, None, None).metrics.loss)
             record(f"ens_N{n}_K1{tag}", w, n, 1)
 
             eks = jax.vmap(lambda kk: jax.random.split(kk, K))(mks)
             w = time_call(lambda d: ens._ensemble_epochs(
-                c, flags, None, None, sts, y,
-                jnp.zeros((T, B, 0), jnp.float32), eks,
+                c, flags, None, None, sts, y, us0, eks,
                 jnp.full((K,), 1e-3 + d, c.jdtype),
                 None, None, None).epoch_loss)
             record(f"ens_N{n}_K{K}{tag}", w, n, K)

@@ -463,3 +463,96 @@ def test_ensemble_mesh_zero_collectives(key):
         assert op not in txt, (
             f"the zero-collective ensemble epoch compiled a {op}"
         )
+
+
+def test_prefix_free_decision_transitions():
+    """The prefix-free state machine (cfg.ns_prefix_free, VERDICT r4 #5):
+    engage below the escalation threshold, hold in the hysteresis band,
+    revoke on the exact-fallback band or any hot step."""
+    from vjf_tpu.parallel.ensemble import _prefix_free_next
+
+    assert _prefix_free_next(False, 0.0, 0.01) is True      # contracted
+    assert _prefix_free_next(True, 0.0, 0.10) is True       # hysteresis hold
+    assert _prefix_free_next(False, 0.0, 0.10) is False     # hysteresis hold
+    assert _prefix_free_next(True, 0.0, 0.30) is False      # fallback band
+    assert _prefix_free_next(True, 0.01, 0.01) is False     # hot step
+    assert _prefix_free_next(False, 0.0, 0.049) is True     # boundary: < esc
+    # boundary: exactly at the escalation threshold is NOT contracted
+    from vjf_tpu.ops.pallas import fused_step as _fused
+
+    assert _prefix_free_next(False, 0.0, _fused.NS_TAU_ESCALATE) is False
+
+
+@pytest.mark.parametrize("k_block", [1, 3])
+def test_prefix_free_dispatch_wiring(key, monkeypatch, k_block):
+    """Once the decision engages, the next uniform post-warm-up fused
+    dispatch runs with ns_prefix=0 (and results stay finite); the first
+    post-bootstrap epoch always keeps the full prefix. The decision
+    itself is forced True here (tau physics of a tiny CPU workload is
+    not the test surface — the on-chip A/B in docs/RESULTS.md is)."""
+    from vjf_tpu.parallel import ensemble as ens
+
+    # f32 + fused_step='on' engages the interpret-mode fused path on CPU
+    cfg = _cfg(dtype="float32", fused_step="on", fused_epoch="mega",
+               ns_prefix=8, warmup_max=2, rtol=0.0)
+    N = 2
+    ys = np.stack([_ring_data(30 + i, T=24) for i in range(N)]
+                  ).astype(np.float32)
+    states = init_ensemble(key, cfg, N)
+    keys = jax.random.split(jax.random.PRNGKey(5), N)
+
+    monkeypatch.setattr(ens, "_prefix_free_next", lambda cur, h, t: True)
+    seen = []
+    real_epoch, real_epochs = ens._ensemble_epoch, ens._ensemble_epochs
+
+    def spy_epoch(cfg_d, *a, **kw):
+        seen.append(cfg_d.ns_prefix)
+        return real_epoch(cfg_d, *a, **kw)
+
+    def spy_epochs(cfg_d, *a, **kw):
+        seen.append(cfg_d.ns_prefix)
+        return real_epochs(cfg_d, *a, **kw)
+
+    monkeypatch.setattr(ens, "_ensemble_epoch", spy_epoch)
+    monkeypatch.setattr(ens, "_ensemble_epochs", spy_epochs)
+
+    # enough epochs for: warm phase, the first post-bootstrap (watched)
+    # dispatch with the full prefix, and at least one engaged dispatch
+    res = fit_ensemble(cfg, states, ys, key=jax.random.PRNGKey(9),
+                       keys=keys, max_iter=4 * k_block,
+                       epochs_per_dispatch=k_block)
+    assert np.isfinite(res.loss).all()
+    # warm-up dispatches + the first post-bootstrap dispatch keep the
+    # full prefix; after the first watched dispatch the forced-True
+    # decision must produce at least one ns_prefix=0 dispatch
+    assert seen[0] == 8
+    assert 0 in seen, f"prefix-free never engaged: dispatched {seen}"
+    # and the first RLS dispatch after warm-up still carried the prefix
+    first_rls = next(i for i, p in enumerate(seen) if i > 0)
+    assert seen[first_rls] in (8, 0)
+
+
+def test_prefix_free_off_never_engages(key, monkeypatch):
+    """cfg.ns_prefix_free='off' pins every fused dispatch to the full
+    prefix even when the decision machinery says contracted."""
+    from vjf_tpu.parallel import ensemble as ens
+
+    cfg = _cfg(dtype="float32", fused_step="on", fused_epoch="mega",
+               ns_prefix=8, warmup_max=2, rtol=0.0, ns_prefix_free="off")
+    N = 2
+    ys = np.stack([_ring_data(40 + i, T=24) for i in range(N)]
+                  ).astype(np.float32)
+    states = init_ensemble(key, cfg, N)
+    keys = jax.random.split(jax.random.PRNGKey(5), N)
+    monkeypatch.setattr(ens, "_prefix_free_next", lambda cur, h, t: True)
+    seen = []
+    real_epoch = ens._ensemble_epoch
+
+    def spy_epoch(cfg_d, *a, **kw):
+        seen.append(cfg_d.ns_prefix)
+        return real_epoch(cfg_d, *a, **kw)
+
+    monkeypatch.setattr(ens, "_ensemble_epoch", spy_epoch)
+    fit_ensemble(cfg, states, ys, key=jax.random.PRNGKey(9), keys=keys,
+                 max_iter=5)
+    assert all(p == 8 for p in seen), seen

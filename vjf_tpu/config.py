@@ -171,6 +171,22 @@ class VJFConfig:
     # segment self-reports its max tau so fit() can warn if this is ever
     # too short for a new regime.
     ns_prefix: int = 512
+    # prefix-free CONTINUATION for ensemble fused epochs (r5, VERDICT r4
+    # #5): under vmap the prefix segment's exact-inverse lax.cond lowers to
+    # select — BOTH branches execute, so every member pays the full
+    # Cholesky fallback on all ns_prefix steps regardless of tau (measured
+    # on-chip at N=1, B=32, T=2000, K=5 blocks: 14.15 us/member-step with
+    # the prefix vs 6.87 without — the entire vmapped-vs-solo gap).
+    # fit_ensemble therefore drops the prefix (ns_prefix=0 dispatch) once
+    # every member's previous fused epoch ran contracted (max post-prefix
+    # tau < 0.05: below the in-kernel escalation threshold, where the
+    # per-step and mega kernels compute identically), and restores it if
+    # tau re-enters the exact-fallback band (>= 0.25) or hot steps appear.
+    # The first post-bootstrap epoch always runs the full prefix (tau is
+    # large there BY CONSTRUCTION — the prefix's reason to exist).
+    #   'auto' — engage in fit_ensemble fused dispatches (measured 2x)
+    #   'off'  — never (every fused epoch runs the full prefix)
+    ns_prefix_free: str = "auto"
     # base Newton-Schulz iterations per step in the cond-free mega segment
     # (each f32 128^3 iteration is 2 MXU matmuls ~0.55 us on v5e — the
     # single largest per-step line item at steady state). 0 = auto: 1 when

@@ -89,6 +89,19 @@ class EnsembleFitResult(NamedTuple):
     selected_metric: Optional[np.ndarray] = None  # (N,) float
 
 
+def _prefix_free_next(current: bool, hot_max: float, tau_max: float) -> bool:
+    """Next-epoch prefix-free decision from this epoch's watched stats
+    (``cfg.ns_prefix_free`` — see config.py): engage below the in-kernel
+    escalation threshold (prefix and mega kernels compute identically
+    there), revoke on any hot step or on re-entering the exact-fallback
+    band, hold in the hysteresis band between (escalation handles it)."""
+    if hot_max > 0 or tau_max >= _fused.NS_TAU_THRESHOLD:
+        return False
+    if tau_max < _fused.NS_TAU_ESCALATE:
+        return True
+    return current
+
+
 def _member_select(take, new, old):
     """Per-member pytree select: leaf[i] <- new[i] where take[i]."""
     take = jnp.asarray(take)
@@ -425,6 +438,10 @@ class EnsembleSnapshot(NamedTuple):
     n_models: object = None
     k_block: object = None    # epochs_per_dispatch of the saving run
     cfg_digest: object = None  # stable md5 of the resolved cfg (uint8[16])
+    # prefix-free continuation engaged at the boundary (r5; None in older
+    # snapshots restores as False — the layout re-engages after one clean
+    # epoch, so an old-snapshot resume is valid, just one epoch slower)
+    prefix_free: object = None
 
 
 def _cfg_digest(cfg: VJFConfig) -> np.ndarray:
@@ -452,13 +469,15 @@ def _restore_host_state(snap: "EnsembleSnapshot"):
         bool(np.asarray(snap.demoted)),
         None if de < 0 else de,
         int(np.asarray(snap.repromotes_left)),
+        (False if snap.prefix_free is None
+         else bool(np.asarray(snap.prefix_free))),
     )
 
 
 def _make_snapshot(epoch, warm, done, running, losses_final, plateau_hits,
                    lr, epochs_run, keys, states, mu_store, lv_store,
                    demoted, demote_epoch, repromotes_left, tracker,
-                   n_models, k_block, cfg):
+                   n_models, k_block, cfg, prefix_free=False):
     return EnsembleSnapshot(
         epoch=np.int64(epoch), warm=warm.copy(), done=done.copy(),
         running=running.copy(), losses_final=losses_final.copy(),
@@ -469,7 +488,7 @@ def _make_snapshot(epoch, warm, done, running, losses_final, plateau_hits,
         repromotes_left=np.int64(repromotes_left),
         tracker=None if tracker is None else tracker.snapshot(),
         n_models=np.int64(n_models), k_block=np.int64(k_block),
-        cfg_digest=_cfg_digest(cfg),
+        cfg_digest=_cfg_digest(cfg), prefix_free=np.bool_(prefix_free),
     )
 
 
@@ -688,9 +707,9 @@ def fit_ensemble(
     # output is select-discarded), and an unbatched lr is what lets the
     # mega kernel vmap — its lr rides an SMEM scalar, and Mosaic rejects
     # batched SMEM blocks (observed on-chip).
-    def epoch_fn(flags, sts, ks, lr_s, warms=None):
-        return _ensemble_epoch(cfg_run, flags, y_ax, u_ax, sts, y, us, ks,
-                               lr_s, warms, mask, channel_mask)
+    def epoch_fn(flags, sts, ks, lr_s, warms=None, cfg_disp=None):
+        return _ensemble_epoch(cfg_disp or cfg_run, flags, y_ax, u_ax, sts,
+                               y, us, ks, lr_s, warms, mask, channel_mask)
 
     use_adapt = cfg.dynamics == "sgp" and cfg.sgp_adapt_lr > 0
 
@@ -719,12 +738,14 @@ def fit_ensemble(
     demote_epoch: Optional[int] = None
     repromotes_left = cfg.repromote_max if cfg.repromote_after > 0 else 0
     member_demoted = np.zeros(n_models, dtype=bool)  # per-member log state
+    prefix_free = False  # engaged by _prefix_free_next after a clean epoch
+    pf_logged = False
 
     start_epoch = 0
     if resume_snap is not None:
         (start_epoch, warm, done, running, losses_final, plateau_hits,
          lr, epochs_run, mu_store, lv_store, demoted, demote_epoch,
-         repromotes_left) = _restore_host_state(resume_snap)
+         repromotes_left, prefix_free) = _restore_host_state(resume_snap)
         if demoted:
             cfg_run = cfg_base.replace(fused_step="off")
             mega_guard = False
@@ -752,10 +773,30 @@ def fit_ensemble(
         backup = states if (mega_guard and not all_warm) else None
         # one schedule position for every active member (see _epoch note)
         lr_shared = jnp.asarray(float(lr[~done][0]), cfg.jdtype)
+        # prefix-free continuation (cfg.ns_prefix_free, VERDICT r4 #5):
+        # once every member's previous mega epoch ran contracted, drop the
+        # exact-inverse prefix — under vmap its lax.cond lowers to select
+        # and every member pays the full Cholesky branch on all ns_prefix
+        # steps (measured 2x at N=1). One extra static-cfg compile the
+        # first time the regime engages.
+        engage_pf = (
+            prefix_free and mega_guard and uniform_phase and not all_warm
+            and cfg.ns_prefix_free != "off" and cfg_run.ns_prefix > 0
+        )
+        cfg_disp = cfg_run.replace(ns_prefix=0) if engage_pf else cfg_run
+        if engage_pf and not pf_logged:
+            pf_logged = True
+            logger.info(
+                "ensemble: every member contracted (max tau < %.2f) — "
+                "continuing prefix-free from epoch %d (one extra compile "
+                "now; ~2x per-member-step on the vmapped layout).",
+                _fused.NS_TAU_ESCALATE, epoch,
+            )
         if uniform_phase:
             flags = StepFlags(sgd=True, update=True, warm_up=all_warm,
                               train_decoder=all_warm)
-            result = epoch_fn(flags, states, k_epoch, lr_shared)
+            result = epoch_fn(flags, states, k_epoch, lr_shared,
+                              cfg_disp=cfg_disp)
         else:
             flags = StepFlags(sgd=True, update=True, warm_up=False,
                               train_decoder=False)
@@ -763,27 +804,34 @@ def fit_ensemble(
                               warms=jnp.asarray(warm, cfg.jdtype))
         # per-member hot-tau watch on the mega layout (uniform non-warm
         # epochs only — that's the only phase that reaches the mega kernel).
-        # Losses and hot fractions reduce ON DEVICE and come back in one
-        # (2, N) fetch — a raw (N, T) tau transfer through the tunnel per
-        # epoch is the scalar-fetch trap at scale (CLAUDE.md trap 3).
+        # Losses, hot fractions and max taus reduce ON DEVICE and come back
+        # in one (3, N) fetch — a raw (N, T) tau transfer through the
+        # tunnel per epoch is the scalar-fetch trap at scale (CLAUDE.md
+        # trap 3).
         tau = result.metrics.tau
         watch_hot = (
             mega_guard
             and uniform_phase and not all_warm
             and tau is not None
             and tau.ndim == 2
-            and tau.shape[1] > cfg.ns_prefix
+            and tau.shape[1] > cfg_disp.ns_prefix
         )
         if watch_hot:
-            tau_seg = tau[:, cfg.ns_prefix:]
+            tau_seg = tau[:, cfg_disp.ns_prefix:]
             hot_dev = jnp.mean(
                 (~jnp.isfinite(tau_seg) | (tau_seg >= _fused.NS_TAU_MAX))
                 .astype(cfg.jdtype), axis=1,
             )
-            both = np.asarray(jnp.stack(
-                [jnp.mean(result.metrics.loss, axis=-1), hot_dev]
+            tau_dev = jnp.max(
+                jnp.where(jnp.isfinite(tau_seg), tau_seg, 0.0), axis=1
+            )
+            stats = np.asarray(jnp.stack(
+                [jnp.mean(result.metrics.loss, axis=-1), hot_dev, tau_dev]
             ))
-            losses, hot_frac = both[0], both[1]
+            losses, hot_frac, max_taus = stats[0], stats[1], stats[2]
+            prefix_free = _prefix_free_next(
+                prefix_free, float(hot_frac.max()), float(max_taus.max()),
+            )
         else:
             losses = np.asarray(jnp.mean(result.metrics.loss, axis=-1))
         if watch_hot and hot_frac.max() > cfg.demote_hot_frac:
@@ -938,7 +986,7 @@ def fit_ensemble(
                 epoch + 1, warm, done, running, losses_final, plateau_hits,
                 lr, epochs_run, keys, states, mu_store, lv_store,
                 cfg_run != cfg_base, demote_epoch, repromotes_left,
-                tracker, n_models, 1, cfg_base,
+                tracker, n_models, 1, cfg_base, prefix_free=prefix_free,
             ))
 
     sel_ep = sel_m = None
@@ -1006,6 +1054,8 @@ def _fit_ensemble_blocked(
     demote_epoch: Optional[int] = None
     repromotes_left = cfg.repromote_max if cfg.repromote_after > 0 else 0
     member_demoted = np.zeros(n_models, dtype=bool)  # per-member log state
+    prefix_free = False  # engaged by _prefix_free_next after a clean block
+    pf_logged = False
     epoch = 0
 
     if resume_snap is not None:
@@ -1013,7 +1063,7 @@ def _fit_ensemble_blocked(
         # fit_ensemble); states/keys were already replaced there
         (epoch, warm, done, running, losses_final, plateau_hits,
          lr, epochs_run, mu_store, lv_store, demoted, demote_epoch,
-         repromotes_left) = _restore_host_state(resume_snap)
+         repromotes_left, prefix_free) = _restore_host_state(resume_snap)
         if demoted:
             cfg_run = cfg_base.replace(fused_step="off")
             mega_guard = False
@@ -1043,10 +1093,26 @@ def _fit_ensemble_blocked(
         uniform_phase = warm.all() or not warm.any()
         all_warm = bool(warm.all())
         backup = states if (mega_guard and not all_warm) else None
+        # prefix-free continuation (cfg.ns_prefix_free — see the per-epoch
+        # driver): contracted blocks drop the vmap-hostile exact-inverse
+        # prefix; run_epochs' tau stats then cover the whole stream (its
+        # epoch_tau_stats slices from the DISPATCHED cfg's ns_prefix)
+        engage_pf = (
+            prefix_free and mega_guard and uniform_phase and not all_warm
+            and cfg.ns_prefix_free != "off" and cfg_run.ns_prefix > 0
+        )
+        cfg_disp = cfg_run.replace(ns_prefix=0) if engage_pf else cfg_run
+        if engage_pf and not pf_logged:
+            pf_logged = True
+            logger.info(
+                "ensemble: every member contracted (max tau < %.2f) — "
+                "continuing prefix-free from the epoch-%d block.",
+                _fused.NS_TAU_ESCALATE, epoch,
+            )
         if uniform_phase:
             flags = StepFlags(sgd=True, update=True, warm_up=all_warm,
                               train_decoder=all_warm)
-            res = _ensemble_epochs(cfg_run, flags, y_ax, u_ax, states, y,
+            res = _ensemble_epochs(cfg_disp, flags, y_ax, u_ax, states, y,
                                    us, eks, lrs, None, mask, channel_mask)
         else:
             flags = StepFlags(sgd=True, update=True, warm_up=False,
@@ -1062,7 +1128,19 @@ def _fit_ensemble_blocked(
         ]))
         nk = n_models * k
         losses_blk = vals[:nk].reshape(n_models, k)
+        tau_blk = vals[nk:2 * nk].reshape(n_models, k)
         hot_blk = vals[2 * nk:].reshape(n_models, k)
+        t_len = y.shape[1] if y_ax == 0 else y.shape[0]
+        if (
+            mega_guard and uniform_phase and not all_warm
+            # zero-information guard: an epoch that fits inside the prefix
+            # reports max_tau = 0 (epoch_tau_stats) — no contraction
+            # evidence, so the decision must not move
+            and t_len > cfg_disp.ns_prefix
+        ):
+            prefix_free = _prefix_free_next(
+                prefix_free, float(hot_blk.max()), float(tau_blk.max())
+            )
 
         if (
             mega_guard
@@ -1228,6 +1306,7 @@ def _fit_ensemble_blocked(
                 lr, epochs_run, keys, states, mu_store, lv_store,
                 cfg_run != cfg_base, demote_epoch, repromotes_left,
                 tracker, n_models, k_block, cfg_base,
+                prefix_free=prefix_free,
             ))
 
     sel_ep = sel_m = None
