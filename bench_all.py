@@ -124,19 +124,31 @@ def bench_sgp_ring():
 
     T = 1000
     x = ring_attractor(T=T)
+    # r5 (VERDICT r4 #2): z-score the observations. Root cause of the
+    # draw-7 failure (diagnosed on-chip, scripts/diagnose_sgp_draw7.py):
+    # the UNCENTERED readout's intercept draw (d ~ N(0,1) per channel)
+    # parks the recognition near tanh saturation (the reference mean head
+    # has bias=False — vjf/recognition.py:27), the loss then hovers near
+    # its ZERO-CROSSING where the relative-rtol plateau (vjf/model.py:278)
+    # can never fire (|delta| < rtol*|loss| ~ 0.002 vs +-0.05 epoch
+    # jitter), warm-up never ends, and the RLS dynamics literally never
+    # run (w == 0, forecast == persistence). Centered, BOTH draws fit to
+    # loss ~ -20 and beat persistence ~3x; warmup_max=30 stays as the
+    # safety net, shrink+jitter as the B=1 f32 conditioning guard
+    # (CLAUDE.md traps 14/16).
     cfg = VJFConfig(ydim=20, xdim=2, udim=0, dynamics="sgp", n_inducing=50,
                     sgp_scale=1.0, sgp_lengthscale=1.0, likelihood="gaussian",
-                    dtype="float32", lr=1e-3, rtol=2e-3)  # hyper adaptation is an
-                    # f64-validated opt-in; at f32 the kernel-cholesky grads
+                    dtype="float32", lr=1e-3, rtol=2e-3,  # hyper adaptation is
+                    # an f64-validated opt-in; at f32 the kernel-cholesky grads
                     # are too hot (guarded against NaN, but can destabilize)
+                    warmup_max=30, rls_shrink=0.999, chol_jitter=1e-3)
     key = jax.random.PRNGKey(0)
-    # forecast skill varies strongly with the observation draw (measured:
-    # seed 1 fits to loss -30 / forecast 0.17 << persistence, seed 7 only
-    # to loss -1.3 / forecast ~ persistence), so the benchmark reports two
-    # draws instead of one cherry-picked instance.
+    # two observation draws, not one cherry-picked instance (draw 7 was
+    # the r2-r4 "hard draw" — see the root-cause note above)
     out = {"config": "sgp_ring_attractor"}
     for seed in (1, 7):
         y, _, _ = linear_gaussian_observations(x, 20, obs_noise=0.1, seed=seed)
+        y = (y - y.mean(0)) / y.std(0)
         out[f"obs_seed_{seed}"] = _fit_throughput(
             cfg, y.astype(np.float32), key, 60, core, jnp, x_true=x
         )
