@@ -556,3 +556,31 @@ def test_prefix_free_off_never_engages(key, monkeypatch):
     fit_ensemble(cfg, states, ys, key=jax.random.PRNGKey(9), keys=keys,
                  max_iter=5)
     assert all(p == 8 for p in seen), seen
+
+
+def test_prefix_free_solo_blocked_wiring(key, monkeypatch):
+    """The solo blocked driver (fit(epochs_per_dispatch=K)) mirrors the
+    ensemble's prefix-free continuation: once the (forced-True here)
+    decision engages, a later block dispatches with ns_prefix=0; the
+    first post-bootstrap block keeps the full prefix."""
+    from vjf_tpu.ops.pallas import fused_step as _fused
+
+    cfg = _cfg(dtype="float32", fused_step="on", fused_epoch="mega",
+               ns_prefix=8, warmup_max=2, rtol=0.0)
+    ys = _ring_data(50, T=24).astype(np.float32)
+    state = core.init_state(key, cfg)
+
+    monkeypatch.setattr(_fused, "prefix_free_next", lambda cur, h, t: True)
+    seen = []
+    real = core.run_epochs
+
+    def spy(cfg, flags, *a, **kw):   # signature must expose the
+        seen.append(cfg.ns_prefix)   # static_argnames ("cfg", "flags")
+        return real(cfg, flags, *a, **kw)
+
+    monkeypatch.setattr(core, "run_epochs", spy)
+    res = core.fit(cfg, state, ys, key=jax.random.PRNGKey(3), max_iter=8,
+                   epochs_per_dispatch=2)
+    assert np.isfinite(res.loss)
+    assert seen[0] == 8                      # warm block: full prefix
+    assert 0 in seen, f"prefix-free never engaged: dispatched {seen}"

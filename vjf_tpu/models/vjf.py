@@ -765,12 +765,16 @@ class FitSnapshot(NamedTuple):
     # epochs_per_dispatch of the saving run (validated on resume — a
     # different blocking changes the key-split and plateau cadence)
     k_block: object = None
+    # prefix-free continuation engaged at the boundary (r5; blocked mode
+    # only — None in older snapshots restores as False and re-engages
+    # after one clean block)
+    prefix_free: object = None
 
 
 def _make_fit_snapshot(cfg, epoch, warm_up, lr, running_loss, plateau_hits,
                        key, state, result, epoch_loss, demoted,
                        demote_epoch, repromotes_left, best_snap, best_sel,
-                       sel_base=None, k_block=1):
+                       sel_base=None, k_block=1, prefix_free=False):
     from ..utils.checkpoint import config_digest
 
     best = None
@@ -787,7 +791,7 @@ def _make_fit_snapshot(cfg, epoch, warm_up, lr, running_loss, plateau_hits,
         demote_epoch=np.int64(-1 if demote_epoch is None else demote_epoch),
         repromotes_left=np.int64(repromotes_left), best=best,
         cfg_digest=config_digest(cfg), sel_base=sel_base,
-        k_block=np.int64(k_block),
+        k_block=np.int64(k_block), prefix_free=np.bool_(prefix_free),
     )
 
 
@@ -840,6 +844,8 @@ def _restore_fit_snapshot(snap: FitSnapshot):
         int(np.asarray(snap.repromotes_left)),
         best_snap,
         best_sel,
+        (False if snap.prefix_free is None
+         else bool(np.asarray(snap.prefix_free))),
     )
 
 
@@ -1307,7 +1313,7 @@ def fit(
     start_epoch = 0
     if resume_snap is not None:
         (start_epoch, warm_up, lr, running_loss, plateau_hits, epoch_loss,
-         demoted, demote_epoch, repromotes_left, r_best, r_sel
+         demoted, demote_epoch, repromotes_left, r_best, r_sel, _pf_unused
          ) = _restore_fit_snapshot(resume_snap)
         if demoted:
             cfg_run = cfg.replace(fused_step="off")
@@ -1757,6 +1763,8 @@ def _fit_blocked(
     demote_epoch: Optional[int] = None
     repromotes_left = cfg.repromote_max if cfg.repromote_after > 0 else 0
     plateau_hits = 0  # consecutive post-warm-up plateau epochs (stop_patience)
+    prefix_free = False  # engaged by prefix_free_next after a clean block
+    pf_logged = False
     epoch = 0
 
     resume_snap = (
@@ -1767,7 +1775,7 @@ def _fit_blocked(
         state = resume_snap.state
         key = jnp.asarray(resume_snap.key)
         (epoch, warm_up, lr, running_loss, plateau_hits, epoch_loss,
-         demoted, demote_epoch, repromotes_left, r_best, r_sel
+         demoted, demote_epoch, repromotes_left, r_best, r_sel, prefix_free
          ) = _restore_fit_snapshot(resume_snap)
         if demoted:
             cfg_run = cfg.replace(fused_step="off")
@@ -1816,13 +1824,35 @@ def _fit_blocked(
             sgd=True, update=True, warm_up=warm_up, train_decoder=warm_up
         )
         backup = state if (mega_guard and not warm_up) else None
-        res = epochs_fn(cfg_run, flags, state, y, us, ekeys, lrs, mask=mask,
+        # prefix-free continuation (cfg.ns_prefix_free, VERDICT r4 #5):
+        # a contracted carry does not need the per-block exact-inverse
+        # prefix re-run (CLAUDE.md note 21's run_chunks precedent) —
+        # measured 18% of the blocked epoch at T=2000 (docs/RESULTS.md
+        # "r5 attribution"); decision from the block's own tau stats,
+        # first post-bootstrap block always keeps the full prefix
+        engage_pf = (
+            prefix_free and mega_guard and not warm_up
+            and cfg.ns_prefix_free != "off" and cfg_run.ns_prefix > 0
+        )
+        cfg_disp = cfg_run.replace(ns_prefix=0) if engage_pf else cfg_run
+        if engage_pf and not pf_logged:
+            pf_logged = True
+            logger.info(
+                "blocked fit: carry contracted (max tau < %.2f) — "
+                "continuing prefix-free from the epoch-%d block (one "
+                "extra compile now).", _fused.NS_TAU_ESCALATE, epoch,
+            )
+        res = epochs_fn(cfg_disp, flags, state, y, us, ekeys, lrs, mask=mask,
                         channel_mask=channel_mask)
         # ONE host transfer per block for the control signals
         vals = np.asarray(
             jnp.concatenate([res.epoch_loss, res.max_tau, res.hot_frac])
         )
         losses, max_taus, hot_fracs = vals[:k], vals[k:2 * k], vals[2 * k:]
+        if mega_guard and not warm_up and t_len > cfg_disp.ns_prefix:
+            prefix_free = _fused.prefix_free_next(
+                prefix_free, float(hot_fracs.max()), float(max_taus.max())
+            )
 
         if (
             mega_guard
@@ -1937,6 +1967,7 @@ def _fit_blocked(
                 demote_epoch, repromotes_left,
                 best_snap if select_on else None, best_sel,
                 sel_base=sel_base if select_on else None, k_block=k_block,
+                prefix_free=prefix_free,
             ))
 
     if select_on and best_snap is not None:

@@ -76,6 +76,20 @@ NS_TAU_ESCALATE = 0.05
 NS_ONE_ITER_MIN_BATCH = 64
 
 
+def prefix_free_next(current: bool, hot_max: float, tau_max: float) -> bool:
+    """Next-dispatch prefix-free decision from a watched epoch's tau stats
+    (``cfg.ns_prefix_free`` — see config.py; shared by ``fit_ensemble``
+    and the solo blocked driver): engage below the in-kernel escalation
+    threshold (the per-step and mega kernels compute identically there),
+    revoke on any hot step or on re-entering the exact-fallback band,
+    hold in the hysteresis band between (escalation handles it)."""
+    if hot_max > 0 or tau_max >= NS_TAU_THRESHOLD:
+        return False
+    if tau_max < NS_TAU_ESCALATE:
+        return True
+    return current
+
+
 def epoch_repair_enabled(cfg, n_batch: int) -> bool:
     """Resolve ``cfg.rls_epoch_repair``: 'auto' enables the epoch-boundary
     spectral repair (``models.regression.spectral_repair``) for small-batch

@@ -89,17 +89,10 @@ class EnsembleFitResult(NamedTuple):
     selected_metric: Optional[np.ndarray] = None  # (N,) float
 
 
-def _prefix_free_next(current: bool, hot_max: float, tau_max: float) -> bool:
-    """Next-epoch prefix-free decision from this epoch's watched stats
-    (``cfg.ns_prefix_free`` — see config.py): engage below the in-kernel
-    escalation threshold (prefix and mega kernels compute identically
-    there), revoke on any hot step or on re-entering the exact-fallback
-    band, hold in the hysteresis band between (escalation handles it)."""
-    if hot_max > 0 or tau_max >= _fused.NS_TAU_THRESHOLD:
-        return False
-    if tau_max < _fused.NS_TAU_ESCALATE:
-        return True
-    return current
+# module attribute (not a bare re-export inside the drivers) so tests can
+# monkeypatch the decision; the shared implementation lives next to the
+# tau thresholds it reads (ops/pallas/fused_step.py)
+_prefix_free_next = _fused.prefix_free_next
 
 
 def _member_select(take, new, old):
