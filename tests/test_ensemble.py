@@ -584,3 +584,38 @@ def test_prefix_free_solo_blocked_wiring(key, monkeypatch):
     assert np.isfinite(res.loss)
     assert seen[0] == 8                      # warm block: full prefix
     assert 0 in seen, f"prefix-free never engaged: dispatched {seen}"
+
+
+@pytest.mark.parametrize("k_block", [1, 2])
+def test_prefix_free_structural_engage_short_T(key, monkeypatch, k_block):
+    """T <= ns_prefix workloads have no post-prefix tau evidence (the
+    whole epoch runs inside the protected prefix) — the drivers engage
+    STRUCTURALLY after the first protected post-bootstrap dispatch
+    (run_chunks' first-chunk-only-prefix precedent). No decision
+    monkeypatch here: the engage is deterministic."""
+    from vjf_tpu.parallel import ensemble as ens
+
+    cfg = _cfg(dtype="float32", fused_step="on", fused_epoch="mega",
+               ns_prefix=64, warmup_max=2, rtol=0.0)   # T=24 < 64
+    N = 2
+    ys = np.stack([_ring_data(60 + i, T=24) for i in range(N)]
+                  ).astype(np.float32)
+    states = init_ensemble(key, cfg, N)
+    keys = jax.random.split(jax.random.PRNGKey(5), N)
+    seen = []
+    real_epoch, real_epochs = ens._ensemble_epoch, ens._ensemble_epochs
+    monkeypatch.setattr(ens, "_ensemble_epoch",
+                        lambda c, *a, **kw: (seen.append(c.ns_prefix),
+                                             real_epoch(c, *a, **kw))[1])
+    monkeypatch.setattr(ens, "_ensemble_epochs",
+                        lambda c, *a, **kw: (seen.append(c.ns_prefix),
+                                             real_epochs(c, *a, **kw))[1])
+    res = fit_ensemble(cfg, states, ys, key=jax.random.PRNGKey(9),
+                       keys=keys, max_iter=4 * k_block,
+                       epochs_per_dispatch=k_block)
+    assert np.isfinite(res.loss).all()
+    assert seen[0] == 64                 # warm phase: full prefix
+    assert 0 in seen, f"structural engage never fired: {seen}"
+    # the FIRST post-bootstrap dispatch must still carry the full prefix
+    idx0 = seen.index(0)
+    assert seen[idx0 - 1] == 64

@@ -1849,10 +1849,17 @@ def _fit_blocked(
             jnp.concatenate([res.epoch_loss, res.max_tau, res.hot_frac])
         )
         losses, max_taus, hot_fracs = vals[:k], vals[k:2 * k], vals[2 * k:]
-        if mega_guard and not warm_up and t_len > cfg_disp.ns_prefix:
-            prefix_free = _fused.prefix_free_next(
-                prefix_free, float(hot_fracs.max()), float(max_taus.max())
-            )
+        if mega_guard and not warm_up:
+            if t_len > cfg_disp.ns_prefix:
+                prefix_free = _fused.prefix_free_next(
+                    prefix_free, float(hot_fracs.max()), float(max_taus.max())
+                )
+            else:
+                # whole block inside the protected prefix: engage
+                # structurally (see the ensemble drivers / run_chunks'
+                # first-chunk-only-prefix precedent); the engaged
+                # dispatch's whole-stream stats then govern
+                prefix_free = True
 
         if (
             mega_guard

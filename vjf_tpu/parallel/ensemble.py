@@ -827,6 +827,18 @@ def fit_ensemble(
             )
         else:
             losses = np.asarray(jnp.mean(result.metrics.loss, axis=-1))
+            if (
+                mega_guard and uniform_phase and not all_warm
+                and tau is not None and tau.ndim == 2
+                and tau.shape[1] <= cfg_disp.ns_prefix
+            ):
+                # the whole epoch ran inside the protected prefix (T <=
+                # ns_prefix): no post-prefix tau evidence exists or ever
+                # will, but the carry leaves this epoch consistent (the
+                # exact fallback guards every step) — engage structurally
+                # (run_chunks' first-chunk-only-prefix precedent); the
+                # engaged dispatch's WHOLE-stream watch then governs
+                prefix_free = True
         if watch_hot and hot_frac.max() > cfg.demote_hot_frac:
             hot = hot_frac > cfg.demote_hot_frac
             if hot.all():
@@ -1124,16 +1136,18 @@ def _fit_ensemble_blocked(
         tau_blk = vals[nk:2 * nk].reshape(n_models, k)
         hot_blk = vals[2 * nk:].reshape(n_models, k)
         t_len = y.shape[1] if y_ax == 0 else y.shape[0]
-        if (
-            mega_guard and uniform_phase and not all_warm
-            # zero-information guard: an epoch that fits inside the prefix
-            # reports max_tau = 0 (epoch_tau_stats) — no contraction
-            # evidence, so the decision must not move
-            and t_len > cfg_disp.ns_prefix
-        ):
-            prefix_free = _prefix_free_next(
-                prefix_free, float(hot_blk.max()), float(tau_blk.max())
-            )
+        if mega_guard and uniform_phase and not all_warm:
+            if t_len > cfg_disp.ns_prefix:
+                prefix_free = _prefix_free_next(
+                    prefix_free, float(hot_blk.max()), float(tau_blk.max())
+                )
+            else:
+                # whole block inside the protected prefix (max_tau reports
+                # 0 — no evidence, see epoch_tau_stats): engage
+                # structurally after this protected block (run_chunks'
+                # first-chunk-only-prefix precedent); the engaged
+                # dispatch's whole-stream stats then govern
+                prefix_free = True
 
         if (
             mega_guard
